@@ -1,0 +1,172 @@
+"""Inverted-index construction as a declarative DataFrame plan.
+
+Replaces the reference's delegated "Layer B" index (SURVEY.md §2.6): the
+Elasticsearch/Lucene inverted index is re-expressed as three Spark
+tables persisted as parquet (Iceberg-style layout):
+
+  postings/   (term, doc_id, tf, positions, dl)   partitioned by bucket
+  terms/      (term, df)                           the term dictionary
+  doc_norms/  (doc_id, dl, content_sha, <source>)  doc store + norms
+  stats/      single row: (n_docs, avg_dl)
+
+Design notes for 10^12-file scale:
+
+- doc_id = xxhash64(repo, path, commit): stable across runs and resumes
+  (never monotonically_increasing_id — SURVEY.md §7.3).
+- Document length (dl) is DENORMALIZED into each posting row, exactly as
+  Lucene stores norms with postings — this removes the doc_norms join
+  from the query path; scoring needs only a broadcast idf map.
+- postings are hash-partitioned by term bucket (pmod(xxhash64(term), B))
+  and written with partitionBy(bucket): a query on T terms prunes to
+  ≤ T parquet partitions (directory-level pruning + row-group predicate
+  pushdown on term).
+- The (term, doc_id) groupBy keys are near-unique per doc so the tf
+  aggregation has no skew; the hot-term skew lives in per-term grouping,
+  which this layout avoids entirely by keeping postings as rows (blocks
+  are packed separately in indexing/blockpack.py with doc_id-range
+  chunking so no single task ever owns a whole hot term).
+- All expressions are JVM built-ins: tokenize/posexplode/groupBy —
+  whole-stage codegen end to end, no Python in the build path.
+
+Reference parity anchors:
+- record-with-_key model: asset/src/elasticsearch_bulk docs; metadata
+  `_key` becomes the explicit doc_id column (SURVEY.md §1.5).
+- per-row invariant: sha256(content) column for ingested-vs-indexed
+  equality (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elasticsearch_assets_spark.functions.analyzer import analyze_col
+
+DEFAULT_BUCKETS = 64
+
+
+@dataclass
+class IndexTables:
+    postings: DataFrame  # term, bucket, doc_id, tf, positions, dl
+    terms: DataFrame  # term, df
+    doc_norms: DataFrame  # doc_id, dl, content_sha + source cols
+    n_docs: int
+    avg_dl: float
+    n_buckets: int = DEFAULT_BUCKETS
+
+
+def with_doc_id(
+    docs: DataFrame,
+    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    text_col: str = "content",
+) -> DataFrame:
+    """Attach stable doc_id + content sha256 (the per-row invariant)."""
+    return docs.withColumn("doc_id", F.xxhash64(*[F.col(c) for c in id_cols])).withColumn(
+        "content_sha", F.sha2(F.col(text_col), 256)
+    )
+
+
+def build_index(
+    docs: DataFrame,
+    text_col: str = "content",
+    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    doc_id_col: str | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+    keep_positions: bool = True,
+    source_cols: tuple[str, ...] = (),
+) -> IndexTables:
+    """Build the inverted index as lazy DataFrames.
+
+    If ``doc_id_col`` is given, it is used verbatim (e.g. the testdata
+    ``documents.doc_id``); otherwise doc_id = xxhash64(*id_cols).
+    """
+    if doc_id_col is not None:
+        base = docs.withColumn("doc_id", F.col(doc_id_col).cast("long")).withColumn(
+            "content_sha", F.sha2(F.col(text_col), 256)
+        )
+    else:
+        base = with_doc_id(docs, id_cols, text_col)
+
+    tokens = base.select(
+        "doc_id", F.posexplode(analyze_col(text_col)).alias("pos", "term")
+    )
+
+    # tf per (term, doc): keys are near-unique → no skew; partial agg
+    # (map-side combine) handles the Zipf head.
+    if keep_positions:
+        tf = tokens.groupBy("term", "doc_id").agg(
+            F.count("*").cast("int").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    else:
+        tf = tokens.groupBy("term", "doc_id").agg(
+            F.count("*").cast("int").alias("tf")
+        )
+
+    dl = tokens.groupBy("doc_id").agg(F.count("*").cast("int").alias("dl"))
+
+    keep = ["doc_id", "dl", "content_sha", *source_cols]
+    doc_norms = base.join(dl, "doc_id", "left").na.fill({"dl": 0}).select(*keep)
+
+    # Denormalize dl into postings (Lucene-style norms-with-postings).
+    postings = (
+        tf.join(dl, "doc_id")
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    )
+
+    terms = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+
+    agg = doc_norms.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avg_dl")
+    ).collect()[0]
+
+    return IndexTables(
+        postings=postings,
+        terms=terms,
+        doc_norms=doc_norms,
+        n_docs=int(agg["n"]),
+        avg_dl=float(agg["avg_dl"] or 0.0),
+        n_buckets=n_buckets,
+    )
+
+
+def write_index(tables: IndexTables, path: str) -> None:
+    """Persist the index. postings partitioned by term bucket so query-
+    time term lookups prune to single directories; rows sorted by
+    (term, doc_id) within files for row-group min/max pruning and for
+    sequential posting-list reads."""
+    (
+        tables.postings.repartition(tables.n_buckets, "bucket")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "postings"))
+    )
+    tables.terms.coalesce(8).write.mode("overwrite").parquet(
+        os.path.join(path, "terms")
+    )
+    tables.doc_norms.write.mode("overwrite").parquet(os.path.join(path, "doc_norms"))
+    stats = {
+        "n_docs": tables.n_docs,
+        "avg_dl": tables.avg_dl,
+        "n_buckets": tables.n_buckets,
+    }
+    with open(os.path.join(path, "stats.json"), "w") as f:
+        json.dump(stats, f)
+
+
+def read_index(spark: SparkSession, path: str) -> IndexTables:
+    with open(os.path.join(path, "stats.json")) as f:
+        stats = json.load(f)
+    return IndexTables(
+        postings=spark.read.parquet(os.path.join(path, "postings")),
+        terms=spark.read.parquet(os.path.join(path, "terms")),
+        doc_norms=spark.read.parquet(os.path.join(path, "doc_norms")),
+        n_docs=stats["n_docs"],
+        avg_dl=stats["avg_dl"],
+        n_buckets=stats["n_buckets"],
+    )

@@ -1,0 +1,237 @@
+"""Query execution over the inverted index — DataFrame plans only.
+
+Re-implements the query surface the reference emits via ES DSL
+(SURVEY.md §2.3): match (OR of analyzed terms), bool must/should
+(Q1/Q2), terms, wildcard prefix (Q4), count (Q13), top-k (Q11) with the
+ES tie-break (score desc, doc_id asc).
+
+Plan shape for `match`, the flagship path:
+
+    postings(bucket pruned, term pushed down)
+      -> join broadcast(term df map)          [tiny: |query terms| rows]
+      -> per-row BM25 contribution            [JVM codegen, no shuffle]
+      -> groupBy(doc_id).sum                  [one shuffle, partial agg]
+      -> TakeOrderedAndProject(k)             [no global sort]
+
+The only shuffle is the per-doc score combine; candidate set size is
+bounded by Σ df(term), and the bucket partition filter means a 10^12-doc
+index touches only the directories owning the query's terms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from elasticsearch_assets_spark.functions.analyzer import analyze_text
+from elasticsearch_assets_spark.indexing.build import IndexTables
+from elasticsearch_assets_spark.query.bm25 import K1, B, score_contrib_col
+
+
+def _candidates(index: IndexTables, terms: list[str]) -> DataFrame:
+    """Postings rows for the given already-analyzed terms, with bucket
+    partition pruning + term predicate pushdown."""
+    p = index.postings
+    if not terms:
+        return p.where(F.lit(False))
+    # bucket(term) must match the build-side pmod(xxhash64(term), B);
+    # computed via a tiny Spark expression to guarantee hash parity
+    # (driver collect of |query terms| rows — negligible).
+    spark = p.sparkSession
+    bdf = spark.createDataFrame([(t,) for t in terms], ["term"]).select(
+        F.pmod(F.xxhash64("term"), F.lit(index.n_buckets)).cast("int").alias("b")
+    )
+    buckets = sorted({r["b"] for r in bdf.collect()})
+    return p.where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+
+
+def _df_map(index: IndexTables, terms: list[str]) -> DataFrame:
+    """Tiny (term, df) frame for the query's terms — broadcast side."""
+    return index.terms.where(F.col("term").isin(terms))
+
+
+def scored_terms(
+    index: IndexTables, terms: list[str], k1: float = K1, b: float = B
+) -> DataFrame:
+    """Per-doc summed BM25 over the given terms → (doc_id, score,
+    n_matched). Basis for match/should (OR) and must (AND)."""
+    cand = _candidates(index, terms)
+    dfm = _df_map(index, terms)
+    contrib = cand.join(F.broadcast(dfm), "term").withColumn(
+        "contrib",
+        score_contrib_col(
+            F.col("tf").cast("double"),
+            F.col("dl").cast("double"),
+            F.col("df").cast("double"),
+            index.n_docs,
+            index.avg_dl,
+            k1,
+            b,
+        ),
+    )
+    # Deterministic float association: fold contributions in term-sorted
+    # order (matches the oracle bit-for-bit; a plain groupBy().sum()
+    # sums in shuffle-arrival order and near-ties then rank-swap —
+    # SURVEY.md §7 "genuinely hard" #1). |query terms| is tiny, so the
+    # collect_list per doc is bounded and cheap.
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("_cs"),
+            F.count("*").alias("n_matched"),
+            F.first("dl").alias("dl"),
+        )
+        .withColumn(
+            "score",
+            F.aggregate("_cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]),
+        )
+        .drop("_cs")
+    )
+
+
+def top_k(scored: DataFrame, k: int) -> DataFrame:
+    """ES tie-break: score desc, doc_id asc. Spark compiles
+    orderBy+limit to TakeOrderedAndProject — per-partition heaps, no
+    global sort."""
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def match_query(
+    index: IndexTables,
+    text: str,
+    k: int = 10,
+    operator: str = "or",
+) -> DataFrame:
+    """ES `match` query: analyze the text, score as OR (default) or AND
+    (operator="and" requires every term present — Q1 conjunction)."""
+    terms = sorted(set(analyze_text(text)))
+    s = scored_terms(index, terms)
+    if operator == "and":
+        s = s.where(F.col("n_matched") == len(terms))
+    return top_k(s.select("doc_id", "score"), k)
+
+
+def terms_query(index: IndexTables, terms: list[str], k: int = 10) -> DataFrame:
+    """ES `terms` query: un-analyzed exact terms, OR semantics."""
+    s = scored_terms(index, sorted(set(terms)))
+    return top_k(s.select("doc_id", "score"), k)
+
+
+def bool_query(
+    index: IndexTables,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """ES `bool`: must = intersection (scores sum), should = union
+    (adds score), must_not = anti-join (no score)."""
+    must = sorted(set(must or []))
+    should = sorted(set(should or []))
+    must_not = sorted(set(must_not or []))
+
+    all_scoring = sorted(set(must) | set(should))
+    s = scored_terms(index, all_scoring)
+    if must:
+        m = scored_terms(index, must).where(F.col("n_matched") == len(must))
+        s = s.join(m.select("doc_id"), "doc_id", "left_semi")
+    if must_not:
+        ex = _candidates(index, must_not).select("doc_id").distinct()
+        s = s.join(ex, "doc_id", "left_anti")
+    return top_k(s.select("doc_id", "score"), k)
+
+
+def expand_wildcard(index: IndexTables, pattern: str) -> list[str]:
+    """Expand an ES wildcard pattern (`*`/`?` on a keyword-ish term)
+    against the term dictionary. Prefix patterns become a dictionary
+    range scan (term >= p AND term < p+MAX) — SURVEY.md Q4."""
+    t = index.terms
+    if pattern.endswith("*") and "*" not in pattern[:-1] and "?" not in pattern:
+        p = pattern[:-1].lower()
+        hits = t.where((F.col("term") >= p) & (F.col("term") < p + "￿"))
+    else:
+        regex = "^" + _glob_to_regex(pattern.lower()) + "$"
+        hits = t.where(F.col("term").rlike(regex))
+    return [r["term"] for r in hits.select("term").collect()]
+
+
+def _glob_to_regex(glob: str) -> str:
+    out = []
+    for ch in glob:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        elif ch in ".^$+{}[]|()\\":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def wildcard_query(index: IndexTables, pattern: str, k: int = 10) -> DataFrame:
+    """ES `wildcard`: constant-score filter (score = 1.0 per doc, the ES
+    constant_score semantics for multi-term queries), tie-break doc_id."""
+    terms = expand_wildcard(index, pattern)
+    if not terms:
+        empty = _candidates(index, [])
+        return empty.select(
+            "doc_id", F.lit(1.0).alias("score")
+        ).limit(0)
+    cand = _candidates(index, terms).select("doc_id").distinct()
+    return (
+        cand.withColumn("score", F.lit(1.0))
+        .orderBy(F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def term_filter_count(index: IndexTables, terms: list[str]) -> int:
+    """Q13 `count`: exact hit count for an OR-of-terms query."""
+    return _candidates(index, sorted(set(terms))).select("doc_id").distinct().count()
+
+
+def phrase_query(index: IndexTables, phrase: str, k: int = 10) -> DataFrame:
+    """Match_phrase: all terms present with consecutive positions.
+
+    Positions were kept in postings; consecutive-ness is checked with
+    array ops (arrays_overlap on shifted positions) — JVM-side, no UDF.
+    Plan: join the n term posting sets on doc_id (smallest df first via
+    Catalyst join reordering), then fold position arrays.
+    """
+    terms = analyze_text(phrase)
+    if not terms:
+        return phrase_empty(index)
+    uniq = sorted(set(terms))
+    cand = _candidates(index, uniq)
+    # pivot positions per term into a map for each doc
+    per_doc = cand.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "positions"))
+        ).alias("pos_map"),
+        F.count("*").alias("n_terms"),
+        F.first("dl").alias("dl"),
+    ).where(F.col("n_terms") == len(uniq))
+
+    # phrase = exists start p with term_i at position p+i for all i:
+    # iteratively narrow the start set with array filter/contains —
+    # all JVM-side array expressions, no UDF.
+    def _step(i, nxt):
+        return lambda p: F.array_contains(nxt, p + F.lit(i))
+
+    starts = F.col("pos_map").getItem(terms[0])
+    for i, t in enumerate(terms[1:], start=1):
+        starts = F.filter(starts, _step(i, F.col("pos_map").getItem(t)))
+    matched = per_doc.where(F.size(starts) > 0)
+
+    # Score: BM25 over the phrase's unique terms (ES scores the phrase
+    # clause with term statistics of its members).
+    s = scored_terms(index, uniq)
+    out = matched.select("doc_id").join(s.select("doc_id", "score"), "doc_id")
+    return top_k(out, k)
+
+
+def phrase_empty(index: IndexTables) -> DataFrame:
+    return index.postings.select(
+        "doc_id", F.lit(0.0).alias("score")
+    ).limit(0)

@@ -1,0 +1,53 @@
+"""Analyzer goldens + three-way implementation agreement
+(python / Spark built-ins / DuckDB SQL)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from elasticsearch_assets_spark.functions.analyzer import (
+    analyze_col,
+    analyze_text,
+    duckdb_analyze_sql,
+)
+
+GOLDENS = [
+    ("parseDate", ["parse", "date"]),
+    ("HTTPServer", ["http", "server"]),
+    ("snake_case_name", ["snake", "case", "name"]),
+    ("src/module_3/util/file.py", ["src", "module", "3", "util", "file", "py"]),
+    ("base64Url", ["base64", "url"]),
+    ("loadConfig()", ["load", "config"]),
+    ("", []),
+    ("  ", []),
+    ("UPPER lower Mixed99Case", ["upper", "lower", "mixed99", "case"]),
+    ("a.b-c_d/e", ["a", "b", "c", "d", "e"]),
+    (
+        "import src.module_7.util\nreturn self.value",
+        ["import", "src", "module", "7", "util", "return", "self", "value"],
+    ),
+]
+
+
+@pytest.mark.parametrize("text,expected", GOLDENS)
+def test_python_goldens(text, expected):
+    assert analyze_text(text) == expected
+
+
+def test_spark_matches_python(spark):
+    texts = [t for t, _ in GOLDENS if t.strip()] + [
+        "xXHash64 BM25Scorer fooBarBaz qux_quux v2Parser"
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["txt"])
+    got = [r[0] for r in df.select(analyze_col("txt")).collect()]
+    assert got == [analyze_text(t) for t in texts]
+
+
+def test_duckdb_matches_python():
+    texts = [t for t, _ in GOLDENS if t.strip()] + ["HTTPServer2 parseDateTime"]
+    con = duckdb.connect()
+    for t in texts:
+        sql = f"select {duckdb_analyze_sql('?')}"
+        got = con.execute(sql, [t]).fetchone()[0]
+        assert list(got) == analyze_text(t), t

@@ -1,0 +1,122 @@
+"""Rank-AND-score parity: distributed engine vs single-process oracle.
+
+This is the core correctness gate from BASELINE.json: top-k docIDs and
+BM25 scores rank-identical, ties broken (score desc, doc_id asc),
+scores equal to 1e-6.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from elasticsearch_assets_spark.corpus import generate_corpus_pandas
+from elasticsearch_assets_spark.indexing.build import build_index, with_doc_id
+from elasticsearch_assets_spark.query import exec as qx
+from elasticsearch_assets_spark.query.oracle import OracleIndex
+
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = generate_corpus_pandas(N_DOCS, seed=42)
+    sdf = spark.createDataFrame(pdf)
+    ids = with_doc_id(sdf).select("doc_id", "content").collect()
+    docs = {r["doc_id"]: r["content"] for r in ids}
+    assert len(docs) == N_DOCS, "doc_id collision or dup (repo,path,commit)"
+    index = build_index(sdf, n_buckets=8)
+    oracle = OracleIndex(docs)
+    return index, oracle
+
+
+def _assert_parity(got_df, expected, tol=1e-6):
+    got = [(r["doc_id"], r["score"]) for r in got_df.collect()]
+    assert len(got) == len(expected), (len(got), len(expected))
+    for (gd, gs), (ed, es) in zip(got, expected):
+        assert gd == ed, (got, expected)
+        assert abs(gs - es) <= tol * max(1.0, abs(es))
+
+
+@pytest.mark.parametrize(
+    "text,k,op",
+    [
+        ("return", 10, "or"),          # head term (in nearly every doc)
+        ("parseDate", 10, "or"),        # camelCase mid-frequency
+        ("uniq_7", 10, "or"),           # unique long-tail: exactly 1 hit
+        ("no_such_token_xyz", 10, "or"),  # zero hits
+        ("parse_date mergeBatch", 25, "or"),
+        ("parse_date mergeBatch", 25, "and"),
+        ("import src module util", 100, "and"),
+        ("loadConfig", 13, "or"),       # matches all docs; ties -> doc_id
+    ],
+)
+def test_match_parity(corpus, text, k, op):
+    index, oracle = corpus
+    _assert_parity(qx.match_query(index, text, k=k, operator=op), oracle.match(text, k=k, operator=op))
+
+
+def test_bool_parity(corpus):
+    index, oracle = corpus
+    got = qx.bool_query(
+        index, must=["return", "self"], should=["parse"], must_not=["uniq_3"], k=20
+    )
+    exp = oracle.bool_query(
+        must=["return", "self"], should=["parse"], must_not=["uniq_3"], k=20
+    )
+    _assert_parity(got, exp)
+
+
+def test_phrase_parity(corpus):
+    index, oracle = corpus
+    got = qx.phrase_query(index, "load config", k=15)
+    exp = oracle.phrase("load config", k=15)
+    _assert_parity(got, exp)
+
+
+def test_wildcard(corpus):
+    index, oracle = corpus
+    # "load*" matches real dictionary terms (analyzer splits loadConfig
+    # -> load, config); assert non-vacuously.
+    exp = {
+        d
+        for t, posting in oracle.tf.items()
+        if t.startswith("load")
+        for d in posting
+    }
+    assert exp, "fixture must contain load* terms"
+    got = {r["doc_id"] for r in qx.wildcard_query(index, "load*", k=10**6).collect()}
+    assert got == exp
+
+
+def test_wildcard_zero_match(corpus):
+    index, _ = corpus
+    assert qx.wildcard_query(index, "zz_nohit*", k=10).count() == 0
+
+
+def test_count(corpus):
+    index, oracle = corpus
+    n = qx.term_filter_count(index, ["parse", "merge"])
+    exp = len(set(oracle.tf.get("parse", {})) | set(oracle.tf.get("merge", {})))
+    assert n == exp
+
+
+def test_sha_invariant(corpus, spark):
+    """Per-row invariant (BASELINE.json input_hint): sha256(content) of
+    each ingested row equals the indexed doc store's content_sha."""
+    import hashlib
+
+    index, _oracle = corpus
+    stored = {
+        r["doc_id"]: r["content_sha"]
+        for r in index.doc_norms.select("doc_id", "content_sha").collect()
+    }
+    pdf = generate_corpus_pandas(N_DOCS, seed=42)
+    raw = {
+        r["doc_id"]: r["content"]
+        for r in with_doc_id(spark.createDataFrame(pdf))
+        .select("doc_id", "content")
+        .collect()
+    }
+    assert len(stored) == len(raw) == N_DOCS
+    for d, t in raw.items():
+        assert stored[d] == hashlib.sha256(t.encode()).hexdigest()
