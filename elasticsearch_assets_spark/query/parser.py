@@ -1,0 +1,268 @@
+"""Lucene-syntax query-string parser (SURVEY.md Q6).
+
+Scope is pinned to the forms the reference actually emits/translates
+(`packages/.../SpacesReaderClient.ts:134-262` and
+`packages/.../elasticsearch-reader-api/utils.ts:44-110`):
+
+    term                      bare term (default field)
+    field:term                field-qualified term
+    field:pre*  /  fi?ld      wildcard (* and ?)
+    field:/regex/             regexp
+    field:[A TO B}            range, [ ] inclusive, { } exclusive
+    field:>=X  >X  <=X  <X    open ranges
+    "a b"                     phrase
+    a AND b, a OR b, NOT a    boolean (also &&, ||, !)
+    (...)                     grouping
+
+Default operator is OR (ES query_string default). Produces a small AST
+consumed by query.planner.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dfield
+
+
+# ---- AST -------------------------------------------------------------
+@dataclass(frozen=True)
+class Term:
+    field: str | None
+    value: str
+
+
+@dataclass(frozen=True)
+class Phrase:
+    field: str | None
+    text: str
+
+
+@dataclass(frozen=True)
+class Wildcard:
+    field: str | None
+    pattern: str
+
+
+@dataclass(frozen=True)
+class Regexp:
+    field: str | None
+    pattern: str
+
+
+@dataclass(frozen=True)
+class Range:
+    field: str | None
+    lo: str | None
+    hi: str | None
+    incl_lo: bool = True
+    incl_hi: bool = True
+
+
+@dataclass(frozen=True)
+class And:
+    children: tuple = dfield(default_factory=tuple)
+
+
+@dataclass(frozen=True)
+class Or:
+    children: tuple = dfield(default_factory=tuple)
+
+
+@dataclass(frozen=True)
+class Not:
+    child: object = None
+
+
+Node = object
+
+# ---- Lexer -----------------------------------------------------------
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<lparen>\()
+  | (?P<rparen>\))
+  | (?P<and>AND\b|&&)
+  | (?P<or>OR\b|\|\|)
+  | (?P<not>NOT\b|!)
+  | (?P<quoted>"(?:[^"\\]|\\.)*")
+  | (?P<regex>/(?:[^/\\]|\\.)+/)
+  | (?P<lbrack>[\[\{])
+  | (?P<rbrack>[\]\}])
+  | (?P<to>TO\b)
+  | (?P<cmp>>=|<=|>|<)
+  | (?P<colon>:)
+  | (?P<atom>[^\s()\[\]{}":]+)
+    """,
+    re.VERBOSE,
+)
+
+
+def _lex(q: str):
+    out = []
+    i = 0
+    while i < len(q):
+        m = _TOKEN_RE.match(q, i)
+        if not m:
+            raise ValueError(f"cannot lex query at {i}: {q[i:i+20]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        out.append((kind, m.group()))
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens, default_field: str | None):
+        self.toks = tokens
+        self.i = 0
+        self.default_field = default_field
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, kind):
+        k, v = self.next()
+        if k != kind:
+            raise ValueError(f"expected {kind}, got {k}={v!r}")
+        return v
+
+    # or_expr := and_expr ((OR|implicit) and_expr)*    [default op OR]
+    def parse_or(self):
+        parts = [self.parse_and()]
+        while True:
+            k, _ = self.peek()
+            if k == "or":
+                self.next()
+                parts.append(self.parse_and())
+            elif k in ("atom", "quoted", "not", "lparen", "regex", "cmp", "lbrack"):
+                # implicit default operator = OR
+                parts.append(self.parse_and())
+            else:
+                break
+        return parts[0] if len(parts) == 1 else Or(tuple(parts))
+
+    def parse_and(self):
+        parts = [self.parse_unary()]
+        while self.peek()[0] == "and":
+            self.next()
+            parts.append(self.parse_unary())
+        return parts[0] if len(parts) == 1 else And(tuple(parts))
+
+    def parse_unary(self):
+        k, _ = self.peek()
+        if k == "not":
+            self.next()
+            return Not(self.parse_unary())
+        return self.parse_primary()
+
+    def parse_primary(self):
+        k, v = self.peek()
+        if k == "lparen":
+            self.next()
+            node = self.parse_or()
+            self.expect("rparen")
+            return node
+        if k == "quoted":
+            self.next()
+            return Phrase(self.default_field, _unquote(v))
+        if k == "regex":
+            self.next()
+            return Regexp(self.default_field, v[1:-1])
+        if k in ("cmp", "lbrack"):
+            return self._parse_range(self.default_field)
+        if k == "atom":
+            self.next()
+            if self.peek()[0] == "colon":
+                self.next()
+                return self._parse_value(field=v)
+            return self._leaf(self.default_field, v)
+        raise ValueError(f"unexpected token {k}={v!r}")
+
+    def _parse_value(self, field):
+        k, v = self.peek()
+        if k == "quoted":
+            self.next()
+            return Phrase(field, _unquote(v))
+        if k == "regex":
+            self.next()
+            return Regexp(field, v[1:-1])
+        if k == "lparen":
+            self.next()
+            # field:(a OR b) — distribute the field over the group
+            saved = self.default_field
+            self.default_field = field
+            node = self.parse_or()
+            self.default_field = saved
+            self.expect("rparen")
+            return node
+        if k in ("cmp", "lbrack"):
+            return self._parse_range(field)
+        if k == "atom":
+            self.next()
+            return self._leaf(field, v)
+        raise ValueError(f"bad value for field {field}: {k}={v!r}")
+
+    def _parse_range(self, field):
+        k, v = self.next()
+        if k == "cmp":
+            val = self._range_value()
+            if val is None:
+                raise ValueError(f"missing value after {v}")
+            if v == ">=":
+                return Range(field, val, None, True, True)
+            if v == ">":
+                return Range(field, val, None, False, True)
+            if v == "<=":
+                return Range(field, None, val, True, True)
+            return Range(field, None, val, True, False)
+        # bracket range [A TO B} — reference emits start-inclusive,
+        # end-exclusive (utils.ts:58-61)
+        incl_lo = v == "["
+        lo = self._range_value()
+        self.expect("to")
+        hi = self._range_value()
+        kk, vv = self.next()
+        if kk not in ("rbrack",):
+            raise ValueError(f"expected closing bracket, got {kk}={vv!r}")
+        incl_hi = vv == "]"
+        lo = None if lo == "*" else lo
+        hi = None if hi == "*" else hi
+        return Range(field, lo, hi, incl_lo, incl_hi)
+
+    def _range_value(self) -> str | None:
+        """A range bound: run of atom/colon tokens re-joined (ISO
+        timestamps like 2019-04-26T15:00:23.201Z lex as atom:atom:atom).
+        Returns None if no value tokens present."""
+        parts = []
+        while self.peek()[0] in ("atom", "colon"):
+            parts.append(self.next()[1])
+        if not parts:
+            return None
+        return "".join(parts)
+
+    def _leaf(self, field, v):
+        if "*" in v or "?" in v:
+            return Wildcard(field, v)
+        return Term(field, v)
+
+
+def _unquote(s: str) -> str:
+    return re.sub(r"\\(.)", r"\1", s[1:-1])
+
+
+def parse(query: str, default_field: str | None = None) -> Node:
+    """Parse a Lucene-syntax query string into an AST."""
+    toks = _lex(query)
+    if not toks:
+        return Or(())
+    p = _Parser(toks, default_field)
+    node = p.parse_or()
+    if p.i != len(p.toks):
+        raise ValueError(f"trailing tokens: {p.toks[p.i:]}")
+    return node

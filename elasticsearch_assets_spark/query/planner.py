@@ -1,0 +1,233 @@
+"""AST → DataFrame physical plan (the engine's "query frontend").
+
+Translates parser ASTs into DataFrame plans over the inverted index
+(text fields, BM25-scored) and the doc store (keyword/numeric fields,
+filter context).
+
+Scoring semantics (scope-pinned per SURVEY.md §7.5 to the forms the
+reference emits, documented deviations noted):
+
+- text Term            BM25 contribution (Lucene defaults)
+- text Phrase          consecutive-position filter, BM25 over members
+- text Wildcard        constant_score 1.0 (the ES multi-term rewrite)
+- keyword Term/Wildcard/Regexp/Range   filter context, score 1.0
+- Or                   union; scores of matching clauses SUM (ES should)
+- And                  intersection; scores SUM (ES must)
+- Not                  anti-join exclusion (score 0 contribution)
+
+Every clause evaluates to (doc_id, score); combinators merge with one
+shuffle per level (union + groupBy), scores folded in clause order for
+deterministic float association. Final ordering: (score desc, doc_id
+asc) — the ES tie-break.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from elasticsearch_assets_spark.functions.analyzer import analyze_text
+from elasticsearch_assets_spark.indexing.build import IndexTables
+from elasticsearch_assets_spark.query import exec as qx
+from elasticsearch_assets_spark.query.parser import (
+    And,
+    Node,
+    Not,
+    Or,
+    Phrase,
+    Range,
+    Regexp,
+    Term,
+    Wildcard,
+    parse,
+)
+
+
+@dataclass
+class PlannerConfig:
+    default_field: str = "content"
+    text_fields: tuple[str, ...] = ("content", "text")
+
+
+class QueryPlanner:
+    """Plans query-string ASTs against an index + attribute table.
+
+    ``attrs`` is the doc store: (doc_id, <keyword/numeric columns>) —
+    typically IndexTables.doc_norms built with source_cols.
+    """
+
+    def __init__(
+        self,
+        index: IndexTables,
+        attrs: DataFrame | None = None,
+        config: PlannerConfig | None = None,
+    ):
+        self.index = index
+        self.attrs = attrs if attrs is not None else index.doc_norms
+        self.config = config or PlannerConfig()
+
+    # -- public ---------------------------------------------------------
+    def query_string(self, q: str, k: int = 10) -> DataFrame:
+        ast = parse(q, default_field=self.config.default_field)
+        scored = self.plan(ast)
+        return qx.top_k(scored, k)
+
+    def count(self, q: str) -> int:
+        ast = parse(q, default_field=self.config.default_field)
+        return self.plan(ast).count()
+
+    # -- AST dispatch ----------------------------------------------------
+    def plan(self, node: Node) -> DataFrame:
+        """Evaluate to (doc_id double score)."""
+        if isinstance(node, Term):
+            return self._term(node)
+        if isinstance(node, Phrase):
+            return self._phrase(node)
+        if isinstance(node, Wildcard):
+            return self._wildcard(node)
+        if isinstance(node, Regexp):
+            return self._regexp(node)
+        if isinstance(node, Range):
+            return self._range(node)
+        if isinstance(node, Or):
+            return self._combine(list(node.children), require_all=False)
+        if isinstance(node, And):
+            return self._combine(list(node.children), require_all=True)
+        if isinstance(node, Not):
+            return self._not(node)
+        raise TypeError(f"unknown AST node {node!r}")
+
+    # -- leaves -----------------------------------------------------------
+    def _field(self, f: str | None) -> str:
+        return f or self.config.default_field
+
+    def _is_text(self, f: str | None) -> bool:
+        return self._field(f) in self.config.text_fields
+
+    def _term(self, node: Term) -> DataFrame:
+        f = self._field(node.field)
+        if self._is_text(f):
+            terms = sorted(set(analyze_text(node.value)))
+            s = qx.scored_terms(self.index, terms)
+            if len(terms) > 1:
+                # analyzer split the value (e.g. parseDate) — all parts
+                # must be present, like ES match with the analyzed chain
+                s = s.where(F.col("n_matched") == len(terms))
+            return s.select("doc_id", "score")
+        return self._attr_filter(F.col(f).cast("string") == node.value)
+
+    def _phrase(self, node: Phrase) -> DataFrame:
+        f = self._field(node.field)
+        if self._is_text(f):
+            return qx.phrase_query(self.index, node.text, k=2**31 - 1).select(
+                "doc_id", "score"
+            )
+        return self._attr_filter(F.col(f).cast("string") == node.text)
+
+    def _wildcard(self, node: Wildcard) -> DataFrame:
+        f = self._field(node.field)
+        if self._is_text(f):
+            return qx.wildcard_query(self.index, node.pattern, k=2**31 - 1).select(
+                "doc_id", "score"
+            )
+        pat = qx._glob_to_regex(node.pattern)
+        return self._attr_filter(F.col(f).cast("string").rlike(f"^{pat}$"))
+
+    def _regexp(self, node: Regexp) -> DataFrame:
+        f = self._field(node.field)
+        anchored = f"^{node.pattern}$"
+        if self._is_text(f):
+            t = self.index.terms.where(F.col("term").rlike(anchored))
+            terms = [r["term"] for r in t.select("term").collect()]
+            if not terms:
+                return self._empty()
+            cand = qx._candidates(self.index, terms).select("doc_id").distinct()
+            return cand.withColumn("score", F.lit(1.0))
+        return self._attr_filter(F.col(f).cast("string").rlike(anchored))
+
+    def _range(self, node: Range) -> DataFrame:
+        f = self._field(node.field)
+        col = F.col(f)
+        # numeric if both bounds parse as numbers, else string/timestamp
+        # compare (ISO dates compare correctly as strings; timestamp
+        # columns get the bound cast by Spark)
+        def bound(v):
+            try:
+                float(v)
+                return F.lit(float(v))
+            except (TypeError, ValueError):
+                return F.lit(v)
+
+        conds = []
+        if node.lo is not None:
+            b = bound(node.lo)
+            conds.append(col >= b if node.incl_lo else col > b)
+        if node.hi is not None:
+            b = bound(node.hi)
+            conds.append(col <= b if node.incl_hi else col < b)
+        if not conds:
+            cond = F.lit(True)
+        else:
+            cond = conds[0]
+            for c in conds[1:]:
+                cond = cond & c
+        return self._attr_filter(cond)
+
+    def _attr_filter(self, cond) -> DataFrame:
+        return self.attrs.where(cond).select("doc_id").withColumn(
+            "score", F.lit(1.0)
+        )
+
+    def _empty(self) -> DataFrame:
+        return (
+            self.attrs.select("doc_id").limit(0).withColumn("score", F.lit(1.0))
+        )
+
+    # -- combinators --------------------------------------------------------
+    def _combine(self, children: list, require_all: bool) -> DataFrame:
+        positives: list[DataFrame] = []
+        negatives: list[DataFrame] = []
+        for child in children:
+            if isinstance(child, Not):
+                negatives.append(self.plan(child.child).select("doc_id"))
+            else:
+                positives.append(self.plan(child))
+
+        if not positives:
+            # pure-negative query: all docs minus exclusions, score 0
+            base = self.attrs.select("doc_id").withColumn("score", F.lit(0.0))
+            for n in negatives:
+                base = base.join(n, "doc_id", "left_anti")
+            return base
+
+        tagged = [
+            p.select("doc_id", "score").withColumn("_c", F.lit(i))
+            for i, p in enumerate(positives)
+        ]
+        u = tagged[0]
+        for t in tagged[1:]:
+            u = u.unionByName(t)
+        agg = (
+            u.groupBy("doc_id")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("_c", "score"))).alias("_cs"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .withColumn(
+                "score",
+                F.aggregate("_cs", F.lit(0.0), lambda a, x: a + x["score"]),
+            )
+        )
+        if require_all:
+            agg = agg.where(F.col("_n") == len(positives))
+        out = agg.select("doc_id", "score")
+        for n in negatives:
+            out = out.join(n, "doc_id", "left_anti")
+        return out
+
+    def _not(self, node: Not) -> DataFrame:
+        base = self.attrs.select("doc_id").withColumn("score", F.lit(0.0))
+        ex = self.plan(node.child).select("doc_id")
+        return base.join(ex, "doc_id", "left_anti")

@@ -10,23 +10,10 @@ from __future__ import annotations
 import pytest
 
 from elasticsearch_assets_spark.corpus import generate_corpus_pandas
-from elasticsearch_assets_spark.indexing.build import build_index, with_doc_id
+from elasticsearch_assets_spark.indexing.build import with_doc_id
 from elasticsearch_assets_spark.query import exec as qx
-from elasticsearch_assets_spark.query.oracle import OracleIndex
 
-N_DOCS = 400
-
-
-@pytest.fixture(scope="module")
-def corpus(spark):
-    pdf = generate_corpus_pandas(N_DOCS, seed=42)
-    sdf = spark.createDataFrame(pdf)
-    ids = with_doc_id(sdf).select("doc_id", "content").collect()
-    docs = {r["doc_id"]: r["content"] for r in ids}
-    assert len(docs) == N_DOCS, "doc_id collision or dup (repo,path,commit)"
-    index = build_index(sdf, n_buckets=8)
-    oracle = OracleIndex(docs)
-    return index, oracle
+from tests.conftest import N_CORPUS_DOCS as N_DOCS
 
 
 def _assert_parity(got_df, expected, tol=1e-6):

@@ -1,0 +1,159 @@
+"""Parser goldens + query_string end-to-end vs the oracle.
+
+Query forms mirror what the reference emits/translates
+(SpacesReaderClient.ts:222-259): wildcards, OR-of-wildcards, ranges
+[A TO B}, AND-joins, field-qualified terms.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from elasticsearch_assets_spark.query import parser as P
+from elasticsearch_assets_spark.query.planner import PlannerConfig, QueryPlanner
+
+
+# ---- parser goldens ---------------------------------------------------
+@pytest.mark.parametrize(
+    "q,expected",
+    [
+        ("foo", P.Term(None, "foo")),
+        ("content:foo", P.Term("content", "foo")),
+        ("uuid:ba2*", P.Wildcard("uuid", "ba2*")),
+        ('"load config"', P.Phrase(None, "load config")),
+        (
+            "a AND b",
+            P.And((P.Term(None, "a"), P.Term(None, "b"))),
+        ),
+        (
+            "a b",  # implicit default operator OR
+            P.Or((P.Term(None, "a"), P.Term(None, "b"))),
+        ),
+        ("NOT a", P.Not(P.Term(None, "a"))),
+        (
+            "(a* OR b*)",
+            P.Or((P.Wildcard(None, "a*"), P.Wildcard(None, "b*"))),
+        ),
+        (
+            "created:[2019-04-26T15:00:23.201Z TO 2019-04-26T15:00:23.394Z}",
+            P.Range(
+                "created",
+                "2019-04-26T15:00:23.201Z",
+                "2019-04-26T15:00:23.394Z",
+                True,
+                False,
+            ),
+        ),
+        ("bytes:>=100", P.Range("bytes", "100", None, True, True)),
+        ("bytes:<50", P.Range("bytes", None, "50", True, False)),
+        (
+            "lang:(py OR go)",
+            P.Or((P.Term("lang", "py"), P.Term("lang", "go"))),
+        ),
+        (
+            "x:[a TO b] AND NOT y:c",
+            P.And((P.Range("x", "a", "b", True, True), P.Not(P.Term("y", "c")))),
+        ),
+        ("id:/[a-f].*/", P.Regexp("id", "[a-f].*")),
+    ],
+)
+def test_parse_goldens(q, expected):
+    assert P.parse(q) == expected
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError):
+        P.parse("(a OR b")  # unclosed paren
+    with pytest.raises(ValueError):
+        P.parse("x:[a TO")  # incomplete range
+
+
+# ---- end-to-end over the corpus fixture --------------------------------
+@pytest.fixture(scope="module")
+def planner(corpus):
+    index, oracle = corpus
+    cfg = PlannerConfig(default_field="content", text_fields=("content",))
+    return QueryPlanner(index, config=cfg), oracle
+
+
+def _ids(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def test_qs_single_term_matches_oracle(planner):
+    qp, oracle = planner
+    got = _ids(qp.query_string("content:parseDate", k=10))
+    # analyzer splits parseDate -> [parse, date]; AND semantics
+    exp_scored = oracle.score_terms(["date", "parse"])
+    exp = sorted(
+        ((d, s) for d, (s, n) in exp_scored.items() if n == 2),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (gd, gs), (ed, es) in zip(got, exp):
+        assert abs(gs - es) < 1e-9
+
+
+def test_qs_bool_and_or(planner):
+    qp, oracle = planner
+    got = {d for d, _ in _ids(qp.query_string("merge AND batch", k=10**6))}
+    exp = set(oracle.tf.get("merge", {})) & set(oracle.tf.get("batch", {}))
+    assert got == exp
+
+    got_or = {d for d, _ in _ids(qp.query_string("merge OR batch", k=10**6))}
+    exp_or = set(oracle.tf.get("merge", {})) | set(oracle.tf.get("batch", {}))
+    assert got_or == exp_or
+
+
+def test_qs_not(planner):
+    qp, oracle = planner
+    got = {d for d, _ in _ids(qp.query_string("merge AND NOT batch", k=10**6))}
+    exp = set(oracle.tf.get("merge", {})) - set(oracle.tf.get("batch", {}))
+    assert got == exp
+
+
+def test_qs_keyword_field_and_range(planner, corpus):
+    qp, _ = planner
+    index, _ = corpus
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in index.doc_norms.select("doc_id", "lang").collect()
+    }
+    got = {d for d, _ in _ids(qp.query_string("lang:py", k=10**6))}
+    exp = {d for d, l in langs.items() if l == "py"}
+    assert got == exp
+
+    got2 = {d for d, _ in _ids(qp.query_string("lang:(py OR go)", k=10**6))}
+    exp2 = {d for d, l in langs.items() if l in ("py", "go")}
+    assert got2 == exp2
+
+
+def test_qs_keyword_wildcard(planner, corpus):
+    qp, _ = planner
+    index, _ = corpus
+    repos = {
+        r["doc_id"]: r["repo"]
+        for r in index.doc_norms.select("doc_id", "repo").collect()
+    }
+    got = {d for d, _ in _ids(qp.query_string("repo:org1/*", k=10**6))}
+    exp = {d for d, rp in repos.items() if rp.startswith("org1/")}
+    assert got == exp
+
+
+def test_qs_phrase(planner, corpus):
+    qp, oracle = planner
+    got = {d for d, _ in _ids(qp.query_string('"load config"', k=10**6))}
+    exp = {d for d, _ in oracle.phrase("load config", k=10**6)}
+    assert got == exp
+
+
+def test_qs_zero_hits(planner):
+    qp, _ = planner
+    assert qp.query_string("zz_does_not_exist", k=10).count() == 0
+
+
+def test_qs_count(planner, corpus):
+    qp, oracle = planner
+    assert qp.count("merge OR batch") == len(
+        set(oracle.tf.get("merge", {})) | set(oracle.tf.get("batch", {}))
+    )
