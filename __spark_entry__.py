@@ -1,38 +1,693 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() entries map 1:1 to SURVEY.md §2 operators plus the
+training-data-pipeline operators (dedup / similarity / text analysis).
+Each has a DuckDB oracle in oracle_sql() — including full BM25 scoring
+re-derived in SQL — so the driver value-checks results end to end.
+
+Float determinism: every float column is rounded to 4dp IN BOTH
+engines and, where ranked, ranking uses the ROUNDED value + id
+tie-break so top-k boundaries agree across engines.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elasticsearch_assets_spark.functions.analyzer import (
+    analyze_text,
+    duckdb_analyze_sql,
+)
+from elasticsearch_assets_spark.indexing.build import IndexTables, build_index
+from elasticsearch_assets_spark.operators import dedup, reader, similarity, textstats, writer
+from elasticsearch_assets_spark.query import exec as qx
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+_INDEX_CACHE: dict[str, IndexTables] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _docs_index(spark: SparkSession, sf_dir: str) -> IndexTables:
+    """Inverted index over the `documents` table (cached per sf_dir)."""
+    key = os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        docs = _t(spark, sf_dir, "documents")
+        idx = build_index(
+            docs,
+            text_col="text",
+            doc_id_col="doc_id",
+            n_buckets=16,
+            keep_positions=True,
+            source_cols=("lang", "source", "n_chars"),
+        )
+        # query serving reads the index many times: persist the final
+        # postings/terms frames (the on-disk equivalent is read_index
+        # over the bucket-partitioned parquet layout)
+        idx.postings = idx.postings.persist()
+        idx.postings.count()
+        idx.terms = idx.terms.persist()
+        _INDEX_CACHE[key] = idx
+    return _INDEX_CACHE[key]
+
+
+def _ranked_match(
+    spark: SparkSession, sf_dir: str, text: str, k: int, operator: str = "or"
+) -> DataFrame:
+    """match query ranked by ROUNDED score + doc_id (cross-engine-stable
+    top-k boundary)."""
+    index = _docs_index(spark, sf_dir)
+    terms = sorted(set(analyze_text(text)))
+    s = qx.scored_terms(index, terms)
+    if operator == "and":
+        s = s.where(F.col("n_matched") == len(terms))
+    s = s.withColumn("score", F.round(F.col("score"), 4))
+    return (
+        s.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
+_ANALYZE_TEXT_SQL = duckdb_analyze_sql("text")
+
+
+def _bm25_cte() -> str:
+    """Shared CTE prefix computing tf/dl/df/avgdl over `documents`."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_ANALYZE_TEXT_SQL}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT avg(dl) AS avgdl, (SELECT count(*) FROM documents)::DOUBLE AS n FROM dl
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+         * 2.2 AS c
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+)
+"""
+
+
+def _bm25_sql(terms: list[str], k: int, require_all: bool = False) -> str:
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    having = f"HAVING count(*) = {len(set(terms))}" if require_all else ""
+    return f"""{_bm25_cte()}
+SELECT doc_id, round(sum(c), 4) AS score
+FROM contrib WHERE term IN ({tl})
+GROUP BY doc_id {having}
+ORDER BY round(sum(c), 4) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+# deterministic synthetic geo coordinates derived from events columns
+# (identical arithmetic in both engines)
+_LAT = "((user_id % 180) - 90 + (event_id % 100) * 0.01)"
+_LON = "((user_id % 360) - 180 + (event_id % 100) * 0.01)"
+
+
+def _ev_geo(df: DataFrame) -> DataFrame:
+    lat = (F.col("user_id") % 180 - 90 + (F.col("event_id") % 100) * 0.01).alias("lat")
+    lon = (F.col("user_id") % 360 - 180 + (F.col("event_id") % 100) * 0.01).alias("lon")
+    return df.select("event_id", "user_id", "ts", lat, lon)
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 match top-10 over documents at sf0.001."""
+    return _ranked_match(spark, "/root/testdata/sf0.001", "spark merge stream", k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- full-text engine (SURVEY §2.3 Q1/Q2/Q4/Q6/Q11/Q13, §2.6) ----
+    q["ft_match_or"] = lambda s, d: _ranked_match(s, d, "spark merge stream", 10)
+    q["ft_match_and"] = lambda s, d: _ranked_match(s, d, "table scan", 20, "and")
+    q["ft_match_all_k"] = lambda s, d: _ranked_match(s, d, "value", 15)
+
+    def ft_count(s, d):
+        index = _docs_index(s, d)
+        n = qx.term_filter_count(index, ["merge", "batch"])
+        return s.createDataFrame([(n,)], "cnt long")
+
+    q["ft_count"] = ft_count
+
+    def ft_wildcard(s, d):
+        index = _docs_index(s, d)
+        terms = qx.expand_wildcard(index, "qu*")
+        if not terms:
+            return index.postings.select("doc_id").limit(0)
+        return qx._candidates(index, terms).select("doc_id").distinct()
+
+    q["ft_wildcard_prefix"] = ft_wildcard
+
+    def ft_phrase(s, d):
+        index = _docs_index(s, d)
+        out = qx.phrase_query(index, "fast table", k=2**31 - 1)
+        return (
+            out.withColumn("score", F.round("score", 4))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(20)
+        )
+
+    q["ft_phrase"] = ft_phrase
+
+    def ft_bool_must_not(s, d):
+        index = _docs_index(s, d)
+        out = qx.bool_query(index, must=["merge"], must_not=["batch"], k=2**31 - 1)
+        return (
+            out.withColumn("score", F.round("score", 4))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(25)
+        )
+
+    q["ft_bool_must_not"] = ft_bool_must_not
+
+    def ft_source_filter(s, d):
+        # keyword-field predicate + projection (Q10) over the doc store
+        docs = _t(s, d, "documents")
+        return docs.where(
+            (F.col("lang") == "en") & (F.col("n_chars") >= 200)
+        ).select("doc_id", "lang", "n_chars")
+
+    q["ft_source_filter"] = ft_source_filter
+
+    # ---- reader semantics over events (S1/S2, Q3, Q10-Q15, D2/D5, I2) ----
+    T0, T1 = "2024-01-05 00:00:00", "2024-01-12 00:00:00"
+
+    q["ev_range_scan"] = lambda s, d: (
+        reader.date_range_scan(_t(s, d, "events"), "ts", T0, T1,
+                               ["event_id", "event_type"])
+    )
+
+    def ev_count(s, d):
+        ev = _t(s, d, "events")
+        n = reader.count_query(
+            ev, reader.date_range_pred("ts", T0, T1) & (F.col("event_type") == "click")
+        )
+        return s.createDataFrame([(n,)], "cnt long")
+
+    q["ev_count"] = ev_count
+
+    def ev_minmax(s, d):
+        # events.ts is TIMESTAMP_NTZ; session TZ is UTC so the cast is
+        # a no-op on the micros value (matches DuckDB epoch_us)
+        return reader.minmax_probe(_t(s, d, "events"), "ts").select(
+            F.unix_micros(F.col("min_date").cast("timestamp")).alias("min_us"),
+            F.unix_micros(F.col("max_date").cast("timestamp")).alias("max_us"),
+        )
+
+    q["ev_minmax"] = ev_minmax
+
+    q["ev_sort_limit"] = lambda s, d: (
+        _t(s, d, "events")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .limit(50)
+        .select("event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+    )
+
+    q["ev_id_prefix_counts"] = lambda s, d: reader.id_slice_counts(
+        _t(s, d, "events").withColumn(
+            "key", F.md5(F.col("event_id").cast("string"))
+        ),
+        "key",
+        depth=1,
+    )
+
+    q["ev_date_histogram"] = lambda s, d: (
+        _t(s, d, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").cast("string").alias("day"))
+        .agg(F.count("*").alias("count"))
+    )
+
+    def ev_track_total(s, d):
+        ev = _t(s, d, "events")
+        n = reader.bounded_count(ev, F.col("event_type") == "view", 1000)
+        return s.createDataFrame([(n,)], "cnt long")
+
+    q["ev_track_total"] = ev_track_total
+
+    q["ev_subslice_flag"] = lambda s, d: (
+        _t(s, d, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("count"))
+        .withColumn("needs_subslice", F.col("count") > 2000)
+    )
+
+    def ev_geo_box(s, d):
+        g = _ev_geo(_t(s, d, "events"))
+        return reader.geo_bounding_box(g, "lat", "lon", (45.0, -90.0), (-45.0, 90.0)).select(
+            "event_id", F.round("lat", 4).alias("lat"), F.round("lon", 4).alias("lon")
+        )
+
+    q["ev_geo_box"] = ev_geo_box
+
+    def ev_geo_distance(s, d):
+        g = _ev_geo(_t(s, d, "events"))
+        out = reader.geo_distance(g, "lat", "lon", (40.0, -60.0), 3000.0, "km")
+        return out.select("event_id", F.round(F.col("_distance_m") / 1000.0, 3).alias("dist_km"))
+
+    q["ev_geo_distance"] = ev_geo_distance
+
+    def ev_delayed_window(s, d):
+        # D8 delayedStreamSegment relative to max(ts): window
+        # [max - delay - interval, max - delay)
+        ev = _t(s, d, "events")
+        mx = ev.agg(F.max("ts").alias("mx")).collect()[0]["mx"]
+        import datetime
+
+        delay = datetime.timedelta(hours=6)
+        interval = datetime.timedelta(days=1)
+        end = mx - delay
+        start = end - interval
+        return reader.date_range_scan(ev, "ts", start, end, ["event_id", "event_type"])
+
+    q["ev_delayed_window"] = ev_delayed_window
+
+    q["ev_json_extract"] = lambda s, d: (
+        _t(s, d, "events").select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+    )
+
+    # ---- writer semantics (K1.a-K1.d) over documents ----
+    def _wr_frames(s, d):
+        docs = _t(s, d, "documents").select("doc_id", "text")
+        target = docs.where(F.col("doc_id") % 3 == 0)
+        source = docs.where(F.col("doc_id") % 2 == 0).select(
+            "doc_id", F.concat(F.lit("UPDATED:"), F.col("doc_id").cast("string")).alias("text")
+        )
+        return target, source
+
+    def wr_index(s, d):
+        t, src = _wr_frames(s, d)
+        return writer.merge_index(t, src)
+
+    def wr_create(s, d):
+        t, src = _wr_frames(s, d)
+        return writer.merge_create(t, src)
+
+    def wr_update(s, d):
+        t, src = _wr_frames(s, d)
+        return writer.merge_update(t, src)
+
+    def wr_delete(s, d):
+        t, src = _wr_frames(s, d)
+        return writer.merge_delete(t, src)
+
+    q["wr_index"] = wr_index
+    q["wr_create"] = wr_create
+    q["wr_update"] = wr_update
+    q["wr_delete"] = wr_delete
+
+    # ---- dedup / text analysis / similarity ----
+    q["dd_exact"] = lambda s, d: dedup.exact_dedup(_t(s, d, "documents"), "text", "doc_id")
+    q["dd_jaccard"] = lambda s, d: (
+        dedup.jaccard_pairs(_t(s, d, "documents"), "text", "doc_id", n=3, threshold=0.2)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    q["dd_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_candidates(
+        _t(s, d, "documents"), "text", "doc_id", n=3, k=8, bands=4
+    )
+    q["dd_simhash"] = lambda s, d: dedup.simhash(
+        _t(s, d, "documents"), "text", "doc_id", bits=16
+    )
+    q["ts_token_count"] = lambda s, d: textstats.token_count(
+        _t(s, d, "documents"), "text", "doc_id"
+    )
+    q["ts_quality"] = lambda s, d: textstats.quality_score(
+        _t(s, d, "documents"), "text", "doc_id"
+    )
+    q["ts_lang_id"] = lambda s, d: textstats.lang_id(
+        _t(s, d, "documents"), "text", "doc_id"
+    )
+    q["ts_fingerprint"] = lambda s, d: textstats.fingerprint(
+        _t(s, d, "documents"), "text", "doc_id"
+    )
+
+    def sim_cosine_topk(s, d):
+        emb = _t(s, d, "embeddings")
+        qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        out = similarity.cosine_topk(emb.where(F.col("vec_id") != 0), list(qv), k=10)
+        return out.select(
+            "vec_id", F.round("cosine", 4).alias("cosine")
+        ).orderBy(F.desc("cosine"), F.asc("vec_id"))
+
+    q["sim_cosine_topk"] = sim_cosine_topk
+
+    def sim_near_dup(s, d):
+        emb = _t(s, d, "embeddings")
+        out = similarity.near_dup_pairs(emb, threshold=0.35)
+        return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+    q["sim_near_dup"] = sim_near_dup
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    # ---- full-text ----
+    o["ft_match_or"] = _bm25_sql(sorted(set(analyze_text("spark merge stream"))), 10)
+    o["ft_match_and"] = _bm25_sql(
+        sorted(set(analyze_text("table scan"))), 20, require_all=True
+    )
+    o["ft_match_all_k"] = _bm25_sql(["value"], 15)
+
+    o["ft_count"] = f"""{_bm25_cte()}
+SELECT count(DISTINCT doc_id) AS cnt FROM contrib WHERE term IN ('merge', 'batch')
+"""
+
+    o["ft_wildcard_prefix"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_ANALYZE_TEXT_SQL}) AS term FROM documents
+)
+SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'qu%'
+"""
+
+    o["ft_phrase"] = f"""{_bm25_cte()},
+toks_pos AS (
+  SELECT doc_id, unnest({_ANALYZE_TEXT_SQL}) AS term,
+         generate_subscripts({_ANALYZE_TEXT_SQL}, 1) AS pos
+  FROM documents
+),
+phrase_docs AS (
+  SELECT DISTINCT a.doc_id
+  FROM toks_pos a JOIN toks_pos b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'fast' AND b.term = 'table'
+)
+SELECT c.doc_id, round(sum(c.c), 4) AS score
+FROM contrib c JOIN phrase_docs USING (doc_id)
+WHERE c.term IN ('fast', 'table')
+GROUP BY c.doc_id
+ORDER BY round(sum(c.c), 4) DESC, c.doc_id ASC
+LIMIT 20
+"""
+
+    o["ft_bool_must_not"] = f"""{_bm25_cte()}
+SELECT doc_id, round(sum(c), 4) AS score
+FROM contrib
+WHERE term = 'merge'
+  AND doc_id NOT IN (SELECT doc_id FROM contrib WHERE term = 'batch')
+GROUP BY doc_id
+ORDER BY round(sum(c), 4) DESC, doc_id ASC
+LIMIT 25
+"""
+
+    o["ft_source_filter"] = (
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE lang = 'en' AND n_chars >= 200"
+    )
+
+    # ---- events ----
+    T0, T1 = "2024-01-05 00:00:00", "2024-01-12 00:00:00"
+    o["ev_range_scan"] = (
+        f"SELECT event_id, event_type FROM events "
+        f"WHERE ts >= TIMESTAMP '{T0}' AND ts < TIMESTAMP '{T1}'"
+    )
+    o["ev_count"] = (
+        f"SELECT count(*) AS cnt FROM events WHERE ts >= TIMESTAMP '{T0}' "
+        f"AND ts < TIMESTAMP '{T1}' AND event_type = 'click'"
+    )
+    o["ev_minmax"] = (
+        "SELECT epoch_us(min(ts)) AS min_us, epoch_us(max(ts)) AS max_us FROM events"
+    )
+    o["ev_sort_limit"] = (
+        "SELECT event_id, epoch_us(ts) AS ts_us FROM events "
+        "ORDER BY ts ASC, event_id ASC LIMIT 50"
+    )
+    o["ev_id_prefix_counts"] = (
+        "SELECT substr(md5(event_id::VARCHAR), 1, 1) AS key_prefix, "
+        "count(*) AS count FROM events GROUP BY 1 ORDER BY 1"
+    )
+    o["ev_date_histogram"] = (
+        "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+        "count(*) AS count FROM events GROUP BY 1"
+    )
+    o["ev_track_total"] = (
+        "SELECT least(count(*), 1000) AS cnt FROM events WHERE event_type = 'view'"
+    )
+    o["ev_subslice_flag"] = (
+        "SELECT event_type, count(*) AS count, count(*) > 2000 AS needs_subslice "
+        "FROM events GROUP BY 1"
+    )
+    o["ev_geo_box"] = f"""
+SELECT event_id, round(({_LAT})::DOUBLE, 4) AS lat, round(({_LON})::DOUBLE, 4) AS lon
+FROM events
+WHERE {_LAT} BETWEEN -45.0 AND 45.0 AND {_LON} BETWEEN -90.0 AND 90.0
+"""
+    o["ev_geo_distance"] = f"""
+WITH g AS (
+  SELECT event_id, ({_LAT})::DOUBLE AS lat, ({_LON})::DOUBLE AS lon FROM events
+),
+d AS (
+  SELECT event_id,
+         2.0 * 6371000.0 * asin(sqrt(
+           sin(radians(lat - 40.0) / 2) * sin(radians(lat - 40.0) / 2)
+           + cos(radians(40.0)) * cos(radians(lat))
+           * sin(radians(lon - (-60.0)) / 2) * sin(radians(lon - (-60.0)) / 2)
+         )) AS dist_m
+  FROM g
+)
+SELECT event_id, round(dist_m / 1000.0, 3) AS dist_km FROM d
+WHERE dist_m <= 3000.0 * 1000.0
+"""
+    o["ev_delayed_window"] = """
+WITH mx AS (SELECT max(ts) AS m FROM events)
+SELECT event_id, event_type FROM events, mx
+WHERE ts >= m - INTERVAL 6 HOUR - INTERVAL 1 DAY
+  AND ts < m - INTERVAL 6 HOUR
+"""
+    o["ev_json_extract"] = (
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+        "FROM events"
+    )
+
+    # ---- writer merges ----
+    _target = "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0"
+    _source = (
+        "SELECT doc_id, 'UPDATED:' || doc_id::VARCHAR AS text "
+        "FROM documents WHERE doc_id % 2 = 0"
+    )
+    o["wr_index"] = f"""
+WITH t AS ({_target}), s AS ({_source})
+SELECT * FROM t WHERE doc_id NOT IN (SELECT doc_id FROM s)
+UNION ALL SELECT * FROM s
+"""
+    o["wr_create"] = f"""
+WITH t AS ({_target}), s AS ({_source})
+SELECT * FROM t
+UNION ALL SELECT * FROM s WHERE doc_id NOT IN (SELECT doc_id FROM t)
+"""
+    o["wr_update"] = f"""
+WITH t AS ({_target}), s AS ({_source})
+SELECT * FROM t WHERE doc_id NOT IN (SELECT doc_id FROM s)
+UNION ALL SELECT s.* FROM s JOIN t USING (doc_id)
+"""
+    o["wr_delete"] = f"""
+WITH t AS ({_target}), s AS ({_source})
+SELECT * FROM t WHERE doc_id NOT IN (SELECT doc_id FROM s)
+"""
+
+    # ---- dedup / textstats / similarity ----
+    o["dd_exact"] = """
+SELECT min(doc_id) AS doc_id, md5(text) AS text_md5, count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+    o["dd_jaccard"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_ANALYZE_TEXT_SQL} AS arr FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(arr) - 1),
+           i -> array_to_string(arr[i : i + 2], ' ')
+         ))) AS shingle
+  FROM toks
+  WHERE len(arr) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i / (sa.sz + sb.sz - i) >= 0.2
+"""
+
+    _mh_cols = ",\n  ".join(
+        f"min(md5(shingle || ':{i}')) AS mh_{i}" for i in range(8)
+    )
+    _band_exprs = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mh_{2*b} || '|' || mh_{2*b+1} AS band_sig FROM sig"
+        for b in range(4)
+    )
+    o["dd_minhash_lsh"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_ANALYZE_TEXT_SQL} AS arr FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(arr) - 1),
+           i -> array_to_string(arr[i : i + 2], ' ')
+         ))) AS shingle
+  FROM toks
+  WHERE len(arr) >= 3
+),
+sig AS (
+  SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id
+),
+bands AS ({_band_exprs})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+"""
+
+    _bit_sums = ",\n  ".join(
+        "sum(CASE WHEN substr(h, {p}, 1) IN ('8','9','a','b','c','d','e','f') "
+        "THEN tf ELSE -tf END) AS s_{b}".format(p=b + 1, b=b)
+        for b in range(16)
+    )
+    _bit_concat = " || ".join(
+        f"CASE WHEN s_{b} > 0 THEN '1' ELSE '0' END" for b in range(16)
+    )
+    o["dd_simhash"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_ANALYZE_TEXT_SQL}) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, md5(tok) AS h FROM tf),
+sums AS (SELECT doc_id, {_bit_sums} FROM h GROUP BY doc_id)
+SELECT doc_id, {_bit_concat} AS simhash FROM sums
+"""
+
+    o["ts_token_count"] = f"""
+SELECT doc_id,
+       len({_ANALYZE_TEXT_SQL}) AS n_tokens,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_words
+FROM documents
+"""
+
+    _stop_list = ", ".join(f"'{s}'" for s in textstats.STOPWORDS)
+    o["ts_quality"] = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         {_ANALYZE_TEXT_SQL} AS toks,
+         regexp_split_to_array(trim(text), '\\s+') AS words,
+         length(text) AS len_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, len_chars,
+         len(words) AS n_words,
+         len(list_filter(toks, t -> t IN ({_stop_list})))::DOUBLE
+           / greatest(len(toks), 1) AS stop_ratio,
+         n_alpha::DOUBLE / greatest(len_chars, 1) AS alpha_ratio,
+         len(toks) AS n_toks
+  FROM base
+)
+SELECT doc_id, len_chars, n_words,
+       round(stop_ratio, 4) AS stop_ratio,
+       round(alpha_ratio, 4) AS alpha_ratio,
+       round(least(stop_ratio * 2.0, 1.0) * 0.4 + alpha_ratio * 0.4
+             + CASE WHEN n_words BETWEEN 10 AND 100000 THEN 0.2 ELSE 0.0 END,
+             4) AS quality
+FROM feat
+"""
+
+    _marker_counts = ",\n  ".join(
+        "len(list_filter(toks, t -> t IN ({m}))) AS hits_{lang}".format(
+            m=", ".join(f"'{w}'" for w in textstats.LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in sorted(textstats.LANG_MARKERS)
+    )
+    _langs_sorted = sorted(textstats.LANG_MARKERS)
+    _mx = "greatest(" + ", ".join(f"hits_{l}" for l in _langs_sorted) + ")"
+    _argmax = "CASE " + " ".join(
+        f"WHEN hits_{l} = {_mx} THEN '{l}'" for l in _langs_sorted
+    ) + " END"
+    o["ts_lang_id"] = f"""
+WITH base AS (
+  SELECT doc_id, {_ANALYZE_TEXT_SQL} AS toks FROM documents
+),
+hits AS (
+  SELECT doc_id, {_marker_counts} FROM base
+)
+SELECT doc_id,
+       CASE WHEN {_mx} > 0 THEN {_argmax} ELSE 'und' END AS lang_pred,
+       {_mx} AS marker_hits
+FROM hits
+"""
+
+    o["ts_fingerprint"] = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_ANALYZE_TEXT_SQL})), ' ')) AS fp
+FROM documents
+"""
+
+    o["sim_cosine_topk"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+dots AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(list_zip(e.embedding, q.qv),
+                  x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS dot,
+         sqrt(list_sum(list_transform(e.embedding, v -> v::DOUBLE * v::DOUBLE))) AS na,
+         sqrt(list_sum(list_transform(q.qv, v -> v::DOUBLE * v::DOUBLE))) AS nb
+  FROM embeddings e, q
+  WHERE e.vec_id != 0
+)
+SELECT vec_id, round(dot / (na * nb), 4) AS cosine
+FROM dots
+ORDER BY round(dot / (na * nb), 4) DESC, vec_id ASC
+LIMIT 10
+"""
+
+    o["sim_near_dup"] = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS dot,
+         sqrt(list_sum(list_transform(a.embedding, v -> v::DOUBLE * v::DOUBLE))) AS na,
+         sqrt(list_sum(list_transform(b.embedding, v -> v::DOUBLE * v::DOUBLE))) AS nb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(dot / (na * nb), 4) AS cosine
+FROM pairs WHERE dot / (na * nb) >= 0.35
+"""
+
+    return o

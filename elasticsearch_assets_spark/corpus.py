@@ -117,14 +117,13 @@ def _generate_rows(lo: int, hi: int, seed: int) -> pd.DataFrame:
     v = len(vocab)
     ranks = np.arange(1, v + 1, dtype=np.float64)
     probs = 1.0 / ranks**1.07
-    probs /= probs.sum()
+    cum = np.cumsum(probs / probs.sum())
+    lang_cum = np.cumsum(LANG_WEIGHTS / LANG_WEIGHTS.sum())
 
     rows = []
     for i in range(lo, hi):
         rng = np.random.default_rng(seed * 1_000_003 + i)
-        lang = LANGS[
-            int(rng.choice(len(LANGS), p=LANG_WEIGHTS / LANG_WEIGHTS.sum()))
-        ]
+        lang = LANGS[int(np.searchsorted(lang_cum, rng.random()))]
         path = (
             f"src/module_{i % 53}/util/file_{i % 97}.{EXT_FOR_LANG[lang]}"
             if i % 3
@@ -133,7 +132,9 @@ def _generate_rows(lo: int, hi: int, seed: int) -> pd.DataFrame:
         repo = f"org{i % 37}/proj{i % 211}"
         commit = hashlib.sha1(f"{seed}:{repo}:{path}".encode()).hexdigest()
         doc_len = int(rng.integers(30, 300))
-        toks = vocab_arr[rng.choice(v, size=doc_len, p=probs)]
+        # inverse-CDF sampling (searchsorted) — O(log v) per token,
+        # ~100x faster than rng.choice(p=...) at these sizes
+        toks = vocab_arr[np.searchsorted(cum, rng.random(doc_len))]
         content = (
             f"import src.module_{i % 53}.util\n"
             + " ".join(toks.tolist())

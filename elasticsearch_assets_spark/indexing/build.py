@@ -51,12 +51,21 @@ DEFAULT_BUCKETS = 64
 
 @dataclass
 class IndexTables:
-    postings: DataFrame  # term, bucket, doc_id, tf, positions, dl
+    postings: DataFrame  # term, bucket, doc_id, tf, dl
     terms: DataFrame  # term, df
     doc_norms: DataFrame  # doc_id, dl, content_sha + source cols
     n_docs: int
     avg_dl: float
     n_buckets: int = DEFAULT_BUCKETS
+    # positions live in their own table (Lucene keeps proximity data in a
+    # separate prox stream for the same reason): only phrase queries pay
+    # for them, and the scoring path never materializes position arrays.
+    positions: DataFrame | None = None  # term, bucket, doc_id, positions
+    _cached: tuple = ()
+
+    def unpersist(self) -> None:
+        for df in self._cached:
+            df.unpersist()
 
 
 def with_doc_id(
@@ -78,12 +87,30 @@ def build_index(
     n_buckets: int = DEFAULT_BUCKETS,
     keep_positions: bool = True,
     source_cols: tuple[str, ...] = (),
+    cache: bool = True,
 ) -> IndexTables:
-    """Build the inverted index as lazy DataFrames.
+    """Build the inverted index as DataFrames.
 
     If ``doc_id_col`` is given, it is used verbatim (e.g. the testdata
     ``documents.doc_id``); otherwise doc_id = xxhash64(*id_cols).
+
+    With cache=True (default) the tf and dl frames are persisted
+    (MEMORY_AND_DISK): postings/terms/doc_norms/stats all derive from
+    them, so without caching every downstream action re-runs the
+    tokenize+explode+groupBy chain (~4x the work). At cluster scale,
+    where tf may exceed cluster memory, persist() spills to local disk
+    per executor — or write postings first and derive the rest from the
+    persisted parquet (write_index reads back what it wrote for exactly
+    this reason when cache=False).
     """
+    # The tokenize+explode map stage parallelism is capped by the input
+    # split count; small/benchmark inputs often arrive as a handful of
+    # parquet files, which would serialize the whole build. At 100 TB
+    # the scan has plenty of splits and this is a no-op.
+    spark_dp = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < spark_dp:
+        docs = docs.repartition(spark_dp)
+
     if doc_id_col is not None:
         base = docs.withColumn("doc_id", F.col(doc_id_col).cast("long")).withColumn(
             "content_sha", F.sha2(F.col(text_col), 256)
@@ -96,29 +123,46 @@ def build_index(
     )
 
     # tf per (term, doc): keys are near-unique → no skew; partial agg
-    # (map-side combine) handles the Zipf head.
+    # (map-side combine) handles the Zipf head. Positions are NOT
+    # aggregated here — they'd defeat column pruning for every consumer
+    # that only needs counts.
+    tf = tokens.groupBy("term", "doc_id").agg(
+        F.count("*").cast("int").alias("tf")
+    )
+
+    # dl via a window over tf rather than a tokens-groupBy + join: one
+    # shuffle (by doc_id) replaces two (dl agg + join reshuffle), and dl
+    # lands denormalized in the posting rows (Lucene norms-with-postings)
+    # in the same pass.
+    from pyspark.sql import Window
+
+    tfd = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("int")
+    ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+
+    positions = None
     if keep_positions:
-        tf = tokens.groupBy("term", "doc_id").agg(
-            F.count("*").cast("int").alias("tf"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
-        )
-    else:
-        tf = tokens.groupBy("term", "doc_id").agg(
-            F.count("*").cast("int").alias("tf")
+        positions = (
+            tokens.groupBy("term", "doc_id")
+            .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+            .withColumn(
+                "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+            )
         )
 
-    dl = tokens.groupBy("doc_id").agg(F.count("*").cast("int").alias("dl"))
+    cached: tuple = ()
+    if cache:
+        from pyspark import StorageLevel
 
+        tfd = tfd.persist(StorageLevel.MEMORY_AND_DISK)
+        cached = (tfd,)
+
+    dl = tfd.groupBy("doc_id").agg(F.first("dl").alias("dl"))
     keep = ["doc_id", "dl", "content_sha", *source_cols]
     doc_norms = base.join(dl, "doc_id", "left").na.fill({"dl": 0}).select(*keep)
 
-    # Denormalize dl into postings (Lucene-style norms-with-postings).
-    postings = (
-        tf.join(dl, "doc_id")
-        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-    )
-
-    terms = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    postings = tfd
+    terms = tfd.groupBy("term").agg(F.count("*").cast("long").alias("df"))
 
     agg = doc_norms.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avg_dl")
@@ -131,6 +175,8 @@ def build_index(
         n_docs=int(agg["n"]),
         avg_dl=float(agg["avg_dl"] or 0.0),
         n_buckets=n_buckets,
+        positions=positions,
+        _cached=cached,
     )
 
 
@@ -150,6 +196,14 @@ def write_index(tables: IndexTables, path: str) -> None:
         os.path.join(path, "terms")
     )
     tables.doc_norms.write.mode("overwrite").parquet(os.path.join(path, "doc_norms"))
+    if tables.positions is not None:
+        (
+            tables.positions.repartition(tables.n_buckets, "bucket")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(path, "positions"))
+        )
     stats = {
         "n_docs": tables.n_docs,
         "avg_dl": tables.avg_dl,
@@ -162,6 +216,8 @@ def write_index(tables: IndexTables, path: str) -> None:
 def read_index(spark: SparkSession, path: str) -> IndexTables:
     with open(os.path.join(path, "stats.json")) as f:
         stats = json.load(f)
+    pos_path = os.path.join(path, "positions")
+    positions = spark.read.parquet(pos_path) if os.path.isdir(pos_path) else None
     return IndexTables(
         postings=spark.read.parquet(os.path.join(path, "postings")),
         terms=spark.read.parquet(os.path.join(path, "terms")),
@@ -169,4 +225,5 @@ def read_index(spark: SparkSession, path: str) -> IndexTables:
         n_docs=stats["n_docs"],
         avg_dl=stats["avg_dl"],
         n_buckets=stats["n_buckets"],
+        positions=positions,
     )

@@ -1,0 +1,231 @@
+"""Deduplication operators for training-data pipelines.
+
+All cross-engine-checkable primitives use md5 (identical hex output in
+Spark and DuckDB) so the driver's oracle can value-check results; the
+engine-internal fast path would use xxhash64.
+
+Scale notes (these run over 10^12 docs):
+- exact dedup: one hash-groupBy; partial agg absorbs duplicates early.
+- shingles: explode ≤ (len-n+1) shingles/doc; the shingle join is the
+  big shuffle — LSH banding exists precisely to avoid the all-pairs
+  join, and `jaccard_pairs` (exact) is only for candidate verification
+  or small inputs.
+- minhash: k hash functions as k column expressions (no UDF); band
+  buckets via groupBy(band_signature) keeps the join keyed, and a
+  band-bucket size cap (`max_bucket`) defuses degenerate buckets
+  (all-identical docs) — the hot-key defense.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from elasticsearch_assets_spark.functions.analyzer import analyze_col
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup by content hash: keep the smallest id per md5(text).
+    Returns (<id_col>, text_md5, dup_count)."""
+    return (
+        df.withColumn("text_md5", F.md5(F.col(text_col)))
+        .groupBy("text_md5")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("dup_count"),
+        )
+        .select(id_col, "text_md5", "dup_count")
+    )
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (<id>, shingle).
+    Tokens come from the code analyzer; shingles are space-joined."""
+    toks = df.select(F.col(id_col), analyze_col(text_col).alias("_toks"))
+    # windows [i, i+n) via transform over index range — JVM-side.
+    # NB: F.sequence(0, x) DESCENDS when x < 0, so docs shorter than n
+    # tokens must short-circuit to an empty array explicitly.
+    sh = toks.withColumn(
+        "_sh",
+        F.when(
+            F.size("_toks") >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - F.lit(n)),
+                    lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return sh.where(F.size("_sh") > 0).select(
+        id_col, F.explode("_sh").alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    (id_a < id_b). The shingle self-join is quadratic in bucket size —
+    at scale, run minhash_lsh_candidates first and this only on the
+    candidate pairs.
+    """
+    sh = shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 8
+) -> DataFrame:
+    """MinHash: for each of k hash functions, min(md5(shingle || ':' || i))
+    over the doc's shingles. md5-based so DuckDB reproduces it exactly.
+    Returns (<id>, mh_0..mh_{k-1})."""
+    sh = shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}")))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH candidate pairs: split the k minhashes into `bands` bands of
+    k/bands rows; docs sharing any full band signature are candidates.
+
+    Buckets larger than max_bucket are dropped (degenerate near-
+    constant content — the quadratic blowup guard; log the drop at call
+    sites). Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    assert k % bands == 0
+    rows = k // bands
+    sig = minhash_signatures(df, text_col, id_col, n, k)
+    per_band = []
+    for bnd in range(bands):
+        cols = [f"mh_{bnd * rows + j}" for j in range(rows)]
+        bdf = sig.select(
+            F.col(id_col),
+            F.concat_ws("|", *[F.col(c) for c in cols]).alias("band_sig"),
+        ).withColumn("band", F.lit(bnd))
+        per_band.append(bdf)
+    allb = per_band[0]
+    for b in per_band[1:]:
+        allb = allb.unionByName(b)
+    # bucket-size cap: the hot-bucket defense
+    sized = allb.join(
+        allb.groupBy("band", "band_sig").agg(F.count("*").alias("_bs")),
+        ["band", "band_sig"],
+    ).where(F.col("_bs") <= max_bucket)
+    l = sized.select("band", "band_sig", F.col(id_col).alias("id_a"))
+    r = sized.select("band", "band_sig", F.col(id_col).alias("id_b"))
+    return (
+        l.join(r, ["band", "band_sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint over md5 hex digits (bits ≤ 32).
+
+    Bit b of token t = 1 iff hex digit b of md5(t) ≥ 8 (top bit of the
+    nibble). Fingerprint bit b = majority vote weighted by tf.
+    Fully expressible as SQL in both engines. Returns (<id>, simhash)
+    with simhash as a bits-length bitstring."""
+    assert bits <= 32
+    toks = df.select(F.col(id_col), F.explode(analyze_col(text_col)).alias("tok"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    h = tf.withColumn("_h", F.md5(F.col("tok")))
+    bit_aggs = []
+    for b in range(bits):
+        nib = F.conv(F.substring("_h", b + 1, 1), 16, 10).cast("int")
+        signed = F.when(nib >= 8, F.col("tf")).otherwise(-F.col("tf"))
+        bit_aggs.append(F.sum(signed).alias(f"s_{b}"))
+    sums = h.groupBy(id_col).agg(*bit_aggs)
+    bitstr = F.concat(
+        *[F.when(F.col(f"s_{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(bits)]
+    )
+    return sums.select(F.col(id_col), bitstr.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 16, max_hamming: int = 2
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
+
+    Banding on bit halves (a pair within distance d shares at least one
+    of d+1 equal-width bands) keeps this join keyed instead of
+    all-pairs."""
+    s = simhash(df, text_col, id_col, bits)
+    n_bands = max_hamming + 1
+    w = bits // n_bands
+    per = []
+    for bnd in range(n_bands):
+        start = bnd * w + 1
+        width = w if bnd < n_bands - 1 else bits - (n_bands - 1) * w
+        per.append(
+            s.select(
+                F.col(id_col),
+                "simhash",
+                F.lit(bnd).alias("band"),
+                F.substring("simhash", start, width).alias("band_bits"),
+            )
+        )
+    allb = per[0]
+    for p in per[1:]:
+        allb = allb.unionByName(p)
+    l = allb.select("band", "band_bits", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    r = allb.select("band", "band_bits", F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    cand = (
+        l.join(r, ["band", "band_bits"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    # hamming distance between equal-length bitstrings, JVM-side
+    ham = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("sh_a", ""),
+                F.split("sh_b", ""),
+                lambda x, y: x != y,
+            ),
+            lambda d: d,
+        )
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

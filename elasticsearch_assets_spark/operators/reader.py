@@ -1,0 +1,201 @@
+"""Reader-semantics operators (SURVEY.md §2.1/§2.3/§2.4).
+
+The reference's slicers buy partition plans with ES count round-trips;
+in Spark the same semantics are declarative predicates + aggregations,
+with Catalyst/AQE doing the partition planning. What remains valuable —
+and is implemented here — is the *semantics contract*:
+
+- date ranges are start-inclusive, end-EXCLUSIVE
+  (utils.ts:58-61 range gte/lt)
+- auto interval = total_range / ceil(count/size)
+  (ElasticsearchReaderAPI.ts:225-285, determineSliceInterval)
+- divideRange splits [start,limit) evenly, last slicer takes remainder
+  (algorithms/date-helpers.ts:242-264)
+- id slicing groups by key prefix over a known alphabet
+  (algorithms/idSlicer.ts, id-utils/keys.ts)
+- geo box / distance with haversine + distance sort
+  (utils.ts:102-247)
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timedelta
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# key alphabets — reference id-utils/keys.ts:96-119
+ALPHABETS = {
+    "base64url": (
+        [chr(c) for c in range(ord("a"), ord("z") + 1)]
+        + [chr(c) for c in range(ord("A"), ord("Z") + 1)]
+        + [str(d) for d in range(10)]
+        + ["-", "_"]
+    ),
+    "hexadecimal": [str(d) for d in range(10)] + list("abcdef"),
+    "HEXADECIMAL": [str(d) for d in range(10)] + list("ABCDEF"),
+}
+
+
+def date_range_pred(date_col: str, start, end) -> Column:
+    """Q3: start-inclusive, end-exclusive — the reference's gte/lt."""
+    return (F.col(date_col) >= F.lit(start)) & (F.col(date_col) < F.lit(end))
+
+
+def date_range_scan(
+    df: DataFrame, date_col: str, start, end, fields: list[str] | None = None
+) -> DataFrame:
+    """S1 fetch path: filtered scan + _source projection (Q10).
+    Catalyst pushes both to the parquet scan."""
+    out = df.where(date_range_pred(date_col, start, end))
+    if fields:
+        out = out.select(*fields)
+    return out
+
+
+def minmax_probe(df: DataFrame, date_col: str) -> DataFrame:
+    """Q15/D1: index date extent in ONE job (the reference runs two
+    sorted size-1 probes; an aggregate is strictly better)."""
+    return df.agg(
+        F.min(date_col).alias("min_date"), F.max(date_col).alias("max_date")
+    )
+
+
+def count_query(df: DataFrame, pred: Column | None = None) -> int:
+    """Q13: exact count for arbitrary predicate (ES size=0 search)."""
+    return (df.where(pred) if pred is not None else df).count()
+
+
+def bounded_count(df: DataFrame, pred: Column | None, n: int) -> int:
+    """Q14 track_total_hits=N: bounded-cost count — stops at n via
+    limit(n), never scans past the bound."""
+    base = df.where(pred) if pred is not None else df
+    return base.limit(n).count()
+
+
+def auto_interval_ms(start_ms: int, end_ms: int, total: int, size: int) -> int:
+    """D2 determineSliceInterval("auto"): interval such that an even
+    spread yields ~`size` docs per slice. Pure function, unit-testable
+    against the reference's golden plans."""
+    if total <= 0:
+        return max(1, end_ms - start_ms)
+    n_slices = math.ceil(total / size)
+    return max(1, math.ceil((end_ms - start_ms) / n_slices))
+
+
+def date_histogram(
+    df: DataFrame, date_col: str, start, interval_ms: int
+) -> DataFrame:
+    """The slice plan as data: bucket each row into fixed intervals from
+    `start` and count — the declarative equivalent of dateSlicer's
+    count-driven walk (D4). Feed the result to repartitionByRange or
+    use it as a slice manifest."""
+    delta_ms = (
+        F.col(date_col).cast("double") - F.lit(start).cast("timestamp").cast("double")
+    ) * 1000.0
+    bucket = F.floor(delta_ms / F.lit(float(interval_ms))).cast("long")
+    return (
+        df.withColumn("slice_id", bucket)
+        .groupBy("slice_id")
+        .agg(F.count("*").alias("count"))
+        .orderBy("slice_id")
+    )
+
+
+def divide_range(start_ms: int, limit_ms: int, n: int) -> list[tuple[int, int]]:
+    """D3 divideRange: split [start, limit) across n slicers; the last
+    takes the remainder (date-helpers.ts:242-264)."""
+    step = (limit_ms - start_ms) // n
+    out = []
+    for i in range(n):
+        s = start_ms + i * step
+        e = start_ms + (i + 1) * step if i < n - 1 else limit_ms
+        out.append((s, e))
+    return out
+
+
+def id_slice_counts(
+    df: DataFrame, key_col: str, depth: int = 1
+) -> DataFrame:
+    """I2 idSlicer as an aggregation: per key-prefix doc counts at a
+    given depth. The reference walks the prefix tree with one count
+    query per node; one groupBy computes the whole level."""
+    return (
+        df.groupBy(F.substring(F.col(key_col), 1, depth).alias("key_prefix"))
+        .agg(F.count("*").alias("count"))
+        .orderBy("key_prefix")
+    )
+
+
+def id_slicer_ranges(key_type: str, n_slicers: int) -> list[list[str]]:
+    """I1 determineIDSlicerRanges: round-robin deal the alphabet across
+    slicers (id-utils/utils.ts:25-52)."""
+    alphabet = ALPHABETS[key_type]
+    out: list[list[str]] = [[] for _ in range(n_slicers)]
+    for i, ch in enumerate(alphabet):
+        out[i % n_slicers].append(ch)
+    return out
+
+
+def id_prefix_pred(key_col: str, keys: list[str]) -> Column:
+    """Q4: OR of prefix wildcards (the slice's `keys`)."""
+    cond = None
+    for kpref in keys:
+        c = F.col(key_col).startswith(kpref)
+        cond = c if cond is None else (cond | c)
+    return cond if cond is not None else F.lit(False)
+
+
+# ---- geo (Q7-Q9) ---------------------------------------------------------
+EARTH_RADIUS_M = 6371000.0
+UNIT_M = {"m": 1.0, "km": 1000.0, "mi": 1609.344, "yd": 0.9144, "ft": 0.3048}
+
+
+def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in meters — built-in trig only."""
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.radians(lat1))
+        * F.cos(F.radians(lat2))
+        * F.sin(dlon / 2)
+        * F.sin(dlon / 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def geo_bounding_box(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    top_left: tuple[float, float],
+    bottom_right: tuple[float, float],
+) -> DataFrame:
+    """Q7: docs with point inside the box (lat N→S, lon W→E)."""
+    n, w = top_left
+    s, e = bottom_right
+    return df.where(
+        F.col(lat_col).between(s, n) & F.col(lon_col).between(w, e)
+    )
+
+
+def geo_distance(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    point: tuple[float, float],
+    distance: float,
+    unit: str = "m",
+    sort: str = "asc",
+) -> DataFrame:
+    """Q8+Q9: haversine ≤ distance, sorted by distance (the reference
+    always attaches a _geo_distance sort — utils.ts:231-247)."""
+    plat, plon = point
+    d = haversine_m(F.lit(plat), F.lit(plon), F.col(lat_col), F.col(lon_col))
+    out = df.withColumn("_distance_m", d).where(
+        F.col("_distance_m") <= distance * UNIT_M[unit]
+    )
+    order = F.col("_distance_m").asc() if sort == "asc" else F.col("_distance_m").desc()
+    return out.orderBy(order)

@@ -1,0 +1,107 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force exact top-k — the baseline; one pass, no
+  shuffle except the TakeOrderedAndProject heap merge.
+- lsh_topk: random-hyperplane-style sign-bucket prefilter — the scale
+  path: only the query's bucket (+ optional neighbor buckets by probe)
+  is scanned. Hyperplanes are fixed coordinate subsets so the bucketing
+  is reproducible in SQL for the oracle.
+- near_dup_pairs: all-pairs cosine ≥ threshold (use LSH buckets first
+  at scale).
+
+All dot products run as JVM array expressions (zip_with + aggregate) in
+double precision, left-to-right, so DuckDB's list functions reproduce
+them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (id, cosine), ties → id asc."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.select(
+        F.col(id_col), cosine_col(F.col(vec_col), q).alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def sign_bucket(vec_col: Column, dims: list[int]) -> Column:
+    """LSH bucket key: sign bits of fixed coordinates. A degenerate but
+    deterministic random-hyperplane family (axis-aligned hyperplanes);
+    swap in fixed random planes for production quality."""
+    bits = [
+        F.when(F.element_at(vec_col, d + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in dims
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: list[int] | None = None,
+) -> DataFrame:
+    """Approximate top-k: scan only vectors in the query's sign bucket.
+    At scale the table is written partitionBy(bucket) so this prunes to
+    one directory; recall is tuned by |dims| and multi-probe."""
+    if dims is None:
+        dims = [0, 1, 2, 3]
+    qb = "".join("1" if query_vec[d] >= 0 else "0" for d in dims)
+    bucketed = emb.withColumn("_bucket", sign_bucket(F.col(vec_col), dims))
+    cand = bucketed.where(F.col("_bucket") == qb)
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_dims: list[int] | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
+    With bucket_dims, pairs are only considered within a sign bucket
+    (the scale path — near-dups almost surely share sign patterns)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if bucket_dims:
+        a = a.withColumn("_bk", sign_bucket(F.col("va"), bucket_dims))
+        b = b.withColumn("_bk", sign_bucket(F.col("vb"), bucket_dims))
+        joined = a.join(b, "_bk")
+    else:
+        joined = a.crossJoin(b)
+    return (
+        joined.where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

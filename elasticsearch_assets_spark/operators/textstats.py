@@ -1,0 +1,99 @@
+"""Text-analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure column expressions (JVM codegen) with exact DuckDB-SQL
+equivalents so every operator is value-checked by the driver oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from elasticsearch_assets_spark.functions.analyzer import analyze_col
+
+# marker words per language for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "y", "es"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Token counts: analyzer tokens + whitespace words. (<id>,
+    n_tokens, n_words)."""
+    return df.select(
+        F.col(id_col),
+        F.size(analyze_col(text_col)).alias("n_tokens"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_words"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality features + composite score (rounded 4dp):
+    - len_chars, n_words
+    - mean word length
+    - stopword ratio (fluency signal)
+    - alpha ratio (symbol-spam signal)
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = analyze_col(text_col)
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    len_chars = F.length(text_col)
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    mean_wlen = (len_chars - (n_words - 1)) / n_words  # chars excl separators
+    stop_ratio = n_stop / F.greatest(F.size(toks), F.lit(1))
+    alpha_ratio = n_alpha / F.greatest(len_chars, F.lit(1))
+    score = (
+        F.least(stop_ratio * 2.0, F.lit(1.0)) * 0.4
+        + alpha_ratio * 0.4
+        + F.when((n_words >= 10) & (n_words <= 100000), 0.2).otherwise(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        len_chars.alias("len_chars"),
+        n_words.alias("n_words"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Marker-word language ID: argmax over per-language marker hit
+    counts; ties and zero evidence → 'und'. (<id>, lang_pred)."""
+    toks = analyze_col(text_col)
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append(
+            F.struct(
+                (-hits).alias("neg_hits"),
+                F.lit(lang).alias("lang"),
+                hits.alias("hits"),
+            )
+        )
+    # argmax, ties → lang asc: sort structs ascending by (-hits, lang)
+    best = F.element_at(F.array_sort(F.array(*scores)), 1)
+    return df.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        best["hits"].alias("marker_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set —
+    order/whitespace-insensitive content identity. (<id>, fp)."""
+    toks = F.array_sort(F.array_distinct(analyze_col(text_col)))
+    return df.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", toks)).alias("fp"),
+    )

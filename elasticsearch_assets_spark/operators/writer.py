@@ -1,0 +1,115 @@
+"""Bulk-writer semantics (SURVEY.md §2.2, K1) as DataFrame transforms.
+
+The reference's ElasticsearchBulkSender translates records into bulk
+actions evaluated by ES (ElasticsearchBulkSender.ts:49-171). Here each
+action is a pure merge of (target, source) keyed by doc_id — the
+DataFrame equivalent of Iceberg MERGE INTO. Persisted tables use
+snapshot directories (plans/table.py) so writes are atomic and
+resumable.
+
+Action semantics (K1.a-K1.e):
+- index   : source replaces matched target rows, inserts the rest
+- create  : insert only where key absent (put-if-absent)
+- update  : replace matched rows only (optionally a column subset)
+- upsert  : update + insert
+- delete  : remove matched keys
+- dual-yield _delete_id: one pass that inserts the new key and deletes
+  the old key (ElasticsearchBulkSender.ts:55-62)
+- routing : `route` column → partitionBy on write (createRoute :37-47)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dedup_last(source: DataFrame, key: str) -> DataFrame:
+    """Bulk batches apply in order; for a keyed merge the LAST action
+    per key wins (ES bulk semantics). Requires a `_seq` column; if
+    absent, source is assumed already unique per key."""
+    if "_seq" not in source.columns:
+        return source
+    w = source.groupBy(key).agg(F.max("_seq").alias("_seq"))
+    return source.join(w, [key, "_seq"], "inner").drop("_seq")
+
+
+def merge_index(target: DataFrame, source: DataFrame, key: str = "doc_id") -> DataFrame:
+    """K1.a `index`: full-document replace-or-insert."""
+    src = _dedup_last(source, key)
+    kept = target.join(src.select(key), key, "left_anti")
+    return kept.unionByName(src.select(target.columns))
+
+
+def merge_create(target: DataFrame, source: DataFrame, key: str = "doc_id") -> DataFrame:
+    """K1.b `create`: put-if-absent — existing keys are NOT replaced."""
+    src = _dedup_last(source, key)
+    new = src.join(target.select(key), key, "left_anti")
+    return target.unionByName(new.select(target.columns))
+
+
+def merge_update(
+    target: DataFrame,
+    source: DataFrame,
+    key: str = "doc_id",
+    update_fields: list[str] | None = None,
+) -> DataFrame:
+    """K1.c/K1.e `update`: replace matched rows; with update_fields,
+    only that column subset changes (applyUpdateFields :129-137)."""
+    src = _dedup_last(source, key)
+    if update_fields is None:
+        updated = src.join(target.select(key), key, "left_semi")
+        untouched = target.join(src.select(key), key, "left_anti")
+        return untouched.unionByName(updated.select(target.columns))
+    # column-subset update: join and coalesce chosen columns
+    renames = {c: f"_src_{c}" for c in update_fields}
+    src2 = src.select(key, *[F.col(c).alias(renames[c]) for c in update_fields])
+    joined = target.join(src2, key, "left")
+    cols = []
+    for c in target.columns:
+        if c in renames:
+            cols.append(F.coalesce(F.col(renames[c]), F.col(c)).alias(c))
+        else:
+            cols.append(F.col(c))
+    return joined.select(*cols)
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: str = "doc_id",
+    update_fields: list[str] | None = None,
+) -> DataFrame:
+    """K1.c `upsert`: update matched + insert unmatched (:105-108)."""
+    updated = merge_update(target, source, key, update_fields)
+    src = _dedup_last(source, key)
+    new = src.join(target.select(key), key, "left_anti")
+    return updated.unionByName(new.select(target.columns))
+
+
+def merge_delete(target: DataFrame, deletes: DataFrame, key: str = "doc_id") -> DataFrame:
+    """K1.d `delete`: anti-join removal."""
+    return target.join(deletes.select(key), key, "left_anti")
+
+
+def apply_dual_yield(
+    target: DataFrame, source: DataFrame, key: str = "doc_id",
+    delete_id_col: str = "_delete_id",
+) -> DataFrame:
+    """K1.d dual-yield: each source row upserts its new key AND deletes
+    its old key (metadata `_delete_id`) in the same pass —
+    ElasticsearchBulkSender.ts:55-62."""
+    deletes = (
+        source.where(F.col(delete_id_col).isNotNull())
+        .select(F.col(delete_id_col).alias(key))
+        .distinct()
+    )
+    upserts = source.drop(delete_id_col)
+    merged = merge_index(target, upserts, key)
+    return merge_delete(merged, deletes, key)
+
+
+def write_routed(df: DataFrame, path: str, route_col: str = "route") -> None:
+    """K1.h dynamic routing index-{route}: route becomes a partition
+    directory — the Spark-native equivalent of suffix-routed indices."""
+    df.write.mode("overwrite").partitionBy(route_col).parquet(path)

@@ -45,6 +45,20 @@ def _candidates(index: IndexTables, terms: list[str]) -> DataFrame:
     return p.where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
 
 
+def _pos_candidates(index: IndexTables, terms: list[str]) -> DataFrame:
+    """Position rows for the given terms (bucket-pruned, like
+    _candidates but against the proximity table)."""
+    p = index.positions
+    if not terms:
+        return p.where(F.lit(False))
+    spark = p.sparkSession
+    bdf = spark.createDataFrame([(t,) for t in terms], ["term"]).select(
+        F.pmod(F.xxhash64("term"), F.lit(index.n_buckets)).cast("int").alias("b")
+    )
+    buckets = sorted({r["b"] for r in bdf.collect()})
+    return p.where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+
+
 def _df_map(index: IndexTables, terms: list[str]) -> DataFrame:
     """Tiny (term, df) frame for the query's terms — broadcast side."""
     return index.terms.where(F.col("term").isin(terms))
@@ -202,15 +216,16 @@ def phrase_query(index: IndexTables, phrase: str, k: int = 10) -> DataFrame:
     terms = analyze_text(phrase)
     if not terms:
         return phrase_empty(index)
+    if index.positions is None:
+        raise ValueError("index was built with keep_positions=False")
     uniq = sorted(set(terms))
-    cand = _candidates(index, uniq)
+    pos = _pos_candidates(index, uniq)
     # pivot positions per term into a map for each doc
-    per_doc = cand.groupBy("doc_id").agg(
+    per_doc = pos.groupBy("doc_id").agg(
         F.map_from_entries(
             F.collect_list(F.struct("term", "positions"))
         ).alias("pos_map"),
         F.count("*").alias("n_terms"),
-        F.first("dl").alias("dl"),
     ).where(F.col("n_terms") == len(uniq))
 
     # phrase = exists start p with term_i at position p+i for all i:

@@ -28,6 +28,14 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # shuffle spill dir: tmpfs when available — local shuffle I/O
+    # otherwise serializes on one disk and caps multi-core scaling
+    # (cluster equivalent: per-node local SSDs, which scale with nodes)
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if not local_dir and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
+
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -35,12 +43,26 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's default 64 MB advisory size coalesces bench-scale shuffles
+        # down to a handful of partitions, serializing CPU-bound stages.
+        # 8 MB keeps all cores busy locally; on a real cluster raise it
+        # back via SPARK_ADVISORY_MB (partition count stays huge at 100 TB
+        # either way).
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            f"{int(os.environ.get('SPARK_ADVISORY_MB', '8'))}m",
+        )
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true"
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
