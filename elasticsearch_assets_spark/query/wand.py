@@ -1,0 +1,241 @@
+"""Block-max pruned top-k over the packed index (MaxScore family).
+
+Rank-safe pruning strategies, chosen per query shape:
+
+- single term: true block-max skip. Phase 1 scores the highest-bound
+  blocks until k docs are seen, establishing θ (a lower bound on the
+  final k-th score); phase 2 decodes only blocks whose upper bound
+  idf·max_tfn·(k1+1) ≥ θ. Every doc lives in exactly one block of the
+  term, so a skipped block cannot contain a top-k doc — rank-identical
+  by construction (ties: a pruned doc's score is strictly < θ, so the
+  doc_id tie-break can never be reached).
+
+- multi term (OR/AND): MaxScore term partitioning. θ comes from the
+  rarest term's exact contributions (its idf is the largest, so it
+  yields the tightest cheap bound). Terms whose bound prefix-sum ≤ θ
+  are "non-essential": a doc matching ONLY those cannot reach θ.
+  Candidates = docs in essential terms' postings; exact scores are then
+  computed over all query terms restricted to candidates (left_semi).
+  The hot Zipf-head terms ("return", "self") are precisely the ones
+  that become non-essential — their billion-row posting lists are never
+  aggregated, only semi-joined on the (small) candidate set.
+
+Roadmap (noted for parity at extreme scale): candidate-aware block
+skip via per-block doc_id Bloom filters would also prune the DECODE of
+non-essential blocks; at the current scales decode is not the
+bottleneck (the scoring shuffle is).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from elasticsearch_assets_spark.functions.analyzer import analyze_text
+from elasticsearch_assets_spark.indexing import codec
+from elasticsearch_assets_spark.query.bm25 import K1, B, idf
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("dl", T.IntegerType(), False),
+    ]
+)
+
+
+class PackedIndex:
+    """blocks + term dictionary + stats (the compressed serving index)."""
+
+    def __init__(self, blocks: DataFrame, terms: DataFrame, n_docs: int, avg_dl: float, n_buckets: int):
+        self.blocks = blocks
+        self.terms = terms
+        self.n_docs = n_docs
+        self.avg_dl = avg_dl
+        self.n_buckets = n_buckets
+
+    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, float]]:
+        """term -> (df, max_tfn over all its blocks). Tiny driver fetch."""
+        if not terms:
+            return {}
+        rows = (
+            self.blocks.where(F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.max("max_tfn").alias("mt"))
+            .join(self.terms.where(F.col("term").isin(terms)), "term")
+            .select("term", "df", "mt")
+            .collect()
+        )
+        return {r["term"]: (int(r["df"]), float(r["mt"])) for r in rows}
+
+
+def decode_blocks(blocks: DataFrame) -> DataFrame:
+    """Packed block rows → posting rows (Arrow-batched numpy decode)."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs = []
+            for _, r in pdf.iterrows():
+                d, tf, dl = codec.decode_block(
+                    r["docs_vb"], r["tfs_vb"], r["dls_vb"], int(r["n"])
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "term": r["term"],
+                            "doc_id": d,
+                            "tf": tf.astype(np.int32),
+                            "dl": dl.astype(np.int32),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return blocks.mapInPandas(gen, schema=DECODED_SCHEMA)
+
+
+def _score_decoded(
+    decoded: DataFrame, stats: dict[str, tuple[int, float]], n_docs: int, avg_dl: float
+) -> DataFrame:
+    """Exact BM25 over decoded posting rows → (doc_id, score, n_matched).
+    Same deterministic term-sorted fold as query.exec.scored_terms."""
+    spark = decoded.sparkSession
+    idf_rows = [(t, idf(n_docs, df_)) for t, (df_, _) in stats.items()]
+    idf_df = spark.createDataFrame(idf_rows, ["term", "idf"])
+    contrib = decoded.join(F.broadcast(idf_df), "term").withColumn(
+        "contrib",
+        F.col("idf")
+        * (
+            F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avg_dl))
+            )
+        )
+        * F.lit(K1 + 1.0),
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("_cs"),
+            F.count("*").alias("n_matched"),
+        )
+        .withColumn(
+            "score", F.aggregate("_cs", F.lit(0.0), lambda a, x: a + x["contrib"])
+        )
+        .drop("_cs")
+    )
+
+
+def match_query_packed(
+    index: PackedIndex, text: str, k: int = 10, operator: str = "or"
+) -> DataFrame:
+    """BM25 top-k over the packed index — rank-identical to the
+    uncompressed path (tested), with MaxScore/block-max pruning."""
+    qterms = sorted(set(analyze_text(text)))
+    stats = index.term_stats(qterms)
+    qterms = [t for t in qterms if t in stats]
+    spark = index.blocks.sparkSession
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not qterms:
+        return empty
+
+    qblocks = index.blocks.where(F.col("term").isin(qterms))
+
+    if len(qterms) == 1 and operator != "and":
+        return _single_term_blockmax(index, qblocks, qterms[0], stats, k)
+
+    # ---- MaxScore ----
+    bounds = {
+        t: idf(index.n_docs, df_) * mt * (K1 + 1.0) for t, (df_, mt) in stats.items()
+    }
+    # θ: exact contributions of the rarest term (highest idf)
+    rarest = min(qterms, key=lambda t: stats[t][0])
+    r_scored = _score_decoded(
+        decode_blocks(qblocks.where(F.col("term") == rarest)),
+        {rarest: stats[rarest]},
+        index.n_docs,
+        index.avg_dl,
+    )
+    theta_rows = (
+        r_scored.orderBy(F.desc("score")).limit(k).select("score").collect()
+    )
+    theta = theta_rows[-1]["score"] if len(theta_rows) >= k else 0.0
+
+    # essential = terms not provably useless under θ
+    by_bound = sorted(qterms, key=lambda t: bounds[t])
+    non_essential: list[str] = []
+    acc = 0.0
+    for t in by_bound[:-1]:  # always keep at least the largest-bound term
+        if acc + bounds[t] <= theta:
+            non_essential.append(t)
+            acc += bounds[t]
+        else:
+            break
+    essential = [t for t in qterms if t not in non_essential]
+
+    decoded = decode_blocks(qblocks)
+    if non_essential:
+        cand = (
+            decoded.where(F.col("term").isin(essential))
+            .select("doc_id")
+            .distinct()
+        )
+        decoded = decoded.join(cand, "doc_id", "left_semi")
+
+    scored = _score_decoded(decoded, stats, index.n_docs, index.avg_dl)
+    if operator == "and":
+        scored = scored.where(F.col("n_matched") == len(qterms))
+    return (
+        scored.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _single_term_blockmax(
+    index: PackedIndex, qblocks: DataFrame, term: str, stats, k: int
+) -> DataFrame:
+    df_, _mt = stats[term]
+    t_idf = idf(index.n_docs, df_)
+
+    # phase 1: highest-bound blocks until ≥ k docs seen → θ
+    meta = qblocks.select("block", "n", "max_tfn").orderBy(F.desc("max_tfn")).collect()
+    got, top_blocks = 0, []
+    for r in meta:
+        top_blocks.append(r["block"])
+        got += r["n"]
+        if got >= k:
+            break
+    p1 = _score_decoded(
+        decode_blocks(qblocks.where(F.col("block").isin(top_blocks))),
+        {term: stats[term]},
+        index.n_docs,
+        index.avg_dl,
+    )
+    p1_rows = (
+        p1.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+    )
+    theta = p1_rows[-1]["score"] if len(p1_rows) >= k else -1.0
+
+    # phase 2: decode only blocks whose upper bound can reach θ
+    keep = qblocks.where(
+        (F.lit(t_idf) * F.col("max_tfn") * F.lit(K1 + 1.0) >= F.lit(theta))
+        & (~F.col("block").isin(top_blocks))
+    )
+    p2 = _score_decoded(
+        decode_blocks(keep), {term: stats[term]}, index.n_docs, index.avg_dl
+    )
+    spark = qblocks.sparkSession
+    p1_df = spark.createDataFrame(
+        [(r["doc_id"], r["score"]) for r in p1_rows], "doc_id long, score double"
+    )
+    allc = p1_df.unionByName(p2.select("doc_id", "score"))
+    return allc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

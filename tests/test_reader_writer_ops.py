@@ -1,0 +1,141 @@
+"""Reader-semantics golden tests (mirroring the reference's unit-test
+tier, SURVEY.md §5.1) + writer merge semantics."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_assets_spark.operators import reader, writer
+
+
+# ---- pure slicing functions (golden, reference parity) ---------------------
+def test_divide_range_even_split_last_takes_remainder():
+    # date-helpers.ts:242-264 — last slicer takes the remainder
+    out = reader.divide_range(0, 100, 3)
+    assert out == [(0, 33), (33, 66), (66, 100)]
+    assert out[-1][1] == 100
+
+
+def test_auto_interval_golden():
+    # determineSliceInterval: 1000 docs over 193ms, size 200 →
+    # ceil(1000/200)=5 slices → interval ceil(193/5)=39ms; the reference
+    # golden plan uses size-driven bisection on top (slicer-spec.ts:174)
+    assert reader.auto_interval_ms(0, 193, total=1000, size=200) == 39
+    # even spread, size ≥ total → one slice covering the range
+    assert reader.auto_interval_ms(0, 193, total=100, size=200) == 193
+    # empty index → full range
+    assert reader.auto_interval_ms(0, 193, total=0, size=200) == 193
+
+
+def test_id_slicer_ranges_round_robin():
+    # id-utils/utils.ts:25-52: round-robin deal
+    r = reader.id_slicer_ranges("hexadecimal", 4)
+    assert r[0] == ["0", "4", "8", "c"]
+    assert r[1] == ["1", "5", "9", "d"]
+    assert len(reader.ALPHABETS["base64url"]) == 64
+    assert len(reader.ALPHABETS["hexadecimal"]) == 16
+
+
+def test_id_slicer_ranges_one_slicer():
+    r = reader.id_slicer_ranges("hexadecimal", 1)
+    assert r == [list("0123456789abcdef")]
+
+
+# ---- range predicate: start-inclusive, end-exclusive ------------------------
+def test_date_range_half_open(spark):
+    rows = [
+        (1, datetime(2019, 4, 26, 15, 0, 23, 201000)),
+        (2, datetime(2019, 4, 26, 15, 0, 23, 300000)),
+        (3, datetime(2019, 4, 26, 15, 0, 23, 394000)),
+    ]
+    df = spark.createDataFrame(rows, "id long, created timestamp")
+    got = {
+        r["id"]
+        for r in df.where(
+            reader.date_range_pred(
+                "created",
+                datetime(2019, 4, 26, 15, 0, 23, 201000),
+                datetime(2019, 4, 26, 15, 0, 23, 394000),
+            )
+        ).collect()
+    }
+    assert got == {1, 2}  # end exclusive
+
+
+def test_id_prefix_pred(spark):
+    df = spark.createDataFrame(
+        [("a1",), ("a2",), ("b1",), ("c1",)], "uuid string"
+    )
+    got = {
+        r["uuid"]
+        for r in df.where(reader.id_prefix_pred("uuid", ["a", "c"])).collect()
+    }
+    assert got == {"a1", "a2", "c1"}
+
+
+def test_bounded_count(spark):
+    df = spark.range(1000)
+    assert reader.bounded_count(df, None, 100) == 100
+    assert reader.bounded_count(df, F.col("id") < 50, 100) == 50
+
+
+# ---- geo -------------------------------------------------------------------
+def test_haversine_known_distance(spark):
+    # London (51.5074, -0.1278) → Paris (48.8566, 2.3522) ≈ 343.5 km
+    df = spark.createDataFrame([(51.5074, -0.1278, 48.8566, 2.3522)],
+                               "lat1 double, lon1 double, lat2 double, lon2 double")
+    d = df.select(
+        reader.haversine_m(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("d")
+    ).collect()[0]["d"]
+    assert abs(d - 343_500) < 2_000
+
+
+def test_geo_distance_sort(spark):
+    # 1° lon at the equator ≈ 111.3 km → ids at ~111/334/222 km
+    rows = [(1, 0.0, 1.0), (2, 0.0, 3.0), (3, 0.0, 2.0)]
+    df = spark.createDataFrame(rows, "id long, lat double, lon double")
+    out = reader.geo_distance(df, "lat", "lon", (0.0, 0.0), 250, "km")
+    assert [r["id"] for r in out.collect()] == [1, 3]
+
+
+# ---- writer merge semantics not covered by the entry oracle -----------------
+def test_dual_yield(spark):
+    # ElasticsearchBulkSender.ts:55-62 — new key upserted, old key
+    # deleted in the same pass
+    target = spark.createDataFrame(
+        [(1, "old1"), (2, "old2"), (3, "old3")], "doc_id long, v string"
+    )
+    source = spark.createDataFrame(
+        [(10, "new10", 1), (2, "upd2", None)],
+        "doc_id long, v string, _delete_id long",
+    )
+    out = writer.apply_dual_yield(target, source)
+    got = {r["doc_id"]: r["v"] for r in out.collect()}
+    assert got == {10: "new10", 2: "upd2", 3: "old3"}  # 1 deleted
+
+
+def test_update_fields_subset(spark):
+    # applyUpdateFields (:129-137): only the named columns change
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "doc_id long, v string, n long"
+    )
+    source = spark.createDataFrame(
+        [(1, "A", 99), (3, "C", 99)], "doc_id long, v string, n long"
+    )
+    out = writer.merge_update(target, source, update_fields=["v"])
+    got = {r["doc_id"]: (r["v"], r["n"]) for r in out.collect()}
+    # row 1: v updated, n untouched; row 3: not matched → not inserted
+    assert got == {1: ("A", 10), 2: ("b", 20)}
+
+
+def test_bulk_last_write_wins(spark):
+    target = spark.createDataFrame([(1, "x")], "doc_id long, v string")
+    source = spark.createDataFrame(
+        [(1, "first", 0), (1, "last", 1)], "doc_id long, v string, _seq long"
+    )
+    out = writer.merge_index(target, source)
+    got = {r["doc_id"]: r["v"] for r in out.collect()}
+    assert got == {1: "last"}

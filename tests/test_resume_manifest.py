@@ -1,0 +1,85 @@
+"""Kill/resume: a crashed index build resumes from the manifest and
+produces an index identical to a single-shot build (FIXTURES.md T4)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_assets_spark.corpus import generate_corpus_pandas
+from elasticsearch_assets_spark.plans import manifest as M
+
+N = 300
+N_PARTS = 6
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(generate_corpus_pandas(N, seed=42))
+
+
+def _postings_fingerprint(spark, path):
+    df = M.read_resumable_postings(spark, path)
+    row = df.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.xxhash64("term", "doc_id") % 1000003).alias("h"),
+        F.sum("tf").alias("tfsum"),
+    ).collect()[0]
+    return (row["rows"], row["h"], row["tfsum"])
+
+
+def test_kill_resume_identical(spark, docs, tmp_path):
+    full = str(tmp_path / "full")
+    crashy = str(tmp_path / "crashy")
+
+    # single-shot reference build
+    M.build_index_resumable(docs, full, n_parts=N_PARTS, run_id="r0")
+    assert len(M.done_parts(spark, full)) == N_PARTS
+
+    # crash after 2 parts
+    with pytest.raises(RuntimeError, match="injected failure"):
+        M.build_index_resumable(
+            docs, crashy, n_parts=N_PARTS, run_id="r1", fail_after_parts=2
+        )
+    done_after_crash = M.done_parts(spark, crashy)
+    assert len(done_after_crash) == 2
+
+    # fingerprints recorded so far must match the (unchanged) input
+    assert M.verify_fingerprints(spark, crashy, docs, n_parts=N_PARTS)
+
+    # resume: only the missing parts build
+    M.build_index_resumable(docs, crashy, n_parts=N_PARTS, run_id="r2")
+    assert len(M.done_parts(spark, crashy)) == N_PARTS
+
+    # resumed index == single-shot index
+    assert _postings_fingerprint(spark, crashy) == _postings_fingerprint(spark, full)
+
+    # resumed parts carry both run_ids (lineage preserved)
+    m = M.read_manifest(spark, crashy)
+    runs = {r["run_id"] for r in m.select("run_id").distinct().collect()}
+    assert runs == {"r1", "r2"}
+
+
+def test_manifest_metrics(spark, docs, tmp_path):
+    p = str(tmp_path / "m")
+    M.build_index_resumable(docs, p, n_parts=N_PARTS, run_id="r")
+    m = M.read_manifest(spark, p)
+    rows = m.collect()
+    assert len(rows) == N_PARTS
+    assert sum(r["rows"] for r in rows) == N
+    assert all(r["duration_ms"] >= 0 for r in rows)
+    assert all(r["bytes"] > 0 for r in rows)
+
+
+def test_resume_noop_when_complete(spark, docs, tmp_path):
+    p = str(tmp_path / "n")
+    M.build_index_resumable(docs, p, n_parts=N_PARTS, run_id="a")
+    before = _postings_fingerprint(spark, p)
+    M.build_index_resumable(docs, p, n_parts=N_PARTS, run_id="b")
+    m = M.read_manifest(spark, p)
+    # no new rows: every part was already done
+    assert m.count() == N_PARTS
+    assert _postings_fingerprint(spark, p) == before

@@ -1,0 +1,137 @@
+"""Streaming windows (D8/D9/D6), state storage (S4), multimodal plumbing."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_assets_spark.streaming import windows as W
+
+
+# ---- pure window math (reference semantics) -------------------------------
+def test_delayed_window_bounds():
+    now = datetime(2024, 1, 10, 12, 0, 45)
+    delay = timedelta(seconds=30)
+    interval = timedelta(minutes=1)
+    s, e = W.delayed_window_bounds(now, delay, interval)
+    # watermark = 12:00:15 → newest complete minute window is [11:59, 12:00)
+    assert (s, e) == (datetime(2024, 1, 10, 11, 59), datetime(2024, 1, 10, 12, 0))
+
+
+def test_window_holes():
+    iv = timedelta(minutes=1)
+    start = datetime(2024, 1, 1, 0, 0)
+    wm = datetime(2024, 1, 1, 0, 5)
+    all_w = W.covered_windows(start, wm, iv)
+    assert len(all_w) == 5
+    processed = [all_w[0], all_w[2], all_w[4]]
+    holes = W.window_holes(processed, start, wm, iv)
+    assert holes == [all_w[1], all_w[3]]
+
+
+def test_window_scan_half_open(spark):
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0)),
+        (2, datetime(2024, 1, 1, 0, 0, 59)),
+        (3, datetime(2024, 1, 1, 0, 1, 0)),  # end-exclusive → excluded
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    w = (datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 0, 1))
+    got = {r["id"] for r in W.window_scan(df, "ts", w).collect()}
+    assert got == {1, 2}
+
+
+def test_structured_streaming_windows(spark, tmp_path):
+    """readStream → watermark(delay) → tumbling window agg, availableNow."""
+    src = str(tmp_path / "stream_src")
+    rows = [
+        (i, datetime(2024, 1, 1, 0, 0, 0) + timedelta(seconds=7 * i))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    df.write.mode("overwrite").parquet(src)
+
+    out = W.stream_delayed_windows(
+        spark, src, df.schema, "ts", delay="30 seconds", interval="10 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["count"])
+        for r in spark.sql("select * from win_test").collect()
+    }
+    # 20 events at 7s spacing over 133s → 10s windows with 1-2 events each
+    assert sum(c for _, c in got) == 20
+    assert all(c in (1, 2) for _, c in got)
+
+
+# ---- state storage ---------------------------------------------------------
+def test_state_storage_roundtrip(spark, tmp_path):
+    from elasticsearch_assets_spark.sources.state_storage import StateStorage
+
+    st = StateStorage(spark, str(tmp_path / "state"), key="doc_id")
+    assert st.table() is None
+    assert st.get(1) is None
+
+    st.mset(spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, v string"))
+    assert st.get(1)["v"] == "a"
+
+    # upsert: key 2 overwritten, key 3 added (last write wins)
+    st.mset(spark.createDataFrame([(2, "B"), (3, "c")], "doc_id long, v string"))
+    assert st.get(2)["v"] == "B"
+    assert st.table().count() == 3
+
+    keys = spark.createDataFrame([(2,), (3,), (99,)], "doc_id long")
+    got = {r["doc_id"] for r in st.mget(keys).collect()}
+    assert got == {2, 3}
+
+    # two snapshots committed
+    import os
+
+    snaps = [d for d in os.listdir(str(tmp_path / "state")) if d.startswith("snapshot-")]
+    assert len(snaps) == 2
+
+
+# ---- multimodal plumbing ----------------------------------------------------
+def test_multimodal_features(spark):
+    from elasticsearch_assets_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(i, f"payload-{i}") for i in range(50)], "doc_id long, text string"
+    )
+    media = MM.synth_media(docs)
+    feats = MM.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r["features"]) == MM.FEATURE_DIM
+        assert all(0.0 <= f <= 1.0 for f in r["features"])
+        assert r["n_bytes"] > 0
+    # determinism: same payload → same features
+    again = {r["doc_id"]: r["features"] for r in MM.extract_features(media).collect()}
+    assert again == {r["doc_id"]: r["features"] for r in rows}
+
+
+def test_multimodal_decode_stub():
+    from elasticsearch_assets_spark.operators import multimodal as MM
+
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"xx", "image/png")
+
+
+def test_frame_sample_plan(spark):
+    from elasticsearch_assets_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame([(2500, "x")], "doc_id long, text string")
+    media = MM.synth_media(docs)
+    plan = MM.frame_sample_plan(media, every_ms=1000).collect()[0]
+    dur = plan["media_meta"]["duration_ms"]
+    assert plan["frame_ts_ms"] == list(range(0, dur, 1000))
