@@ -25,6 +25,7 @@ from elasticsearch_assets_spark.functions.analyzer import (
 from elasticsearch_assets_spark.indexing.build import IndexTables, build_index
 from elasticsearch_assets_spark.operators import dedup, reader, similarity, textstats, writer
 from elasticsearch_assets_spark.query import exec as qx
+from elasticsearch_assets_spark.query.parser import parse
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -366,6 +367,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_near_dup"] = sim_near_dup
 
+    # ---- spaces frontend (S3): xLucene filter over a plain table ----
+    def sp_filter(s, d):
+        from elasticsearch_assets_spark.sources.spaces import spaces_filter
+
+        ev = _t(s, d, "events")
+        return spaces_filter(ev, "event_type:click AND value:>=10").select(
+            "event_id"
+        )
+
+    q["sp_filter"] = sp_filter
+
+    # ---- query_string via the full planner (Q6): text + keyword mix ----
+    def ft_querystring(s, d):
+        from elasticsearch_assets_spark.query.planner import (
+            PlannerConfig,
+            QueryPlanner,
+        )
+
+        index = _docs_index(s, d)
+        qp = QueryPlanner(
+            index, config=PlannerConfig(default_field="text", text_fields=("text",))
+        )
+        out = qp.plan(parse("text:(merge AND batch) OR lang:de", default_field="text"))
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_querystring"] = ft_querystring
+
+    def ft_regexp(s, d):
+        index = _docs_index(s, d)
+        t = index.terms.where(F.col("term").rlike("^qu.*y$"))
+        terms = [r["term"] for r in t.select("term").collect()]
+        if not terms:
+            return index.postings.select("doc_id").limit(0)
+        return qx._candidates(index, terms).select("doc_id").distinct()
+
+    q["ft_regexp"] = ft_regexp
+
+    def wr_dual_yield(s, d):
+        docs = _t(s, d, "documents").select("doc_id", "text")
+        target = docs.where(F.col("doc_id") % 3 == 0)
+        moved = docs.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.lit("MOVED").alias("text"),
+            F.col("doc_id").alias("_delete_id"),
+        )
+        return writer.apply_dual_yield(target, moved)
+
+    q["wr_dual_yield"] = wr_dual_yield
+
+    # ---- multimodal plumbing (rows-only check: binary features) ----
+    def mm_features(s, d):
+        from elasticsearch_assets_spark.operators import multimodal as MM
+
+        docs = _t(s, d, "documents").select("doc_id", "text")
+        return MM.extract_features(MM.synth_media(docs))
+
+    q["mm_features"] = mm_features
+
     return q
 
 
@@ -689,5 +748,44 @@ WITH pairs AS (
 SELECT id_a, id_b, round(dot / (na * nb), 4) AS cosine
 FROM pairs WHERE dot / (na * nb) >= 0.35
 """
+
+    o["sp_filter"] = (
+        "SELECT event_id FROM events WHERE event_type = 'click' AND value >= 10"
+    )
+
+    o["ft_querystring"] = f"""{_bm25_cte()},
+bm AS (
+  SELECT doc_id, sum(c) AS s, count(*) AS n
+  FROM contrib WHERE term IN ('batch', 'merge') GROUP BY doc_id
+),
+leftq AS (SELECT doc_id, s FROM bm WHERE n = 2),
+rightq AS (SELECT doc_id, 1.0 AS s FROM documents WHERE lang = 'de')
+SELECT doc_id, round(sum(s), 4) AS score
+FROM (SELECT * FROM leftq UNION ALL SELECT * FROM rightq)
+GROUP BY doc_id
+"""
+
+    o["ft_regexp"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_ANALYZE_TEXT_SQL}) AS term FROM documents
+)
+SELECT DISTINCT doc_id FROM toks WHERE regexp_matches(term, '^qu.*y$')
+"""
+
+    o["wr_dual_yield"] = """
+WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+moved AS (
+  SELECT doc_id + 100000 AS doc_id, 'MOVED' AS text, doc_id AS old_id
+  FROM documents WHERE doc_id % 5 = 0
+),
+merged AS (
+  SELECT * FROM t WHERE doc_id NOT IN (SELECT doc_id FROM moved)
+  UNION ALL SELECT doc_id, text FROM moved
+)
+SELECT * FROM merged WHERE doc_id NOT IN (SELECT old_id FROM moved)
+"""
+
+    # mm_features intentionally has no oracle (binary feature extraction
+    # is not SQL-expressible) → driver records the rows-only check.
 
     return o

@@ -60,13 +60,21 @@ class QueryPlanner:
 
     def __init__(
         self,
-        index: IndexTables,
+        index: IndexTables | None,
         attrs: DataFrame | None = None,
         config: PlannerConfig | None = None,
     ):
+        if index is None and attrs is None:
+            raise ValueError("need an index, an attrs table, or both")
         self.index = index
         self.attrs = attrs if attrs is not None else index.doc_norms
         self.config = config or PlannerConfig()
+        if index is None:
+            # attrs-only mode (the spaces_reader S3 frontend: xLucene
+            # filter strings over a plain table, no scored text fields)
+            self.config = PlannerConfig(
+                default_field=self.config.default_field, text_fields=()
+            )
 
     # -- public ---------------------------------------------------------
     def query_string(self, q: str, k: int = 10) -> DataFrame:

@@ -1,0 +1,81 @@
+"""Physical-plan regression tests: the optimizations we rely on at
+100 TB must be visible in explain() — pushdown, partition pruning,
+broadcast, TakeOrderedAndProject. A plan regression here is a silent
+100x at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_assets_spark.indexing.build import build_index, write_index, read_index
+from elasticsearch_assets_spark.query import exec as qx
+
+
+@pytest.fixture(scope="module")
+def disk_index(spark, corpus, tmp_path_factory):
+    """The on-disk index (plan checks need FileScan nodes)."""
+    index, _ = corpus
+    p = str(tmp_path_factory.mktemp("idx") / "index")
+    write_index(index, p)
+    return read_index(spark, p)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_term_pushdown_and_bucket_pruning(disk_index):
+    plan = _plan(qx.match_query(disk_index, "parseDate", k=5))
+    scans = [l for l in plan.splitlines() if "FileScan" in l and "postings" in l]
+    assert scans, plan
+    s = scans[0]
+    # the term predicate reaches the parquet reader
+    assert "PushedFilters" in s and "In(term" in s, s
+    # the bucket partition filter prunes directories
+    assert "PartitionFilters" in s and "bucket" in s.split("PartitionFilters")[1].split("]")[0], s
+
+
+def test_projection_pruning(disk_index):
+    # scoring never reads the positions or content columns
+    plan = _plan(qx.match_query(disk_index, "merge batch", k=5))
+    scans = [l for l in plan.splitlines() if "FileScan" in l and "postings" in l]
+    assert scans
+    read_schema = scans[0].split("ReadSchema:")[1]
+    assert "positions" not in read_schema
+    assert "content" not in read_schema
+
+
+def test_df_map_broadcast(disk_index):
+    # the (term, df) side of the scoring join must broadcast
+    plan = _plan(qx.match_query(disk_index, "merge batch", k=5))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_topk_is_take_ordered(disk_index):
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # heaps), never a global Sort of all candidates
+    plan = _plan(qx.match_query(disk_index, "merge", k=10))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_date_scan_pushdown(spark, sf_dir):
+    from elasticsearch_assets_spark.operators import reader
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = reader.date_range_scan(ev, "ts", "2024-01-05", "2024-01-12", ["event_id"])
+    plan = _plan(out)
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "GreaterThanOrEqual(ts" in scan and "LessThan(ts" in scan, scan
+    # projection pruning: only the needed columns are read
+    assert "event_type" not in scan.split("ReadSchema:")[1]
+
+
+def test_build_is_jvm_only_with_partial_agg(spark, corpus):
+    # the tokenize+tf hot path: no Python eval nodes (pure JVM codegen
+    # operators) and map-side combine (partial_count) before the shuffle
+    index, _ = corpus
+    plan = _plan(index.postings)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan, plan

@@ -1,0 +1,56 @@
+"""Spaces frontend (S3): xLucene filter over plain tables + F4 printer
+round-trip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_assets_spark.query import parser as P
+from elasticsearch_assets_spark.sources.spaces import spaces_filter, to_xlucene
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def test_spaces_filter_term_and_range(spark, events):
+    got = spaces_filter(events, "event_type:click AND value:>=10")
+    exp = events.where((F.col("event_type") == "click") & (F.col("value") >= 10))
+    assert got.count() == exp.count()
+    assert got.count() > 0
+
+
+def test_spaces_filter_or_wildcard(spark, events):
+    got = spaces_filter(events, "(event_type:cl* OR event_type:sign*)")
+    exp = events.where(F.col("event_type").isin("click", "signup"))
+    assert got.count() == exp.count()
+
+
+def test_spaces_filter_ts_range(spark, events):
+    q = "ts:[2024-01-05T00:00:00 TO 2024-01-12T00:00:00}"
+    got = spaces_filter(events, q)
+    exp = events.where(
+        (F.col("ts") >= "2024-01-05") & (F.col("ts") < "2024-01-12")
+    )
+    assert got.count() == exp.count()
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        "uuid:ba2*",
+        "created:[2019-04-26T15:00:23.201Z TO 2019-04-26T15:00:23.394Z}",
+        "(a* OR b*)",
+        "foo:bar AND NOT baz:qux",
+        'name:"exact phrase"',
+        "bytes:>=100",
+        "id:/[a-f].*/",
+    ],
+)
+def test_printer_roundtrip(q):
+    # parse ∘ print ∘ parse is a fixed point (F4 translation fidelity)
+    ast = P.parse(q)
+    printed = to_xlucene(ast)
+    assert P.parse(printed) == ast
