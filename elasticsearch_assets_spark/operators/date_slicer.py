@@ -1,0 +1,180 @@
+"""Parity-mode date slicer (SURVEY.md D4): the reference's count-driven
+bisection/expansion walk, re-implemented from its observable behavior.
+
+The declarative engine replaces this with repartitionByRange + AQE
+(operators/reader.py); this module exists for PLAN parity — it produces
+the same {start, end, limit, count} slice sequences as
+`algorithms/dateSlicer.ts:40-410`, verified against the scripted-count
+golden scenarios in the reference's unit spec
+(packages/elasticsearch-asset-apis/test/unit/date_slicer_fn-spec.ts).
+
+Semantics (once mode):
+- count(start, end) > size  → bisect: end = start + floor(span·ratio),
+  ratio = 0.5 (or size/count with recurse_optimization); stop
+  splitting at one resolution unit (diff ≤ 0 → emit oversized slice)
+- count == 0                → expand end by one interval; reaching the
+  limit makes it a "limit query" (one final count, no more expansion);
+  an expanded slice that then over-counts re-splits from the PREVIOUS
+  end, and the emitted slice keeps the original start
+- emitted slice advances start; next end = start + interval clamped to
+  limit (adjustDates), skipping recorded holes
+
+All arithmetic in integer ms; `resolution` ('ms'|'s') quantizes splits
+exactly like the reference's splitTime (date-helpers.ts:470-490).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class DateSlice:
+    start_ms: int
+    end_ms: int
+    limit_ms: int
+    count: int
+
+
+def split_time_ms(
+    start: int, end: int, limit: int, resolution: str, ratio: float
+) -> int:
+    """date-helpers.ts:470-490: floor((end−start)·ratio) clamped to the
+    limit, quantized to the resolution."""
+    diff = int((end - start) * ratio)
+    if start + diff > limit:
+        diff = limit - start
+    if resolution == "ms":
+        return diff
+    return (diff // 1000) * 1000
+
+
+def _unit_ms(resolution: str) -> int:
+    return 1 if resolution == "ms" else 1000
+
+
+def determine_slice(
+    count_fn,
+    start: int,
+    end: int,
+    limit: int,
+    size: int,
+    interval_ms: int,
+    resolution: str = "ms",
+    recurse_optimization: bool = False,
+    holes: list[tuple[int, int]] | None = None,
+    once: bool = True,
+    _prev_end: int | None = None,
+    _expanded: bool = False,
+    _limit_query: bool = False,
+) -> tuple[int, int, int]:
+    """dateSlicer.ts:86-201 determineSlice → (start, end, count)."""
+    holes = holes or []
+    count = count_fn(start, end)
+
+    if count > size:
+        ratio = (size / count) if recurse_optimization else 0.5
+        if _expanded:
+            new_start = _prev_end
+            diff = split_time_ms(new_start, end, limit, resolution, ratio)
+            new_end = new_start + diff
+            s2, e2, c2 = determine_slice(
+                count_fn, new_start, new_end, limit, size, interval_ms,
+                resolution, recurse_optimization, holes, once,
+                _limit_query=_limit_query,
+            )
+            return (start, e2, c2)
+        diff = split_time_ms(start, end, limit, resolution, ratio)
+        new_end = start + diff
+        if diff <= 0:
+            return (start, end, count)
+        return determine_slice(
+            count_fn, start, new_end, limit, size, interval_ms,
+            resolution, recurse_optimization, holes, once,
+            _limit_query=_limit_query,
+        )
+
+    if once and not _limit_query and count == 0:
+        prev_end = end
+        new_end = end + interval_ms
+        make_limit = False
+        if new_end >= limit:
+            make_limit = True
+            new_end = limit
+        elif holes and new_end >= holes[0][0]:
+            make_limit = True
+            new_end = holes[0][0]
+        return determine_slice(
+            count_fn, start, new_end, limit, size, interval_ms,
+            resolution, recurse_optimization, holes, once,
+            _prev_end=prev_end, _expanded=True, _limit_query=make_limit,
+        )
+
+    return (start, end, count)
+
+
+def date_slicer_plan(
+    count_fn,
+    start: int,
+    limit: int,
+    interval_ms: int,
+    size: int,
+    resolution: str = "ms",
+    recurse_optimization: bool = False,
+    holes: list[tuple[int, int]] | None = None,
+) -> list[DateSlice]:
+    """The full once-mode slice walk (dateSlicer.ts:355-403 + adjustDates
+    :308-335). count_fn(start_ms, end_ms) → docs in [start, end)."""
+    holes = list(holes or [])
+    out: list[DateSlice] = []
+    cur = start
+    end = min(cur + interval_ms, limit)
+
+    def adjust(cur: int) -> tuple[int, int]:
+        if holes and cur >= holes[0][0]:
+            hole = holes.pop(0)
+            cur = min(hole[1], limit)
+        e = cur + interval_ms
+        if e >= limit:
+            e = limit
+        elif holes and e >= holes[0][0]:
+            e = holes[0][0]
+        return cur, e
+
+    while cur < limit:
+        s, e, c = determine_slice(
+            count_fn, cur, end, limit, size, interval_ms,
+            resolution, recurse_optimization, holes,
+        )
+        out.append(DateSlice(s, e, limit, c))
+        cur = e
+        cur, end = adjust(cur)
+    return out
+
+
+def spark_count_fn(df, date_col: str):
+    """Driver-side count oracle for parity runs: collect the timestamp
+    multiset once (ms), then every count is a numpy searchsorted — the
+    reference pays one ES round trip per count instead."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    ts = np.sort(
+        np.array(
+            [
+                r[0]
+                for r in df.select(
+                    F.unix_micros(F.col(date_col).cast("timestamp"))
+                ).collect()
+            ],
+            dtype=np.int64,
+        )
+        // 1000
+    )
+
+    def count(start_ms: int, end_ms: int) -> int:
+        return int(
+            np.searchsorted(ts, end_ms, "left") - np.searchsorted(ts, start_ms, "left")
+        )
+
+    return count

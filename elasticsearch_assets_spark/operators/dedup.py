@@ -75,7 +75,8 @@ def jaccard_pairs(
     at scale, run minhash_lsh_candidates first and this only on the
     candidate pairs.
     """
-    sh = shingles(df, text_col, id_col, n)
+    # persist: consumed three times below (sizes + both join sides)
+    sh = shingles(df, text_col, id_col, n).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -130,21 +131,29 @@ def minhash_lsh_candidates(
     assert k % bands == 0
     rows = k // bands
     sig = minhash_signatures(df, text_col, id_col, n, k)
-    per_band = []
-    for bnd in range(bands):
-        cols = [f"mh_{bnd * rows + j}" for j in range(rows)]
-        bdf = sig.select(
-            F.col(id_col),
-            F.concat_ws("|", *[F.col(c) for c in cols]).alias("band_sig"),
-        ).withColumn("band", F.lit(bnd))
-        per_band.append(bdf)
-    allb = per_band[0]
-    for b in per_band[1:]:
-        allb = allb.unionByName(b)
-    # bucket-size cap: the hot-bucket defense
-    sized = allb.join(
-        allb.groupBy("band", "band_sig").agg(F.count("*").alias("_bs")),
-        ["band", "band_sig"],
+    # one pass: band signatures as an array column + posexplode (a
+    # per-band union would recompute the shingle+signature lineage
+    # `bands` times — 4x the work for the default config)
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                "|", *[F.col(f"mh_{bnd * rows + j}") for j in range(rows)]
+            )
+            for bnd in range(bands)
+        ]
+    )
+    allb = sig.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band", "band_sig")
+    )
+    # persist: the self-join below would otherwise recompute the whole
+    # shingle->signature lineage for both sides (evicted LRU; small —
+    # k short hashes per doc)
+    allb = allb.persist()
+    # bucket-size cap via window count: the hot-bucket defense, no join
+    from pyspark.sql import Window
+
+    sized = allb.withColumn(
+        "_bs", F.count("*").over(Window.partitionBy("band", "band_sig"))
     ).where(F.col("_bs") <= max_bucket)
     l = sized.select("band", "band_sig", F.col(id_col).alias("id_a"))
     r = sized.select("band", "band_sig", F.col(id_col).alias("id_b"))

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from elasticsearch_assets_spark.functions.analyzer import analyze_text
+from elasticsearch_assets_spark.functions.xxhash import term_bucket
 from elasticsearch_assets_spark.indexing.build import IndexTables
 from elasticsearch_assets_spark.query.bm25 import K1, B, score_contrib_col
 
@@ -35,13 +36,9 @@ def _candidates(index: IndexTables, terms: list[str]) -> DataFrame:
     if not terms:
         return p.where(F.lit(False))
     # bucket(term) must match the build-side pmod(xxhash64(term), B);
-    # computed via a tiny Spark expression to guarantee hash parity
-    # (driver collect of |query terms| rows — negligible).
-    spark = p.sparkSession
-    bdf = spark.createDataFrame([(t,) for t in terms], ["term"]).select(
-        F.pmod(F.xxhash64("term"), F.lit(index.n_buckets)).cast("int").alias("b")
-    )
-    buckets = sorted({r["b"] for r in bdf.collect()})
+    # the pure-Python XXH64 is parity-pinned to Spark's, so partition
+    # filters cost zero Spark jobs.
+    buckets = sorted({term_bucket(t, index.n_buckets) for t in terms})
     return p.where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
 
 
@@ -51,11 +48,7 @@ def _pos_candidates(index: IndexTables, terms: list[str]) -> DataFrame:
     p = index.positions
     if not terms:
         return p.where(F.lit(False))
-    spark = p.sparkSession
-    bdf = spark.createDataFrame([(t,) for t in terms], ["term"]).select(
-        F.pmod(F.xxhash64("term"), F.lit(index.n_buckets)).cast("int").alias("b")
-    )
-    buckets = sorted({r["b"] for r in bdf.collect()})
+    buckets = sorted({term_bucket(t, index.n_buckets) for t in terms})
     return p.where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
 
 

@@ -44,6 +44,26 @@ def test_spark_matches_python(spark):
     assert got == [analyze_text(t) for t in texts]
 
 
+def test_xxhash_parity(spark):
+    """Pure-Python XXH64 must match Spark's xxhash64 (seed 42) — the
+    query path derives partition filters from it."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_assets_spark.functions.xxhash import term_bucket, xxh64
+
+    terms = [
+        "", "a", "merge", "parseDate", "x" * 7, "y" * 8, "z" * 31,
+        "w" * 32, "v" * 100, "日本語テキスト", "uniq_12345",
+    ]
+    df = spark.createDataFrame([(t,) for t in terms], ["t"])
+    assert [r[0] for r in df.select(F.xxhash64("t")).collect()] == [
+        xxh64(t.encode()) for t in terms
+    ]
+    assert [
+        r[0] for r in df.select(F.pmod(F.xxhash64("t"), F.lit(16))).collect()
+    ] == [term_bucket(t, 16) for t in terms]
+
+
 def test_duckdb_matches_python():
     texts = [t for t, _ in GOLDENS if t.strip()] + ["HTTPServer2 parseDateTime"]
     con = duckdb.connect()

@@ -1,0 +1,134 @@
+"""Date-slicer parity: golden scenarios mirrored from the reference's
+unit spec (packages/elasticsearch-asset-apis/test/unit/
+date_slicer_fn-spec.ts — MockClient scripted counts) + invariants over
+real data."""
+
+from __future__ import annotations
+
+import pytest
+
+from elasticsearch_assets_spark.operators.date_slicer import (
+    DateSlice,
+    date_slicer_plan,
+    determine_slice,
+    spark_count_fn,
+    split_time_ms,
+)
+
+MIN = 60_000  # 1 minute in ms
+
+
+def scripted(seq, default):
+    """MockClient analogue: scripted counts then a default forever."""
+    it = iter(seq)
+
+    def count(_s, _e):
+        try:
+            return next(it)
+        except StopIteration:
+            return default
+
+    return count
+
+
+# spec: 'with zero count at end of slice it expands' (line ~134)
+def test_zero_count_expands_to_limit():
+    # interval 5m, end=start+2m, limit=start+5m; counts: 0 forever
+    s, e, c = determine_slice(
+        scripted([0], 0), 0, 2 * MIN, 5 * MIN, 1000, 5 * MIN, resolution="s"
+    )
+    assert (s, e, c) == (0, 5 * MIN, 0)  # expanded straight to the limit
+
+
+# spec: 'with zero count, then to big a count at end of slice' (~165)
+def test_zero_then_oversized_resplits_from_prev_end():
+    # end=start+2m, limit=start+3m; first count 0, then 2000 forever
+    s, e, c = determine_slice(
+        scripted([0], 2000), 0, 2 * MIN, 3 * MIN, 1000, 5 * MIN, resolution="s"
+    )
+    # bisects down from prevEnd (2m) to a single second
+    assert (s, e, c) == (0, 2 * MIN + 1000, 2000)
+
+
+# spec: 'with expanded slice count, then to large a size' (~196)
+def test_oversized_bisects_to_resolution_floor():
+    s, e, c = determine_slice(
+        scripted([], 2000), 0, 2 * MIN, 5 * MIN, 1000, 5 * MIN, resolution="s"
+    )
+    assert (s, e, c) == (0, 1000, 2000)  # 1-second floor, count kept
+
+
+# spec: 'with recursive optimization' (~228)
+def test_recurse_optimization_ratio():
+    size, large, recursive = 1000, 1300, 800
+    diff = split_time_ms(0, 2 * MIN, 5 * MIN, "s", size / large)
+    s, e, c = determine_slice(
+        scripted([large], recursive), 0, 2 * MIN, 5 * MIN, size, 5 * MIN,
+        resolution="s", recurse_optimization=True,
+    )
+    assert (s, e, c) == (0, diff, recursive)
+
+
+def test_split_time_clamps_to_limit():
+    assert split_time_ms(0, 100, 40, "ms", 0.5) == 40
+    assert split_time_ms(0, 100, 1000, "ms", 0.5) == 50
+    assert split_time_ms(0, 90_000, 500_000, "s", 0.5) == 45_000
+
+
+def test_plan_partitions_range_and_conserves_counts():
+    # synthetic skewed distribution: heavy burst in the middle
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    ts = np.concatenate(
+        [
+            rng.integers(0, 10_000, 500),
+            rng.integers(4_000, 4_100, 3_000),  # burst
+            rng.integers(10_000, 20_000, 500),
+        ]
+    )
+    ts.sort()
+
+    def count(s, e):
+        return int(np.searchsorted(ts, e) - np.searchsorted(ts, s))
+
+    size = 400
+    plan = date_slicer_plan(count, 0, 20_000, 2_000, size, resolution="ms")
+    # partition: contiguous, covers [0, 20000)
+    assert plan[0].start_ms == 0 and plan[-1].end_ms == 20_000
+    for a, b in zip(plan, plan[1:]):
+        assert a.end_ms == b.start_ms
+    # conservation
+    assert sum(p.count for p in plan) == len(ts)
+    # every slice ≤ size unless already at 1ms width
+    for p in plan:
+        assert p.count <= size or (p.end_ms - p.start_ms) <= 1
+
+
+def test_plan_with_holes_skips_processed_ranges():
+    def count(s, e):
+        return e - s  # 1 doc per ms
+
+    plan = date_slicer_plan(
+        count, 0, 1_000, 200, 500, resolution="ms", holes=[(200, 400)]
+    )
+    covered = [(p.start_ms, p.end_ms) for p in plan]
+    # the hole [200,400) is never scanned
+    for s, e in covered:
+        assert not (s < 400 and e > 200 and s >= 200), covered
+    assert sum(p.count for p in plan) == 1_000 - 200
+
+
+def test_plan_on_events_table(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    total = ev.count()
+    cf = spark_count_fn(ev, "ts")
+    import datetime
+
+    lo = int(datetime.datetime(2024, 1, 1).timestamp() * 1000)
+    hi = int(datetime.datetime(2024, 2, 1).timestamp() * 1000)
+    plan = date_slicer_plan(cf, lo, hi, 24 * 3600 * 1000, 200, resolution="ms")
+    assert sum(p.count for p in plan) == total
+    assert all(
+        p.count <= 200 or (p.end_ms - p.start_ms) <= 1 for p in plan
+    )
