@@ -152,6 +152,54 @@ def date_slicer_plan(
     return out
 
 
+def date_slicer_plan_with_subslices(
+    count_fn,
+    key_count_fn,
+    start: int,
+    limit: int,
+    interval_ms: int,
+    size: int,
+    subslice_key_threshold: int = 50_000,
+    key_type: str = "hexadecimal",
+    resolution: str = "ms",
+) -> list[dict]:
+    """D5 hybrid slicing (dateSlicer.ts:203-256,381-394): a date slice
+    whose count still reaches `subslice_key_threshold` (even at minimal
+    width — the condensed-spread case, 2000 docs in 2 ms) is split by
+    id-prefix WITHIN the date range.
+
+    key_count_fn(prefix, start_ms, end_ms) → count of docs with the key
+    prefix inside the date range. Returns dicts {start, end, keys,
+    count} — keys empty for plain date slices.
+    """
+    from elasticsearch_assets_spark.operators.id_slicer import id_slicer_plan
+
+    out: list[dict] = []
+    for sl in date_slicer_plan(
+        count_fn, start, limit, interval_ms, size, resolution=resolution
+    ):
+        if sl.count >= subslice_key_threshold:
+            sub = id_slicer_plan(
+                lambda p: key_count_fn(p, sl.start_ms, sl.end_ms),
+                key_type=key_type,
+                size=size,
+            )
+            for prefix, c in sub:
+                out.append(
+                    {
+                        "start": sl.start_ms,
+                        "end": sl.end_ms,
+                        "keys": [prefix],
+                        "count": c,
+                    }
+                )
+        else:
+            out.append(
+                {"start": sl.start_ms, "end": sl.end_ms, "keys": [], "count": sl.count}
+            )
+    return out
+
+
 def spark_count_fn(df, date_col: str):
     """Driver-side count oracle for parity runs: collect the timestamp
     multiset once (ms), then every count is a numpy searchsorted — the

@@ -1,5 +1,5 @@
-"""Per-partition lineage manifests + checkpoint/resume (SURVEY.md D6/D7/
-O11; FIXTURES.md T4).
+"""Per-partition lineage manifests + checkpoint/resume + incremental
+maintenance (SURVEY.md D6/D7/O11 + §7.8; FIXTURES.md T4).
 
 The reference tracks slice-level progress with hole bookkeeping
 (dateSlicer.ts:308-335, date-helpers.ts:287-390) so a killed run resumes
@@ -9,16 +9,18 @@ without re-reading completed ranges. Spark-native equivalent:
   partitions (pmod(xxhash64(doc_id), n_parts) — stable across runs
   because doc_id is content-derived, never monotonically_increasing_id)
 - each completed part atomically lands TWO artifacts: its postings
-  parquet directory (part=K/...) and a one-row manifest parquet whose
-  write is the commit point (parquet dir rename = atomic-enough here;
-  Iceberg snapshot commit in production)
-- resume = enumerate manifest rows with status=done, anti-join the part
-  list, build only the missing parts — the reference's "holes" become
-  missing manifest rows
-- the manifest row carries per-partition lineage metrics (rows, bytes,
-  duration, input fingerprint) — the north rule's "per-partition
-  lineage + metrics". The fingerprint is an order-independent sum of
-  doc_id hashes, so any input drift is detected on resume.
+  parquet directory (postings/part=K) and a ONE-ROW manifest parquet at
+  manifest/pK whose overwrite is the commit point (Iceberg snapshot
+  commit in production) — one current row per part, no ambiguity
+- resume = parts without a done manifest row — the reference's "holes"
+  are exactly the missing manifest rows
+- incremental maintenance = parts whose manifest fingerprint no longer
+  matches the input: fingerprint = order-independent sum over
+  pmod(xxhash64(doc_id, content_sha), p), so adds, deletes, AND
+  content-only edits all flip the affected partition — nothing else
+  rebuilds
+- manifest rows carry per-partition lineage metrics (rows, bytes,
+  duration_ms) — the north rule's "per-partition lineage + metrics"
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from elasticsearch_assets_spark.functions.analyzer import analyze_col
@@ -37,6 +39,8 @@ MANIFEST_SCHEMA = (
     "rows long, bytes long, duration_ms long, status string"
 )
 
+_FP_MOD = 1_000_003
+
 
 def _part_dir(path: str, part: int) -> str:
     return os.path.join(path, "postings", f"part={part}")
@@ -46,14 +50,71 @@ def _manifest_dir(path: str) -> str:
     return os.path.join(path, "manifest")
 
 
+def _manifest_part_dir(path: str, part: int) -> str:
+    return os.path.join(_manifest_dir(path), f"p{part}")
+
+
+def _fp_col():
+    return F.sum(F.pmod(F.xxhash64("doc_id", "content_sha"), F.lit(_FP_MOD))).alias(
+        "fp"
+    )
+
+
+def _with_parts(docs: DataFrame, id_cols, text_col: str, n_parts: int) -> DataFrame:
+    return with_doc_id(docs, id_cols, text_col).withColumn(
+        "_part", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int")
+    )
+
+
+def _fresh_fingerprints(base: DataFrame) -> dict[int, str]:
+    return {
+        r["_part"]: str(r["fp"])
+        for r in base.groupBy("_part").agg(_fp_col()).collect()
+    }
+
+
+def _build_part(
+    base: DataFrame, path: str, part: int, n_buckets: int, text_col: str,
+    run_id: str,
+) -> None:
+    """Build one partition's postings + commit its manifest row."""
+    spark = base.sparkSession
+    t0 = time.time()
+    sub = base.where(F.col("_part") == part)
+    tokens = sub.select(
+        "doc_id", F.posexplode(analyze_col(text_col)).alias("pos", "term")
+    )
+    tf = tokens.groupBy("term", "doc_id").agg(F.count("*").cast("int").alias("tf"))
+    tfd = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("int")
+    ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    tfd.write.mode("overwrite").parquet(_part_dir(path, part))
+
+    stats = sub.agg(
+        F.count("*").alias("rows"), _fp_col(), F.sum(F.length(text_col)).alias("bytes")
+    ).collect()[0]
+    row = [
+        (
+            run_id,
+            part,
+            str(stats["fp"] if stats["fp"] is not None else 0),
+            int(stats["rows"] or 0),
+            int(stats["bytes"] or 0),
+            int((time.time() - t0) * 1000),
+            "done",
+        )
+    ]
+    # overwrite = the atomic commit point; exactly one current row/part
+    spark.createDataFrame(row, MANIFEST_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_manifest_part_dir(path, part))
+
+
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:
     md = _manifest_dir(path)
-    if not os.path.isdir(md) or not any(
-        f.endswith(".parquet") or os.path.isdir(os.path.join(md, f))
-        for f in os.listdir(md)
-    ):
+    if not os.path.isdir(md) or not os.listdir(md):
         return spark.createDataFrame([], MANIFEST_SCHEMA)
-    return spark.read.parquet(md)
+    return spark.read.option("recursiveFileLookup", "true").parquet(md)
 
 
 def done_parts(spark: SparkSession, path: str) -> set[int]:
@@ -64,6 +125,14 @@ def done_parts(spark: SparkSession, path: str) -> set[int]:
         .select("partition_id")
         .distinct()
         .collect()
+    }
+
+
+def manifest_fingerprints(spark: SparkSession, path: str) -> dict[int, str]:
+    m = read_manifest(spark, path)
+    return {
+        r["partition_id"]: r["input_fingerprint"]
+        for r in m.where(F.col("status") == "done").collect()
     }
 
 
@@ -83,55 +152,43 @@ def build_index_resumable(
     kill/resume test hook.
     """
     spark = docs.sparkSession
-    base = with_doc_id(docs, id_cols, text_col).withColumn(
-        "_part", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int")
-    )
+    base = _with_parts(docs, id_cols, text_col, n_parts)
     done = done_parts(spark, path)
     built = 0
     for part in range(n_parts):
         if part in done:
             continue
-        t0 = time.time()
-        sub = base.where(F.col("_part") == part)
-        tokens = sub.select(
-            "doc_id", F.posexplode(analyze_col(text_col)).alias("pos", "term")
-        )
-        tf = tokens.groupBy("term", "doc_id").agg(
-            F.count("*").cast("int").alias("tf")
-        )
-        from pyspark.sql import Window
-
-        tfd = tf.withColumn(
-            "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("int")
-        ).withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
-        )
-        tfd.write.mode("overwrite").parquet(_part_dir(path, part))
-
-        # lineage metrics + input fingerprint (order-independent)
-        stats = sub.agg(
-            F.count("*").alias("rows"),
-            F.sum(F.pmod(F.xxhash64("doc_id"), F.lit(1_000_003))).alias("fp"),
-            F.sum(F.length(text_col)).alias("bytes"),
-        ).collect()[0]
-        row = [
-            (
-                run_id,
-                part,
-                str(stats["fp"]),
-                int(stats["rows"] or 0),
-                int(stats["bytes"] or 0),
-                int((time.time() - t0) * 1000),
-                "done",
-            )
-        ]
-        spark.createDataFrame(row, MANIFEST_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(_manifest_dir(path))
-
+        _build_part(base, path, part, n_buckets, text_col, run_id)
         built += 1
         if fail_after_parts is not None and built >= fail_after_parts:
             raise RuntimeError(f"injected failure after {built} parts")
+
+
+def refresh_index(
+    docs: DataFrame,
+    path: str,
+    n_parts: int = 8,
+    n_buckets: int = 16,
+    text_col: str = "content",
+    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    run_id: str = "refresh",
+) -> list[int]:
+    """Incremental maintenance (SURVEY.md §7.8): rebuild ONLY partitions
+    whose input fingerprint drifted (adds/deletes/content edits).
+    Returns the rebuilt part ids — empty list when nothing changed.
+    """
+    spark = docs.sparkSession
+    base = _with_parts(docs, id_cols, text_col, n_parts)
+    fresh = _fresh_fingerprints(base)
+    current = manifest_fingerprints(spark, path)
+    stale = [
+        part
+        for part in range(n_parts)
+        if current.get(part) != fresh.get(part, "0")
+    ]
+    for part in stale:
+        _build_part(base, path, part, n_buckets, text_col, run_id)
+    return stale
 
 
 def read_resumable_postings(spark: SparkSession, path: str) -> DataFrame:
@@ -140,20 +197,19 @@ def read_resumable_postings(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def verify_fingerprints(spark: SparkSession, path: str, docs: DataFrame,
-                        id_cols=("repo", "path", "commit"),
-                        text_col: str = "content", n_parts: int = 8) -> bool:
+def verify_fingerprints(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    id_cols=("repo", "path", "commit"),
+    text_col: str = "content",
+    n_parts: int = 8,
+) -> bool:
     """Resume-safety check: manifest fingerprints still match the input
     (detects input drift between the killed run and the resume)."""
-    base = with_doc_id(docs, id_cols, text_col).withColumn(
-        "_part", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int")
+    base = _with_parts(docs, id_cols, text_col, n_parts)
+    fresh = _fresh_fingerprints(base)
+    return all(
+        fresh.get(pid) == fp
+        for pid, fp in manifest_fingerprints(spark, path).items()
     )
-    fresh = {
-        r["_part"]: str(r["fp"])
-        for r in base.groupBy("_part").agg(F.sum(F.pmod(F.xxhash64("doc_id"), F.lit(1_000_003))).alias("fp")).collect()
-    }
-    m = read_manifest(spark, path)
-    for r in m.where(F.col("status") == "done").collect():
-        if fresh.get(r["partition_id"]) != r["input_fingerprint"]:
-            return False
-    return True

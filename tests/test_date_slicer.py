@@ -8,6 +8,7 @@ from __future__ import annotations
 import pytest
 
 from elasticsearch_assets_spark.operators.date_slicer import (
+    date_slicer_plan_with_subslices,
     DateSlice,
     date_slicer_plan,
     determine_slice,
@@ -117,6 +118,42 @@ def test_plan_with_holes_skips_processed_ranges():
     for s, e in covered:
         assert not (s < 400 and e > 200 and s >= 200), covered
     assert sum(p.count for p in plan) == 1_000 - 200
+
+
+def test_subslice_by_key_condensed():
+    """D5: the condensed-spread case — 2000 docs within 2 ms forces
+    sub-ms slices to hit the key threshold, then id-prefix sub-slicing
+    (reference fixture shape: condensed-spread.ts:4-19)."""
+    import hashlib
+
+    import numpy as np
+
+    # 2000 docs all at ts in {5000, 5001}, hex keys
+    ts = np.array([5000 + (i % 2) for i in range(2000)])
+    keys = [hashlib.md5(str(i).encode()).hexdigest() for i in range(2000)]
+    order = np.argsort(ts, kind="stable")
+    ts_sorted = ts[order]
+
+    def count(s, e):
+        return int(np.searchsorted(ts_sorted, e) - np.searchsorted(ts_sorted, s))
+
+    karr = {}
+
+    def key_count(prefix, s, e):
+        sel = [k for k, t in zip(keys, ts) if s <= t < e and k.startswith(prefix)]
+        return len(sel)
+
+    plan = date_slicer_plan_with_subslices(
+        count, key_count, 0, 10_000, 1_000, size=100,
+        subslice_key_threshold=500, key_type="hexadecimal",
+    )
+    keyed = [p for p in plan if p["keys"]]
+    assert keyed, "threshold must trigger key sub-slicing"
+    assert sum(p["count"] for p in plan) == 2000
+    # key sub-slicing brings every emitted slice under size
+    for p in keyed:
+        assert 0 < p["count"] <= 100
+        assert len(p["keys"]) == 1 and len(p["keys"][0]) >= 1
 
 
 def test_plan_on_events_table(spark, sf_dir):

@@ -74,6 +74,43 @@ def test_manifest_metrics(spark, docs, tmp_path):
     assert all(r["bytes"] > 0 for r in rows)
 
 
+def test_incremental_refresh_rebuilds_only_drifted_parts(spark, docs, tmp_path):
+    """§7.8 incremental maintenance: content edits rebuild only the
+    affected hash-partitions; result == full rebuild on the new input."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "inc")
+    full = str(tmp_path / "inc_full")
+    M.build_index_resumable(docs, p, n_parts=N_PARTS, run_id="base")
+
+    # refresh with unchanged input → no-op
+    assert M.refresh_index(docs, p, n_parts=N_PARTS, run_id="noop") == []
+
+    # edit the content of a few docs (commit unchanged → same doc_id,
+    # different content_sha: the hardest drift case)
+    docs2 = docs.withColumn(
+        "content",
+        F.when(
+            F.xxhash64("repo", "path", "commit") % 50 == 0,
+            F.concat(F.col("content"), F.lit("\nEDITED = true")),
+        ).otherwise(F.col("content")),
+    )
+    stale = M.refresh_index(docs2, p, n_parts=N_PARTS, run_id="inc1")
+    assert 0 < len(stale) < N_PARTS, stale  # some but not all parts
+
+    # untouched parts keep their original run_id (they were not rebuilt)
+    m = {r["partition_id"]: r["run_id"] for r in M.read_manifest(spark, p).collect()}
+    for part in range(N_PARTS):
+        assert m[part] == ("inc1" if part in stale else "base")
+
+    # refreshed index == full rebuild on docs2
+    M.build_index_resumable(docs2, full, n_parts=N_PARTS, run_id="f")
+    assert _postings_fingerprint(spark, p) == _postings_fingerprint(spark, full)
+
+    # idempotent: second refresh is a no-op
+    assert M.refresh_index(docs2, p, n_parts=N_PARTS, run_id="inc2") == []
+
+
 def test_resume_noop_when_complete(spark, docs, tmp_path):
     p = str(tmp_path / "n")
     M.build_index_resumable(docs, p, n_parts=N_PARTS, run_id="a")
