@@ -416,6 +416,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wr_dual_yield"] = wr_dual_yield
 
+    # ---- slicer plans as data (D4/I2 parity modes) ----
+    def plan_id_slices(s, d):
+        from elasticsearch_assets_spark.operators.id_slicer import (
+            id_slicer_plan,
+            spark_prefix_count_fn,
+        )
+
+        ev = _t(s, d, "events").select(
+            F.md5(F.col("event_id").cast("string")).alias("k")
+        )
+        cf = spark_prefix_count_fn(ev, "k")
+        # size above every prefix count → one slice per alphabet char
+        plan = id_slicer_plan(cf, "hexadecimal", size=10**9)
+        return s.createDataFrame(plan, "key_prefix string, count long")
+
+    q["plan_id_slices"] = plan_id_slices
+
+    def plan_date_slices(s, d):
+        from elasticsearch_assets_spark.operators.date_slicer import (
+            date_slicer_plan,
+            spark_count_fn,
+        )
+
+        ev = _t(s, d, "events")
+        cf = spark_count_fn(ev, "ts")
+        import datetime
+
+        lo = int(datetime.datetime(2024, 1, 1).timestamp() * 1000)
+        hi = int(datetime.datetime(2024, 2, 1).timestamp() * 1000)
+        plan = date_slicer_plan(cf, lo, hi, 24 * 3600 * 1000, 500, resolution="ms")
+        return s.createDataFrame(
+            [(p.start_ms, p.end_ms, p.count) for p in plan],
+            "start_ms long, end_ms long, count long",
+        )
+
+    q["plan_date_slices"] = plan_date_slices
+
     # ---- multimodal plumbing (rows-only check: binary features) ----
     def mm_features(s, d):
         from elasticsearch_assets_spark.operators import multimodal as MM
@@ -785,6 +822,15 @@ merged AS (
 SELECT * FROM merged WHERE doc_id NOT IN (SELECT old_id FROM moved)
 """
 
+    # I2 at unbounded size == one slice per leading hex char (pruning
+    # empty prefixes), in alphabet order — exactly a grouped count
+    o["plan_id_slices"] = (
+        "SELECT substr(md5(event_id::VARCHAR), 1, 1) AS key_prefix, "
+        "count(*) AS count FROM events GROUP BY 1 HAVING count(*) > 0"
+    )
+
+    # plan_date_slices: recursive count-driven walk — not SQL-expressible
+    # (rows-only check); invariants live in tests/test_date_slicer.py.
     # mm_features intentionally has no oracle (binary feature extraction
     # is not SQL-expressible) → driver records the rows-only check.
 

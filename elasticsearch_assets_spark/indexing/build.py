@@ -213,6 +213,78 @@ def write_index(tables: IndexTables, path: str) -> None:
         json.dump(stats, f)
 
 
+def build_and_write_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "content",
+    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    doc_id_col: str | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+    source_cols: tuple[str, ...] = (),
+) -> IndexTables:
+    """Single-pass build-to-disk: the heavy tokenize→tf→dl pipeline runs
+    ONCE, writing postings directly; terms / doc_norms / stats then
+    derive from the WRITTEN postings parquet (cheap column-pruned
+    re-reads) instead of a persisted cache.
+
+    This is the cluster-scale shape (tf may exceed cluster memory; the
+    written table IS the checkpoint) and minimizes serial job count —
+    the bench path. Returns the same IndexTables as read_index(path).
+    """
+    spark = docs.sparkSession
+    spark_dp = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < spark_dp:
+        docs = docs.repartition(spark_dp)
+
+    if doc_id_col is not None:
+        base = docs.withColumn("doc_id", F.col(doc_id_col).cast("long")).withColumn(
+            "content_sha", F.sha2(F.col(text_col), 256)
+        )
+    else:
+        base = with_doc_id(docs, id_cols, text_col)
+
+    from pyspark.sql import Window
+
+    tokens = base.select(
+        "doc_id", F.posexplode(analyze_col(text_col)).alias("pos", "term")
+    )
+    tf = tokens.groupBy("term", "doc_id").agg(F.count("*").cast("int").alias("tf"))
+    tfd = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("int")
+    ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+
+    # pass 1 (the only heavy one): postings straight to disk
+    (
+        tfd.repartition(n_buckets, "bucket")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "postings"))
+    )
+
+    # derivations read back only the columns they need
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    postings.groupBy("term").agg(F.count("*").cast("long").alias("df")).coalesce(
+        8
+    ).write.mode("overwrite").parquet(os.path.join(path, "terms"))
+
+    dl = postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    keep = ["doc_id", "dl", "content_sha", *source_cols]
+    doc_norms = base.join(dl, "doc_id", "left").na.fill({"dl": 0}).select(*keep)
+    doc_norms.write.mode("overwrite").parquet(os.path.join(path, "doc_norms"))
+
+    dn = spark.read.parquet(os.path.join(path, "doc_norms"))
+    agg = dn.agg(F.count("*").alias("n"), F.avg("dl").alias("avg_dl")).collect()[0]
+    stats = {
+        "n_docs": int(agg["n"]),
+        "avg_dl": float(agg["avg_dl"] or 0.0),
+        "n_buckets": n_buckets,
+    }
+    with open(os.path.join(path, "stats.json"), "w") as f:
+        json.dump(stats, f)
+    return read_index(spark, path)
+
+
 def read_index(spark: SparkSession, path: str) -> IndexTables:
     with open(os.path.join(path, "stats.json")) as f:
         stats = json.load(f)

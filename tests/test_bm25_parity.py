@@ -87,6 +87,27 @@ def test_count(corpus):
     assert n == exp
 
 
+def test_direct_write_build_equivalent(corpus, spark, tmp_path):
+    """build_and_write_index (single-pass, bench path) produces an index
+    whose query results are identical to the cached-build path."""
+    from elasticsearch_assets_spark.indexing.build import (
+        build_and_write_index,
+        read_index,
+    )
+
+    _index, oracle = corpus
+    pdf = generate_corpus_pandas(N_DOCS, seed=42)
+    docs = spark.createDataFrame(pdf)
+    p = str(tmp_path / "dwi")
+    idx = build_and_write_index(docs, p, n_buckets=8)
+    assert idx.n_docs == N_DOCS
+    got = qx.match_query(idx, "parse_date mergeBatch", k=20)
+    _assert_parity(got, oracle.match("parse_date mergeBatch", k=20))
+    # and a reload sees the same stats
+    idx2 = read_index(spark, p)
+    assert (idx2.n_docs, idx2.avg_dl) == (idx.n_docs, idx.avg_dl)
+
+
 def test_sha_invariant(corpus, spark):
     """Per-row invariant (BASELINE.json input_hint): sha256(content) of
     each ingested row equals the indexed doc store's content_sha."""
