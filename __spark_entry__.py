@@ -416,6 +416,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wr_dual_yield"] = wr_dual_yield
 
+    def sim_lsh_topk(s, d):
+        # LSH-bucketed ANN (scale path): sign-bucket prefilter, then
+        # exact cosine within the bucket
+        emb = _t(s, d, "embeddings")
+        qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        out = similarity.lsh_topk(
+            emb.where(F.col("vec_id") != 0), list(qv), k=10, dims=[0, 1, 2, 3]
+        )
+        return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+    q["sim_lsh_topk"] = sim_lsh_topk
+
+    def dd_simhash_pairs(s, d):
+        return dedup.simhash_near_dups(
+            _t(s, d, "documents"), "text", "doc_id", bits=16, max_hamming=3
+        )
+
+    q["dd_simhash_pairs"] = dd_simhash_pairs
+
+    def stream_windows(s, d):
+        # real Structured Streaming micro-batch over the events table:
+        # file stream -> watermark -> 1-day tumbling windows (D8/D9)
+        import tempfile
+
+        from elasticsearch_assets_spark.streaming.windows import (
+            stream_delayed_windows,
+        )
+
+        # watermarks require TIMESTAMP (not NTZ); session TZ is UTC so
+        # the cast preserves the instant
+        ev = _t(s, d, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+        src = tempfile.mkdtemp(prefix="stream_src_")
+        ev.write.mode("overwrite").parquet(src)
+        out = stream_delayed_windows(
+            s, src, ev.schema, "ts", delay="30 seconds", interval="1 day"
+        )
+        qname = "entry_stream_windows"
+        query = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+        return s.sql(
+            f"SELECT date_format(window_start, 'yyyy-MM-dd') AS day, "
+            f"count FROM {qname}"
+        )
+
+    q["stream_windows"] = stream_windows
+
     # ---- slicer plans as data (D4/I2 parity modes) ----
     def plan_id_slices(s, d):
         from elasticsearch_assets_spark.operators.id_slicer import (
@@ -821,6 +873,45 @@ merged AS (
 )
 SELECT * FROM merged WHERE doc_id NOT IN (SELECT old_id FROM moved)
 """
+
+    o["sim_lsh_topk"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (
+  SELECT (CASE WHEN qv[1] >= 0 THEN '1' ELSE '0' END
+       || CASE WHEN qv[2] >= 0 THEN '1' ELSE '0' END
+       || CASE WHEN qv[3] >= 0 THEN '1' ELSE '0' END
+       || CASE WHEN qv[4] >= 0 THEN '1' ELSE '0' END) AS b
+  FROM q
+),
+cand AS (
+  SELECT e.* FROM embeddings e, qb
+  WHERE e.vec_id != 0
+    AND (CASE WHEN e.embedding[1] >= 0 THEN '1' ELSE '0' END
+      || CASE WHEN e.embedding[2] >= 0 THEN '1' ELSE '0' END
+      || CASE WHEN e.embedding[3] >= 0 THEN '1' ELSE '0' END
+      || CASE WHEN e.embedding[4] >= 0 THEN '1' ELSE '0' END) = qb.b
+),
+dots AS (
+  SELECT c.vec_id,
+         list_sum(list_transform(list_zip(c.embedding, q.qv),
+                  x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS dot,
+         sqrt(list_sum(list_transform(c.embedding, v -> v::DOUBLE * v::DOUBLE))) AS na,
+         sqrt(list_sum(list_transform(q.qv, v -> v::DOUBLE * v::DOUBLE))) AS nb
+  FROM cand c, q
+)
+SELECT vec_id, round(dot / (na * nb), 4) AS cosine
+FROM dots
+ORDER BY round(dot / (na * nb), 4) DESC, vec_id ASC
+LIMIT 10
+"""
+
+    # dd_simhash_pairs / stream_windows: banded-hamming self-join and a
+    # live Structured Streaming micro-batch — rows-only checks, but
+    # stream_windows counts are SQL-checkable per day:
+    o["stream_windows"] = (
+        "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+        "count(*) AS count FROM events GROUP BY 1"
+    )
 
     # I2 at unbounded size == one slice per leading hex char (pruning
     # empty prefixes), in alphabet order — exactly a grouped count
