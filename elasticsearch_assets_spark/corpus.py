@@ -124,10 +124,13 @@ def _generate_rows(lo: int, hi: int, seed: int) -> pd.DataFrame:
     for i in range(lo, hi):
         rng = np.random.default_rng(seed * 1_000_003 + i)
         lang = LANGS[int(np.searchsorted(lang_cum, rng.random()))]
+        # file component includes i verbatim: (repo, path) must be unique
+        # per row or doc_id = xxhash64(repo,path,commit) collides at
+        # large n (periodic i%k pairs) and corrupts dl/tf merging
         path = (
-            f"src/module_{i % 53}/util/file_{i % 97}.{EXT_FOR_LANG[lang]}"
+            f"src/module_{i % 53}/util/file_{i}.{EXT_FOR_LANG[lang]}"
             if i % 3
-            else f"lib/pkg_{i % 29}/core_{i % 41}.{EXT_FOR_LANG[lang]}"
+            else f"lib/pkg_{i % 29}/core_{i}.{EXT_FOR_LANG[lang]}"
         )
         repo = f"org{i % 37}/proj{i % 211}"
         commit = hashlib.sha1(f"{seed}:{repo}:{path}".encode()).hexdigest()

@@ -200,6 +200,55 @@ def date_slicer_plan_with_subslices(
     return out
 
 
+def make_date_slicer_ranges(
+    df,
+    date_col: str,
+    n_slicers: int,
+    size: int,
+    resolution: str = "ms",
+) -> list[dict]:
+    """The full slicer-setup pipeline (ElasticsearchReaderAPI.ts:475-563
+    makeDateSlicerRanges): min/max probe (D1) → divideRange across N
+    slicers (D3) → per-range auto interval (D2). Returns per-slicer
+    {start, end, limit, interval_ms, count} ready for date_slicer_plan.
+    One Spark aggregation + N cheap counts vs the reference's 2+2N ES
+    round trips."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_assets_spark.operators.reader import (
+        auto_interval_ms,
+        divide_range,
+    )
+
+    agg = df.agg(
+        F.unix_micros(F.min(date_col).cast("timestamp")).alias("mn"),
+        F.unix_micros(F.max(date_col).cast("timestamp")).alias("mx"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    if agg["n"] == 0:
+        return []
+    unit = _unit_ms(resolution)
+    start = agg["mn"] // 1000
+    # +1 resolution unit on max → end-exclusive (ElasticsearchReaderAPI
+    # getIndexDate :713-717)
+    limit = agg["mx"] // 1000 + unit
+
+    cf = spark_count_fn(df, date_col)
+    out = []
+    for s, e in divide_range(start, limit, n_slicers):
+        cnt = cf(s, e)
+        out.append(
+            {
+                "start": s,
+                "end": e,
+                "limit": e,
+                "interval_ms": auto_interval_ms(s, e, cnt, size),
+                "count": cnt,
+            }
+        )
+    return out
+
+
 def spark_count_fn(df, date_col: str):
     """Driver-side count oracle for parity runs: collect the timestamp
     multiset once (ms), then every count is a numpy searchsorted — the

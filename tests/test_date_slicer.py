@@ -156,6 +156,29 @@ def test_subslice_by_key_condensed():
         assert len(p["keys"]) == 1 and len(p["keys"][0]) >= 1
 
 
+def test_make_date_slicer_ranges(spark, sf_dir):
+    """D1+D2+D3 composed: N slicer ranges partition [min, max+1unit),
+    counts conserve, and running each slicer's plan covers its range."""
+    from elasticsearch_assets_spark.operators.date_slicer import (
+        make_date_slicer_ranges,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    total = ev.count()
+    ranges = make_date_slicer_ranges(ev, "ts", n_slicers=3, size=150)
+    assert len(ranges) == 3
+    assert sum(r["count"] for r in ranges) == total
+    for a, b in zip(ranges, ranges[1:]):
+        assert a["end"] == b["start"]
+    cf = spark_count_fn(ev, "ts")
+    # each slicer's own walk conserves its range count
+    r0 = ranges[0]
+    plan = date_slicer_plan(
+        cf, r0["start"], r0["limit"], r0["interval_ms"], 150, resolution="ms"
+    )
+    assert sum(p.count for p in plan) == r0["count"]
+
+
 def test_plan_on_events_table(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     total = ev.count()
