@@ -198,8 +198,13 @@ class QueryPlanner:
         positives: list[DataFrame] = []
         negatives: list[DataFrame] = []
         for child in children:
-            if isinstance(child, Not):
+            if isinstance(child, Not) and require_all:
+                # AND context: NOT is an exclusion (anti-join)
                 negatives.append(self.plan(child.child).select("doc_id"))
+            elif isinstance(child, Not):
+                # OR context: NOT is a union operand — (all docs − child),
+                # score 0 (a doc matching only this clause scores 0)
+                positives.append(self._not(child))
             else:
                 positives.append(self.plan(child))
 

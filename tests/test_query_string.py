@@ -152,6 +152,44 @@ def test_qs_zero_hits(planner):
     assert qp.query_string("zz_does_not_exist", k=10).count() == 0
 
 
+def test_qs_pure_negative(planner, corpus):
+    """Pure-negative query: all docs minus exclusions, score 0."""
+    qp, oracle = planner
+    index, _ = corpus
+    got = {d for d, _ in _ids(qp.query_string("NOT merge", k=10**6))}
+    all_ids = {r["doc_id"] for r in index.doc_norms.select("doc_id").collect()}
+    exp = all_ids - set(oracle.tf.get("merge", {}))
+    assert got == exp
+
+
+def test_qs_not_inside_or(planner, corpus):
+    """a OR NOT b: the NOT child becomes (all minus b), scores union."""
+    qp, oracle = planner
+    index, _ = corpus
+    got = {d for d, _ in _ids(qp.query_string("uniq_7 OR NOT merge", k=10**6))}
+    all_ids = {r["doc_id"] for r in index.doc_norms.select("doc_id").collect()}
+    # uniq_7 analyzes to [uniq, 7] and requires both (AND of parts)
+    exp = (all_ids - set(oracle.tf.get("merge", {}))) | (
+        set(oracle.tf.get("uniq", {})) & set(oracle.tf.get("7", {}))
+    )
+    assert got == exp
+
+
+def test_qs_field_group_with_range(planner, corpus):
+    """lang:(py OR go) AND numeric-ish mix parses and filters."""
+    qp, _ = planner
+    index, _ = corpus
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in index.doc_norms.select("doc_id", "lang").collect()
+    }
+    got = {
+        d for d, _ in _ids(qp.query_string("lang:(py OR go) AND NOT lang:py", k=10**6))
+    }
+    exp = {d for d, l in langs.items() if l == "go"}
+    assert got == exp
+
+
 def test_qs_count(planner, corpus):
     qp, oracle = planner
     assert qp.count("merge OR batch") == len(

@@ -37,6 +37,20 @@ def test_spaces_filter_ts_range(spark, events):
     assert got.count() == exp.count()
 
 
+def test_arrow_wire_roundtrip(spark, events):
+    """dfjson analogue: DataFrame → Arrow IPC bytes → DataFrame."""
+    from elasticsearch_assets_spark.sources.wire import from_arrow_ipc, to_arrow_ipc
+
+    src = events.limit(100).select("event_id", "event_type", "value")
+    payload = to_arrow_ipc(src)
+    assert isinstance(payload, bytes) and len(payload) > 0
+    back = from_arrow_ipc(spark, payload)
+    assert back.count() == 100
+    assert {r["event_id"] for r in back.collect()} == {
+        r["event_id"] for r in src.collect()
+    }
+
+
 @pytest.mark.parametrize(
     "q",
     [
