@@ -416,6 +416,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wr_dual_yield"] = wr_dual_yield
 
+    def ft_match_packed(s, d):
+        # the SAME query as ft_match_or, served from the varbyte-packed
+        # block index (decode in Arrow-batched numpy) — rank-identical
+        # to the row-postings path, value-checked by the same BM25 oracle
+        from elasticsearch_assets_spark.indexing.blockpack import pack_blocks
+        from elasticsearch_assets_spark.query.wand import (
+            PackedIndex,
+            scored_terms_packed,
+        )
+
+        key = os.path.abspath(d) + "::packed"
+        if key not in _INDEX_CACHE:
+            idx = _docs_index(s, d)
+            blocks = pack_blocks(idx, block_size=128).persist()
+            blocks.count()
+            _INDEX_CACHE[key] = PackedIndex(
+                blocks, idx.terms, idx.n_docs, idx.avg_dl, idx.n_buckets
+            )
+        pidx = _INDEX_CACHE[key]
+        scored = scored_terms_packed(pidx, "spark merge stream")
+        return (
+            scored.withColumn("score", F.round("score", 4))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(10)
+            .select("doc_id", "score")
+        )
+
+    q["ft_match_packed"] = ft_match_packed
+
     def sim_lsh_topk(s, d):
         # LSH-bucketed ANN (scale path): sign-bucket prefilter, then
         # exact cosine within the bucket
@@ -873,6 +902,12 @@ merged AS (
 )
 SELECT * FROM merged WHERE doc_id NOT IN (SELECT old_id FROM moved)
 """
+
+    # identical oracle to ft_match_or: the packed path must be
+    # rank-AND-score identical to the row-postings path
+    o["ft_match_packed"] = _bm25_sql(
+        sorted(set(analyze_text("spark merge stream"))), 10
+    )
 
     o["sim_lsh_topk"] = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

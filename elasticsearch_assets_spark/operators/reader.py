@@ -148,6 +148,21 @@ def id_prefix_pred(key_col: str, keys: list[str]) -> Column:
 
 
 # ---- geo (Q7-Q9) ---------------------------------------------------------
+def parse_geo_point(col: Column | str) -> Column:
+    """Parse the reference's geo-point string form '"lat, lon"'
+    (validated at asset/src/elasticsearch_reader_api/schema.ts:311-323)
+    into struct<lat double, lon double>; malformed input → null fields."""
+    c = F.col(col) if isinstance(col, str) else col
+    parts = F.split(F.regexp_replace(c, r"\s+", ""), ",")
+    valid = F.size(parts) == 2
+    lat = F.when(valid, F.element_at(parts, 1).cast("double"))
+    lon = F.when(valid, F.element_at(parts, 2).cast("double"))
+    lat = F.when(lat.between(-90.0, 90.0), lat)
+    lon = F.when(lon.between(-180.0, 180.0), lon)
+    return F.struct(lat.alias("lat"), lon.alias("lon"))
+
+
+
 EARTH_RADIUS_M = 6371000.0
 UNIT_M = {"m": 1.0, "km": 1000.0, "mi": 1609.344, "yd": 0.9144, "ft": 0.3048}
 

@@ -134,6 +134,20 @@ def _score_decoded(
     )
 
 
+def scored_terms_packed(index: PackedIndex, text: str) -> DataFrame | None:
+    """Exact per-doc BM25 over the packed index WITHOUT pruning or
+    limit: decode → score. Used when the caller wants the full scored
+    set (e.g. rounded re-ranking for cross-engine stable top-k).
+    Returns None when no query term exists in the dictionary."""
+    qterms = sorted(set(analyze_text(text)))
+    stats = index.term_stats(qterms)
+    qterms = [t for t in qterms if t in stats]
+    if not qterms:
+        return None
+    decoded = decode_blocks(index.blocks.where(F.col("term").isin(qterms)))
+    return _score_decoded(decoded, stats, index.n_docs, index.avg_dl)
+
+
 def match_query_packed(
     index: PackedIndex, text: str, k: int = 10, operator: str = "or"
 ) -> DataFrame:

@@ -83,6 +83,25 @@ def test_bounded_count(spark):
 
 
 # ---- geo -------------------------------------------------------------------
+def test_parse_geo_point(spark):
+    # the even-spread fixture's location form: '-72.7229, -178.84325'
+    rows = [
+        ("-72.7229, -178.84325",),
+        ("33.435967,-111.867710",),
+        ("91.0, 0.0",),  # out-of-range lat → null
+        ("garbage",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "location string")
+    got = df.select(reader.parse_geo_point("location").alias("p")).collect()
+    assert (got[0]["p"]["lat"], got[0]["p"]["lon"]) == (-72.7229, -178.84325)
+    assert (got[1]["p"]["lat"], got[1]["p"]["lon"]) == (33.435967, -111.867710)
+    assert got[2]["p"]["lat"] is None
+    assert got[3]["p"]["lat"] is None and got[3]["p"]["lon"] is None
+    assert got[4]["p"]["lat"] is None
+
+
+
 def test_haversine_known_distance(spark):
     # London (51.5074, -0.1278) → Paris (48.8566, 2.3522) ≈ 343.5 km
     df = spark.createDataFrame([(51.5074, -0.1278, 48.8566, 2.3522)],

@@ -73,6 +73,40 @@ def test_structured_streaming_windows(spark, tmp_path):
     assert all(c in (1, 2) for _, c in got)
 
 
+def test_stateful_sessionization(spark, tmp_path):
+    """applyInPandasWithState custom operator: gap-based sessions."""
+    from elasticsearch_assets_spark.streaming.sessions import stream_sessions
+
+    src = str(tmp_path / "sess_src")
+    base = datetime(2024, 1, 1)
+    rows = []
+    # user 1: two sessions (3 events, gap, 2 events); user 2: one session
+    for sec in [0, 10, 20, 5000, 5010]:
+        rows.append((1, base + timedelta(seconds=sec)))
+    for sec in [0, 30]:
+        rows.append((2, base + timedelta(seconds=sec)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    df.write.mode("overwrite").parquet(src)
+
+    out = stream_sessions(spark, src, df.schema, gap_sec=60.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in spark.sql("select * from sess_test").collect()
+    }
+    # closed sessions emitted within the batch: user 1's first session
+    # (3 events) closed by the in-batch gap; open sessions (1x2 events,
+    # 2x2 events) remain in state awaiting timeout
+    assert (1, 3) in got
+
+
 # ---- state storage ---------------------------------------------------------
 def test_state_storage_roundtrip(spark, tmp_path):
     from elasticsearch_assets_spark.sources.state_storage import StateStorage
