@@ -334,6 +334,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dd_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_candidates(
         _t(s, d, "documents"), "text", "doc_id", n=3, k=8, bands=4
     )
+    # scale path: LSH candidates -> exact verification (recall <1 by
+    # design, so rows-only; precision proven exact in tests)
+    q["dd_jaccard_lsh"] = lambda s, d: (
+        dedup.jaccard_pairs_verified(
+            _t(s, d, "documents"), "text", "doc_id", n=3, threshold=0.2, k=8, bands=4
+        ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
     q["dd_simhash"] = lambda s, d: dedup.simhash(
         _t(s, d, "documents"), "text", "doc_id", bits=16
     )

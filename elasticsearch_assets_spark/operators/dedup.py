@@ -165,6 +165,49 @@ def minhash_lsh_candidates(
     )
 
 
+def jaccard_pairs_verified(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """The scale path for near-dup detection: MinHash+LSH candidate
+    generation followed by EXACT n-gram Jaccard verification of only the
+    candidate pairs — the all-pairs shingle self-join never happens.
+
+    Precision is exact (every returned pair truly ≥ threshold); recall
+    is the LSH family's: P(candidate) = 1-(1-s^rows)^bands, ≈0.96 at
+    s=0.8 with k=8/bands=4. Raise k/bands for higher recall.
+    """
+    cand = minhash_lsh_candidates(df, text_col, id_col, n, k, bands)
+    sh = shingles(df, text_col, id_col, n).persist()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # verify only candidate pairs: semi-restrict both join sides first
+    a = a.join(cand.select("id_a").distinct(), "id_a", "left_semi")
+    b = b.join(cand.select("id_b").distinct(), "id_b", "left_semi")
+    inter = (
+        a.join(b, "shingle")
+        .join(cand, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
     """SimHash fingerprint over md5 hex digits (bits ≤ 32).
 

@@ -1,0 +1,54 @@
+"""Near-dup pipeline on a corpus with PLANTED near-duplicates: the
+LSH-verified path finds what the exact path finds (high recall, exact
+precision), and exact dedup collapses true duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_assets_spark.corpus import generate_corpus_pandas
+from elasticsearch_assets_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    """200 base docs + near-dups of the first 20 (one token appended)
+    + exact dups of the next 10."""
+    pdf = generate_corpus_pandas(200, seed=42)
+    rows = list(pdf.itertuples(index=False, name=None))
+    for i in range(20):
+        r = rows[i]
+        rows.append((r[0], r[1] + ".neardup", r[2], r[3], r[4] + " appendedToken"))
+    for i in range(20, 30):
+        r = rows[i]
+        rows.append((r[0], r[1] + ".exactdup", r[2], r[3], r[4]))
+    df = spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
+    return df.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+
+
+def test_exact_dedup_collapses_true_dups(dup_corpus):
+    out = dedup.exact_dedup(dup_corpus, "content", "doc_id")
+    assert out.count() == 220  # 230 rows, 10 exact dups collapsed
+    assert out.where(F.col("dup_count") == 2).count() == 10
+
+
+def test_lsh_verified_matches_exact(dup_corpus):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs(
+            dup_corpus, "content", "doc_id", n=3, threshold=0.8
+        ).collect()
+    }
+    verified = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs_verified(
+            dup_corpus, "content", "doc_id", n=3, threshold=0.8, k=8, bands=4
+        ).collect()
+    }
+    # the 20 planted near-dups + 10 exact dups must be found
+    assert len(exact) >= 30
+    # exact precision: every verified pair is a true pair
+    assert verified <= exact
+    # recall ≥ 90% at s≥0.8 with k=8/bands=4 (theory ≈ 0.96)
+    assert len(verified) >= 0.9 * len(exact), (len(verified), len(exact))
