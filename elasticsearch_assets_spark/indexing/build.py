@@ -142,9 +142,18 @@ def build_index(
 
     positions = None
     if keep_positions:
+        # dl denormalized into prox rows too: phrase queries then score
+        # from a single positions scan (tf = size(positions)) without
+        # touching the postings table
         positions = (
             tokens.groupBy("term", "doc_id")
             .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+            .withColumn(
+                "dl",
+                F.sum(F.size("positions"))
+                .over(Window.partitionBy("doc_id"))
+                .cast("int"),
+            )
             .withColumn(
                 "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
             )

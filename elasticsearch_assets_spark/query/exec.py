@@ -213,13 +213,21 @@ def phrase_query(index: IndexTables, phrase: str, k: int = 10) -> DataFrame:
         raise ValueError("index was built with keep_positions=False")
     uniq = sorted(set(terms))
     pos = _pos_candidates(index, uniq)
-    # pivot positions per term into a map for each doc
-    per_doc = pos.groupBy("doc_id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("term", "positions"))
-        ).alias("pos_map"),
+    has_dl = "dl" in index.positions.columns
+    # pivot positions per term into a map for each doc; tf/dl ride along
+    # so scoring needs NO second scan of the postings table (dl is
+    # denormalized into prox rows at build time)
+    aggs = [
+        F.map_from_entries(F.collect_list(F.struct("term", "positions"))).alias(
+            "pos_map"
+        ),
         F.count("*").alias("n_terms"),
-    ).where(F.col("n_terms") == len(uniq))
+    ]
+    if has_dl:
+        aggs.append(F.first("dl").alias("dl"))
+    per_doc = pos.groupBy("doc_id").agg(*aggs).where(
+        F.col("n_terms") == len(uniq)
+    )
 
     # phrase = exists start p with term_i at position p+i for all i:
     # iteratively narrow the start set with array filter/contains —
@@ -234,6 +242,37 @@ def phrase_query(index: IndexTables, phrase: str, k: int = 10) -> DataFrame:
 
     # Score: BM25 over the phrase's unique terms (ES scores the phrase
     # clause with term statistics of its members).
+    if has_dl:
+        # single-scan path: tf = |positions|, dl carried in prox rows;
+        # deterministic term-sorted fold (idf via broadcast df map)
+        dfm = _df_map(index, uniq)
+        exploded = matched.select(
+            "doc_id", "dl", F.explode("pos_map").alias("term", "_ps")
+        ).withColumn("tf", F.size("_ps"))
+        contrib = exploded.join(F.broadcast(dfm), "term").withColumn(
+            "contrib",
+            score_contrib_col(
+                F.col("tf").cast("double"),
+                F.col("dl").cast("double"),
+                F.col("df").cast("double"),
+                index.n_docs,
+                index.avg_dl,
+            ),
+        )
+        out = (
+            contrib.groupBy("doc_id")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias(
+                    "_cs"
+                )
+            )
+            .withColumn(
+                "score",
+                F.aggregate("_cs", F.lit(0.0), lambda a, x: a + x["contrib"]),
+            )
+            .select("doc_id", "score")
+        )
+        return top_k(out, k)
     s = scored_terms(index, uniq)
     out = matched.select("doc_id").join(s.select("doc_id", "score"), "doc_id")
     return top_k(out, k)
