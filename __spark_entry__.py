@@ -368,8 +368,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_cosine_topk"] = sim_cosine_topk
 
     def sim_near_dup(s, d):
+        # the SCALE path is the entry: sign-bucketed pairs (equi-join on
+        # the bucket key), never an all-pairs crossJoin; the oracle
+        # reproduces the bucket predicate in SQL
         emb = _t(s, d, "embeddings")
-        out = similarity.near_dup_pairs(emb, threshold=0.35)
+        out = similarity.near_dup_pairs(
+            emb, threshold=0.35, bucket_dims=[0, 1, 2, 3]
+        )
         return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
     q["sim_near_dup"] = sim_near_dup
@@ -541,12 +546,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["plan_date_slices"] = plan_date_slices
 
-    # ---- multimodal plumbing (rows-only check: binary features) ----
+    # ---- multimodal plumbing (value-checked: sha256-derived features) ----
     def mm_features(s, d):
         from elasticsearch_assets_spark.operators import multimodal as MM
 
         docs = _t(s, d, "documents").select("doc_id", "text")
-        return MM.extract_features(MM.synth_media(docs))
+        feats = MM.extract_features(MM.synth_media(docs))
+        # canonicalizable long columns: posexplode the feature vector and
+        # recover the exact uint16 each float32 was derived from
+        # (f = float32(u/65535); f*65535 is within 0.002 of u, so round()
+        # is exact) — lets DuckDB value-check via sha256 hex arithmetic
+        return feats.select(
+            "doc_id", F.posexplode("features").alias("dim", "f"), "n_bytes"
+        ).select(
+            F.col("doc_id"),
+            F.col("dim").cast("long").alias("dim"),
+            F.round(F.col("f") * F.lit(65535.0)).cast("long").alias("feat_u16"),
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+        )
 
     q["mm_features"] = mm_features
 
@@ -755,7 +772,12 @@ sh AS (
 sig AS (
   SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id
 ),
-bands AS ({_band_exprs})
+bands0 AS ({_band_exprs}),
+bands AS (
+  -- mirror the engine's max_bucket=1000 hot-bucket drop
+  SELECT * FROM bands0
+  QUALIFY count(*) OVER (PARTITION BY band, band_sig) <= 1000
+)
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
@@ -861,14 +883,23 @@ ORDER BY round(dot / (na * nb), 4) DESC, vec_id ASC
 LIMIT 10
 """
 
-    o["sim_near_dup"] = """
+    # same sign-bucket predicate as similarity.sign_bucket(dims=[0,1,2,3])
+    _sbk = (
+        "(CASE WHEN {e}[1] >= 0 THEN '1' ELSE '0' END"
+        " || CASE WHEN {e}[2] >= 0 THEN '1' ELSE '0' END"
+        " || CASE WHEN {e}[3] >= 0 THEN '1' ELSE '0' END"
+        " || CASE WHEN {e}[4] >= 0 THEN '1' ELSE '0' END)"
+    )
+    o["sim_near_dup"] = f"""
 WITH pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          list_sum(list_transform(list_zip(a.embedding, b.embedding),
                   x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS dot,
          sqrt(list_sum(list_transform(a.embedding, v -> v::DOUBLE * v::DOUBLE))) AS na,
          sqrt(list_sum(list_transform(b.embedding, v -> v::DOUBLE * v::DOUBLE))) AS nb
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id < b.vec_id
+   AND {_sbk.format(e="a.embedding")} = {_sbk.format(e="b.embedding")}
 )
 SELECT id_a, id_b, round(dot / (na * nb), 4) AS cosine
 FROM pairs WHERE dot / (na * nb) >= 0.35
@@ -964,7 +995,22 @@ LIMIT 10
 
     # plan_date_slices: recursive count-driven walk — not SQL-expressible
     # (rows-only check); invariants live in tests/test_date_slicer.py.
-    # mm_features intentionally has no oracle (binary feature extraction
-    # is not SQL-expressible) → driver records the rows-only check.
+
+    # mm_features: fake_decode_features derives uint16s from
+    # sha256(utf8(text)) — reproduce the byte arithmetic from the hex
+    # digest (little-endian uint16 = byte[2i] + 256*byte[2i+1])
+    _hd = "strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1"
+    _byte_lo = f"(({_hd.format(p='4*dim+1')}) * 16 + ({_hd.format(p='4*dim+2')}))"
+    _byte_hi = f"(({_hd.format(p='4*dim+3')}) * 16 + ({_hd.format(p='4*dim+4')}))"
+    o["mm_features"] = f"""
+WITH h AS (
+  SELECT doc_id, sha256(text) AS hx, strlen(text) AS n_bytes FROM documents
+),
+dims AS (SELECT unnest(range(16)) AS dim)
+SELECT doc_id, dim,
+       {_byte_lo} + 256 * {_byte_hi} AS feat_u16,
+       n_bytes
+FROM h CROSS JOIN dims
+"""
 
     return o

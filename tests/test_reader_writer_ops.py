@@ -39,6 +39,23 @@ def test_id_slicer_ranges_round_robin():
     assert len(reader.ALPHABETS["hexadecimal"]) == 16
 
 
+def test_base64_alphabet_golden_order():
+    # keys.ts:96-108 "base64 based: upper, lower, numbers then special
+    # chars" — slicer range assignment + emit order depend on this order
+    b64u = reader.ALPHABETS["base64url"]
+    assert b64u == (
+        [chr(c) for c in range(ord("A"), ord("Z") + 1)]
+        + [chr(c) for c in range(ord("a"), ord("z") + 1)]
+        + [str(d) for d in range(10)]
+        + ["-", "_"]
+    )
+    assert b64u[0] == "A" and b64u[26] == "a" and b64u[52] == "0"
+    assert reader.ALPHABETS["base64"] == b64u[:62] + ["-", "_", "+", "/"]
+    # round-robin deal starts at 'A' (id-utils/utils.ts:25-52)
+    r = reader.id_slicer_ranges("base64url", 16)
+    assert r[0][:2] == ["A", "Q"] and r[1][0] == "B"
+
+
 def test_id_slicer_ranges_one_slicer():
     r = reader.id_slicer_ranges("hexadecimal", 1)
     assert r == [list("0123456789abcdef")]

@@ -37,6 +37,16 @@ def test_spaces_filter_ts_range(spark, events):
     assert got.count() == exp.count()
 
 
+def test_spaces_filter_fieldless_term(spark, events):
+    # bare terms need a default_field; without one the error is a clear
+    # ValueError naming the clause, not a TypeError from F.col(None)
+    with pytest.raises(ValueError, match="field-less"):
+        spaces_filter(events, "click AND value:>=10")
+    got = spaces_filter(events, "click", default_field="event_type")
+    exp = events.where(F.col("event_type") == "click")
+    assert got.count() == exp.count()
+
+
 def test_arrow_wire_roundtrip(spark, events):
     """dfjson analogue: DataFrame → Arrow IPC bytes → DataFrame."""
     from elasticsearch_assets_spark.sources.wire import from_arrow_ipc, to_arrow_ipc
