@@ -536,15 +536,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cf = spark_count_fn(ev, "ts")
         import datetime
 
-        lo = int(datetime.datetime(2024, 1, 1).timestamp() * 1000)
-        hi = int(datetime.datetime(2024, 2, 1).timestamp() * 1000)
+        utc = datetime.timezone.utc
+        lo = int(datetime.datetime(2024, 1, 1, tzinfo=utc).timestamp() * 1000)
+        hi = int(datetime.datetime(2024, 2, 1, tzinfo=utc).timestamp() * 1000)
         plan = date_slicer_plan(cf, lo, hi, 24 * 3600 * 1000, 500, resolution="ms")
+        # emit offsets from lo so the oracle is TZ-independent
         return s.createDataFrame(
-            [(p.start_ms, p.end_ms, p.count) for p in plan],
-            "start_ms long, end_ms long, count long",
+            [(p.start_ms - lo, p.end_ms - lo, p.count) for p in plan],
+            "start_off long, end_off long, count long",
         )
 
     q["plan_date_slices"] = plan_date_slices
+
+    def plan_id_slices_optimized(s, d):
+        # I3 idSlicerOptimized over the md5 keyspace (char-class chunked)
+        from elasticsearch_assets_spark.operators.id_slicer import (
+            id_slicer_plan_optimized,
+            spark_class_count_fn,
+        )
+
+        keys = _t(s, d, "events").select(
+            F.md5(F.col("event_id").cast("string")).alias("k")
+        )
+        ccf = spark_class_count_fn(keys, "k")
+        plan = id_slicer_plan_optimized(ccf, "hexadecimal", size=200)
+        return s.createDataFrame(plan, "key_expr string, count long")
+
+    q["plan_id_slices_optimized"] = plan_id_slices_optimized
 
     # ---- multimodal plumbing (value-checked: sha256-derived features) ----
     def mm_features(s, d):
@@ -993,8 +1011,73 @@ LIMIT 10
         "count(*) AS count FROM events GROUP BY 1 HAVING count(*) > 0"
     )
 
-    # plan_date_slices: recursive count-driven walk — not SQL-expressible
-    # (rows-only check); invariants live in tests/test_date_slicer.py.
+    # plan_date_slices / plan_id_slices_optimized: the recursive walks
+    # are not SQL-expressible, so the oracles pin the RECORDED slice
+    # boundaries (golden, like tests/test_even_spread_goldens.py) and
+    # let DuckDB independently recount each slice — a boundary drift OR
+    # a count drift both fail the value gate. Recorded at sf0.01, the
+    # only SF the driver value-checks.
+    _day = 86_400_000
+    _date_slices = ", ".join(
+        f"({i * _day}, {(i + 1) * _day})" for i in range(31)
+    )
+    o["plan_date_slices"] = f"""
+WITH slices(start_off, end_off) AS (VALUES {_date_slices}),
+k AS (
+  SELECT epoch_ms(ts) - epoch_ms(TIMESTAMP '2024-01-01') AS off FROM events
+)
+SELECT s.start_off, s.end_off, count(k.off) AS count
+FROM slices s LEFT JOIN k ON k.off >= s.start_off AND k.off < s.end_off
+GROUP BY 1, 2
+"""
+
+    _i3_classes = [
+        ("0", "0123"), ("0", "4567"), ("0", "89ab"), ("0", "cdef"),
+        ("1", "0123"), ("1", "4567"), ("1", "89ab"), ("1", "cdef"),
+        ("2", "0123"), ("2", "4567"), ("2", "89ab"), ("2", "cdef"),
+        ("3", "0123"), ("3", "4567"), ("3", "89ab"), ("3", "cdef"),
+        ("4", "01234"), ("4", "56789"), ("4", "abcde"), ("4", "f"),
+        ("5", "01234"), ("5", "56789"), ("5", "abcde"), ("5", "f"),
+        ("6", "01234"), ("6", "5678"), ("6", "9abc"), ("6", "def"),
+        ("7", "01234"), ("7", "56789"), ("7", "abcd"), ("7", "ef"),
+        ("8", "0123"), ("8", "4567"), ("8", "89ab"), ("8", "cdef"),
+        ("9", "01234"), ("9", "5678"), ("9", "9abc"), ("9", "def"),
+        ("a", "0123"), ("a", "4567"), ("a", "89ab"), ("a", "cdef"),
+        ("b", "01234"), ("b", "56789"), ("b", "abcde"), ("b", "f"),
+        ("c", "0123"), ("c", "4567"), ("c", "89ab"), ("c", "cdef"),
+        ("d", "0123"), ("d", "4567"), ("d", "89ab"), ("d", "cdef"),
+        ("e", "01234"), ("e", "56789"), ("e", "abcde"), ("e", "f"),
+        ("f", "0123"), ("f", "4567"), ("f", "89ab"), ("f", "cdef"),
+    ]
+
+    def _class_expr(chars: str) -> str:
+        # reference-printable char class: runs within numerics/hex-letter
+        # sections ('89ab' → '8-9a-b'; single char stays bare)
+        parts = []
+        for sec in ("0123456789", "abcdef"):
+            run = [c for c in chars if c in sec]
+            if not run:
+                continue
+            parts.append(run[0] if len(run) == 1 else f"{run[0]}-{run[-1]}")
+        body = "".join(parts)
+        return f"[{body}]"
+
+    _i3_rows = ", ".join(
+        f"('{c1}', '{c2}', '{c1}{_class_expr(chars)}')"
+        for c1, chars in _i3_classes
+        for c2 in chars
+    )
+    o["plan_id_slices_optimized"] = f"""
+WITH m(c1, c2, key_expr) AS (VALUES {_i3_rows}),
+k AS (
+  SELECT substr(md5(event_id::VARCHAR), 1, 1) AS c1,
+         substr(md5(event_id::VARCHAR), 2, 1) AS c2
+  FROM events
+)
+SELECT m.key_expr, count(*) AS count
+FROM k JOIN m USING (c1, c2)
+GROUP BY 1
+"""
 
     # mm_features: fake_decode_features derives uint16s from
     # sha256(utf8(text)) — reproduce the byte arithmetic from the hex

@@ -29,13 +29,26 @@ def id_slicer_plan(
     size: int = 5000,
     starting_key_depth: int = 0,
     max_depth: int = 32,
+    retry_key: str | None = None,
 ) -> list[tuple[str, int]]:
-    """DFS emit order identical to the reference's generators."""
+    """DFS emit order identical to the reference's generators.
+    retry_key resumes AFTER the given key (idSlicer-refactor.ts:77-98 —
+    the I4 retry fast-forward), matching the 'can return to previous
+    position' golden (test/id_reader/slicer-spec.ts:429-448)."""
     alphabet = ALPHABETS[key_type]
     keys = list(key_set) if key_set else list(alphabet)
     out: list[tuple[str, int]] = []
+    skipping = retry_key is not None
 
     def walk(prefix: str) -> None:
+        nonlocal skipping
+        if skipping:
+            if retry_key.startswith(prefix) and prefix != retry_key:
+                for ch in alphabet:
+                    walk(prefix + ch)
+            elif prefix == retry_key:
+                skipping = False
+            return
         if len(prefix) < starting_key_depth:
             for ch in alphabet:
                 walk(prefix + ch)
@@ -54,6 +67,234 @@ def id_slicer_plan(
     return out
 
 
+# ---------------------------------------------------------------------------
+# I3 idSlicerOptimized: char-class range chunking
+# (algorithms/idSlicer-refactor.ts:9-286 + id-utils/chunkers/
+#  key-chunkers.ts:1-70 + key-manager.ts:9-80)
+# ---------------------------------------------------------------------------
+
+# chunker sections per key type (key-manager.ts:13-41): classes never
+# span a section boundary (numerics vs letter chars vs specials)
+_SECTIONS = {
+    "hexadecimal": [list("0123456789"), list("abcdef")],
+    "HEXADECIMAL": [list("0123456789"), list("ABCDEF")],
+    "base64url": [
+        [chr(c) for c in range(ord("A"), ord("Z") + 1)],
+        [chr(c) for c in range(ord("a"), ord("z") + 1)],
+        list("0123456789"),
+        ["-", "_"],  # SpecialKeyChunker: chars joined, no '-' range
+    ],
+    "base64": [
+        [chr(c) for c in range(ord("A"), ord("Z") + 1)],
+        [chr(c) for c in range(ord("a"), ord("z") + 1)],
+        list("0123456789"),
+        ["-", "_", "+", "/"],
+    ],
+}
+_SPECIAL_SECTION = {"base64url": 3, "base64": 3}
+
+
+class _SplitKeyManager:
+    """key-manager.ts SplitKeyManager: deal `num` chars across the
+    section chunkers in order, as (display, chars) — display is the
+    reference's printable char-class ('8-9a-b' → '[8-9a-b]')."""
+
+    def __init__(self, key_type: str):
+        self.sections = _SECTIONS[key_type]
+        self.special = _SPECIAL_SECTION.get(key_type, -1)
+        self.idx = [0] * len(self.sections)
+        self.took: list[int] = []
+        self.called: list[int] = []
+
+    def split(self, num: int) -> tuple[str, list[str]]:
+        self.called = []
+        self.took = [0] * len(self.sections)
+        left = num
+        display = ""
+        chars: list[str] = []
+        for si, sec in enumerate(self.sections):
+            if self.idx[si] >= len(sec):
+                continue
+            end = min(self.idx[si] + left, len(sec))
+            take = sec[self.idx[si] : end]
+            if si == self.special:
+                part = "".join("\\" + c if c == "-" else c for c in take)
+            elif len(take) == 1:
+                part = take[0]
+            else:
+                part = f"{take[0]}-{take[-1]}"
+            display += part
+            chars.extend(take)
+            self.took[si] = len(take)
+            self.called.append(si)
+            left -= len(take)
+            if left <= 0:
+                break
+        if display:
+            display = f"[{display}]"
+        return display, chars
+
+    def commit(self) -> None:
+        for si in self.called:
+            self.idx[si] += self.took[si]
+
+
+def _create_ratio(size: int, alphabet_len: int):
+    """idSlicer-refactor.ts:269-286 createRatioFN: False → plain
+    per-char recursion; int → char-class chunk size."""
+
+    def ratio(count: int):
+        if count >= size * alphabet_len:
+            return False
+        r = (alphabet_len * size) // count
+        if r <= 1:
+            return False
+        return r
+
+    return ratio
+
+
+def id_slicer_plan_optimized(
+    class_count_fn: Callable[[str, Sequence[str] | None], int],
+    key_type: str = "hexadecimal",
+    key_set: Sequence[str] | None = None,
+    size: int = 5000,
+    starting_key_depth: int = 0,
+    retry_key: str | None = None,
+) -> list[tuple[str, int]]:
+    """I3 idSlicerOptimized as a plan: emit (key_expr, count) where
+    key_expr is the reference's printable slice key — a bare prefix or
+    prefix + char-class like '0[8-9a-b]' (idSlicer-refactor.ts:149-211
+    splitKeys + chunkers). Mirrors the reference generator protocol:
+
+    - count > size → ratio = floor(alphabet·size/count); chunk the
+      remaining alphabet into `ratio`-char classes
+    - an over-counting class shrinks: new = floor(ratio·resp/alphabet)
+      with resp = floor(alphabet·size/class_count); if not smaller than
+      the current chunk, decrement by 1 instead (:190-204)
+    - a single-char class that still over-counts recurses one char
+      deeper (:183-188); count ≥ size·alphabet or ratio ≤ 1 → plain
+      per-char recursion (:269-286)
+    - zero-count prefixes/classes are pruned
+
+    class_count_fn(prefix, chars): docs starting with `prefix` whose
+    next char is in `chars` (chars=None → bare prefix count).
+    """
+    alphabet = ALPHABETS[key_type]
+    keys = list(key_set) if key_set else list(alphabet)
+    ratio_fn = _create_ratio(size, len(alphabet))
+    out: list[tuple[str, int]] = []
+    skipping = retry_key is not None
+
+    def emit(expr: str, count: int) -> None:
+        out.append((expr, count))
+
+    def handle(prefix: str) -> None:
+        """determineKeySlice for a bare prefix key."""
+        nonlocal skipping
+        if skipping:
+            # keyGenerator retry fast-forward (:77-98): skip subtrees
+            # that cannot contain retry_key; resume after it
+            if retry_key.startswith(prefix) and prefix != retry_key:
+                for ch in alphabet:
+                    handle(prefix + ch)
+                return
+            if prefix == retry_key:
+                skipping = False
+            return
+        c = class_count_fn(prefix, None)
+        if c == 0:
+            return
+        if c > size:
+            r = ratio_fn(c)
+            if r is False:
+                for ch in alphabet:
+                    handle(prefix + ch)
+            else:
+                split_keys(prefix, r)
+            return
+        emit(prefix, c)
+
+    def split_keys(prefix: str, ratio: int) -> None:
+        """splitKeys (:149-211) — iterative char-class walk."""
+        tracker = _SplitKeyManager(key_type)
+        chunk = ratio
+        # NB: the reference does NOT reset these at loop top (:158-177);
+        # mirrored for exactness
+        limit_of_splitting = False
+        next_key = ""
+        while True:
+            display, chars = tracker.split(chunk)
+            if not display:
+                return
+            if len(display) == 3:
+                limit_of_splitting = True
+                next_key = display[1]
+            elif len(display) == 4 and "\\" in display:
+                limit_of_splitting = True
+                next_key = display[2]
+            c = class_count_fn(prefix, chars)
+            if c > size:
+                if limit_of_splitting:
+                    for ch in alphabet:
+                        handle(prefix + next_key + ch)
+                    tracker.commit()
+                else:
+                    resp = ratio_fn(c)
+                    if resp is False:
+                        # can't happen for a class ⊆ an in-ratio parent;
+                        # mirror the reference (non-number → commit)
+                        tracker.commit()
+                        continue
+                    new_chunk = max((ratio * resp) // len(alphabet), 1)
+                    if chunk <= new_chunk:
+                        chunk -= 1
+                    else:
+                        chunk = new_chunk
+            elif c != 0:
+                emit(f"{prefix}{display}", c)
+                tracker.commit()
+            else:
+                tracker.commit()
+
+    def walk_depth(prefix: str) -> None:
+        """generateKeyDepth/recurseDepth (:213-236,256-267)."""
+        if len(prefix) >= starting_key_depth:
+            handle(prefix)
+            return
+        for ch in alphabet:
+            walk_depth(prefix + ch)
+
+    for k in keys:
+        if starting_key_depth > 0:
+            walk_depth(k)
+        else:
+            handle(k)
+    return out
+
+
+def class_count_fn_from_keys(all_keys: Sequence[str]):
+    """Count oracle over an in-memory key list (tests/parity runs)."""
+    keys = sorted(all_keys)
+
+    def count(prefix: str, chars: Sequence[str] | None) -> int:
+        import bisect
+
+        if chars is None:
+            lo = bisect.bisect_left(keys, prefix)
+            hi = bisect.bisect_left(keys, prefix + "￿")
+            return hi - lo
+        total = 0
+        for ch in chars:
+            p = prefix + ch
+            lo = bisect.bisect_left(keys, p)
+            hi = bisect.bisect_left(keys, p + "￿")
+            total += hi - lo
+        return total
+
+    return count
+
+
 def spark_prefix_count_fn(df, key_col: str) -> Callable[[str], int]:
     """Driver-side prefix-count oracle: collect the sorted key list once,
     then each count is two searchsorted calls (the reference pays one ES
@@ -70,3 +311,13 @@ def spark_prefix_count_fn(df, key_col: str) -> Callable[[str], int]:
         return int(hi - lo)
 
     return count
+
+
+def spark_class_count_fn(df, key_col: str):
+    """Driver-side char-class count oracle for the I3 walk: same
+    collect-once strategy as spark_prefix_count_fn (parity mode only —
+    the declarative engine path is reader.id_slice_counts)."""
+    keys = sorted(
+        r[0] for r in df.select(key_col).collect() if r[0] is not None
+    )
+    return class_count_fn_from_keys(keys)

@@ -81,14 +81,21 @@ def bounded_count(df: DataFrame, pred: Column | None, n: int) -> int:
     return base.limit(n).count()
 
 
-def auto_interval_ms(start_ms: int, end_ms: int, total: int, size: int) -> int:
-    """D2 determineSliceInterval("auto"): interval such that an even
-    spread yields ~`size` docs per slice. Pure function, unit-testable
-    against the reference's golden plans."""
+def auto_interval_ms(
+    start_ms: int, end_ms: int, total: int, size: int, resolution: str = "ms"
+) -> int:
+    """D2 determineSliceInterval("auto"): numOfSlices = ceil(count/size);
+    interval = FLOOR(range/numOfSlices), min one resolution unit
+    (ElasticsearchReaderAPI.ts:252-284 — golden: 1000 docs/193 ms/size 50
+    → [9,'ms']). 's' resolution floors to whole seconds (returned in ms).
+    total==0 is the caller's special case (reference returns null)."""
     if total <= 0:
         return max(1, end_ms - start_ms)
     n_slices = math.ceil(total / size)
-    return max(1, math.ceil((end_ms - start_ms) / n_slices))
+    interval = (end_ms - start_ms) // n_slices
+    if resolution == "s":
+        return max(1000, (interval // 1000) * 1000)
+    return max(1, interval)
 
 
 def date_histogram(

@@ -20,14 +20,20 @@ def test_divide_range_even_split_last_takes_remainder():
 
 
 def test_auto_interval_golden():
-    # determineSliceInterval: 1000 docs over 193ms, size 200 →
-    # ceil(1000/200)=5 slices → interval ceil(193/5)=39ms; the reference
-    # golden plan uses size-driven bisection on top (slicer-spec.ts:174)
-    assert reader.auto_interval_ms(0, 193, total=1000, size=200) == 39
+    # determineSliceInterval = floor(range / ceil(count/size)) — golden
+    # metadata from the reference's even-spread harness runs
+    # (slicer-spec.ts:180-236): every (count, range, size) → interval
+    assert reader.auto_interval_ms(0, 193, total=1000, size=50) == 9
+    assert reader.auto_interval_ms(0, 193, total=1000, size=200) == 38
+    assert reader.auto_interval_ms(0, 144, total=868, size=50) == 8  # start var
+    assert reader.auto_interval_ms(0, 79, total=275, size=50) == 13  # end var
     # even spread, size ≥ total → one slice covering the range
     assert reader.auto_interval_ms(0, 193, total=100, size=200) == 193
     # empty index → full range
     assert reader.auto_interval_ms(0, 193, total=0, size=200) == 193
+    # second resolution floors to whole seconds, min 1 s
+    assert reader.auto_interval_ms(0, 9500, total=100, size=50, resolution="s") == 4000
+    assert reader.auto_interval_ms(0, 500, total=100, size=50, resolution="s") == 1000
 
 
 def test_id_slicer_ranges_round_robin():
