@@ -157,11 +157,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_count"] = ft_count
 
     def ft_wildcard(s, d):
+        # scale-safe expansion: distributed semi-join above the collect
+        # threshold, never a driver-side term list in the plan
         index = _docs_index(s, d)
-        terms = qx.expand_wildcard(index, "qu*")
-        if not terms:
-            return index.postings.select("doc_id").limit(0)
-        return qx._candidates(index, terms).select("doc_id").distinct()
+        hits = qx.dict_hits(index, "qu*")
+        return qx.expanded_candidates(index, hits).select("doc_id").distinct()
 
     q["ft_wildcard_prefix"] = ft_wildcard
 
@@ -320,10 +320,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t, src = _wr_frames(s, d)
         return writer.merge_delete(t, src)
 
+    def wr_script(s, d):
+        # K1.f "very simple" scripted update: text = text + '#' + params.tag
+        t, _ = _wr_frames(s, d)
+        src = (
+            _t(s, d, "documents")
+            .where(F.col("doc_id") % 2 == 0)
+            .select("doc_id", F.col("doc_id").cast("string").alias("tag"))
+        )
+        return writer.merge_script(
+            t,
+            src,
+            {"text": F.concat(F.col("text"), F.lit("#"), F.col("param_tag"))},
+        )
+
     q["wr_index"] = wr_index
     q["wr_create"] = wr_create
     q["wr_update"] = wr_update
     q["wr_delete"] = wr_delete
+    q["wr_script"] = wr_script
 
     # ---- dedup / text analysis / similarity ----
     q["dd_exact"] = lambda s, d: dedup.exact_dedup(_t(s, d, "documents"), "text", "doc_id")
@@ -408,11 +423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ft_regexp(s, d):
         index = _docs_index(s, d)
-        t = index.terms.where(F.col("term").rlike("^qu.*y$"))
-        terms = [r["term"] for r in t.select("term").collect()]
-        if not terms:
-            return index.postings.select("doc_id").limit(0)
-        return qx._candidates(index, terms).select("doc_id").distinct()
+        hits = qx.dict_hits_regexp(index, "qu.*y")
+        return qx.expanded_candidates(index, hits).select("doc_id").distinct()
 
     q["ft_regexp"] = ft_regexp
 
@@ -732,6 +744,14 @@ UNION ALL SELECT s.* FROM s JOIN t USING (doc_id)
     o["wr_delete"] = f"""
 WITH t AS ({_target}), s AS ({_source})
 SELECT * FROM t WHERE doc_id NOT IN (SELECT doc_id FROM s)
+"""
+    o["wr_script"] = f"""
+WITH t AS ({_target}),
+s AS (SELECT doc_id, doc_id::VARCHAR AS tag FROM documents WHERE doc_id % 2 = 0)
+SELECT t.doc_id,
+       CASE WHEN s.doc_id IS NOT NULL THEN t.text || '#' || s.tag
+            ELSE t.text END AS text
+FROM t LEFT JOIN s ON t.doc_id = s.doc_id
 """
 
     # ---- dedup / textstats / similarity ----

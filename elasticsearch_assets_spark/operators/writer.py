@@ -87,6 +87,44 @@ def merge_upsert(
     return updated.unionByName(new.select(target.columns))
 
 
+def merge_script(
+    target: DataFrame,
+    source: DataFrame,
+    set_exprs: dict,
+    key: str = "doc_id",
+    param_prefix: str = "param_",
+) -> DataFrame:
+    """K1.f scripted update: the reference's "very simple" painless
+    scripts (`ctx._source.field = ... params.x ...`,
+    ElasticsearchBulkSender.ts:139-151 applyScript + script_params)
+    expressed as Column expressions.
+
+    Matched target rows get each column in `set_exprs` recomputed from
+    the expression; source columns are visible inside the expressions as
+    `param_<col>` (the script_params binding). Unmatched rows pass
+    through unchanged — ES update-with-script touches existing docs only.
+    """
+    src = _dedup_last(source, key)
+    params = src.select(
+        key,
+        F.lit(True).alias("_matched"),
+        *[
+            F.col(c).alias(f"{param_prefix}{c}")
+            for c in src.columns
+            if c != key
+        ],
+    )
+    joined = target.join(params, key, "left")
+    matched = F.coalesce(F.col("_matched"), F.lit(False))
+    cols = []
+    for c in target.columns:
+        if c in set_exprs:
+            cols.append(F.when(matched, set_exprs[c]).otherwise(F.col(c)).alias(c))
+        else:
+            cols.append(F.col(c))
+    return joined.select(*cols)
+
+
 def merge_delete(target: DataFrame, deletes: DataFrame, key: str = "doc_id") -> DataFrame:
     """K1.d `delete`: anti-join removal."""
     return target.join(deletes.select(key), key, "left_anti")

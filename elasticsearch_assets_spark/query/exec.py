@@ -148,18 +148,63 @@ def bool_query(
     return top_k(s.select("doc_id", "score"), k)
 
 
-def expand_wildcard(index: IndexTables, pattern: str) -> list[str]:
-    """Expand an ES wildcard pattern (`*`/`?` on a keyword-ish term)
-    against the term dictionary. Prefix patterns become a dictionary
-    range scan (term >= p AND term < p+MAX) — SURVEY.md Q4."""
+# below this many dictionary hits, expansion collects the terms and
+# keeps STATIC bucket partition pruning (zero-job driver-side bucket
+# math); above it, hits stay distributed and postings are semi-joined
+WILDCARD_COLLECT_THRESHOLD = 128
+
+
+def dict_hits(index: IndexTables, pattern: str) -> DataFrame:
+    """Dictionary rows matching an ES wildcard pattern (`*`/`?`).
+    Prefix patterns become a dictionary range scan (term >= p AND
+    term < p+MAX) — SURVEY.md Q4. Stays a DataFrame: never assume the
+    hit set fits on the driver (a short prefix over a 10^9-term
+    dictionary does not)."""
     t = index.terms
     if pattern.endswith("*") and "*" not in pattern[:-1] and "?" not in pattern:
         p = pattern[:-1].lower()
-        hits = t.where((F.col("term") >= p) & (F.col("term") < p + "￿"))
-    else:
-        regex = "^" + _glob_to_regex(pattern.lower()) + "$"
-        hits = t.where(F.col("term").rlike(regex))
-    return [r["term"] for r in hits.select("term").collect()]
+        return t.where((F.col("term") >= p) & (F.col("term") < p + "￿"))
+    regex = "^" + _glob_to_regex(pattern.lower()) + "$"
+    return t.where(F.col("term").rlike(regex))
+
+
+def dict_hits_regexp(index: IndexTables, pattern: str) -> DataFrame:
+    """Dictionary rows matching an anchored ES regexp."""
+    return index.terms.where(F.col("term").rlike(f"^{pattern}$"))
+
+
+def _candidates_semi(index: IndexTables, hits: DataFrame) -> DataFrame:
+    """Postings for a DataFrame of dictionary hits: broadcast the hits
+    with their build-side bucket and join on (bucket, term). The bucket
+    join key lets dynamic partition pruning skip non-matching bucket
+    directories; the hit set never lands on the driver or in the plan as
+    an IN-list literal."""
+    hb = hits.select(
+        "term",
+        F.pmod(F.xxhash64("term"), F.lit(index.n_buckets))
+        .cast("int")
+        .alias("bucket"),
+    )
+    return index.postings.join(F.broadcast(hb), ["bucket", "term"], "left_semi")
+
+
+def expanded_candidates(index: IndexTables, hits: DataFrame) -> DataFrame:
+    """Candidate postings for an expanded multi-term query (wildcard /
+    regexp). Small expansions (the common case) collect and reuse the
+    statically-pruned path; large ones stay fully distributed."""
+    n = hits.limit(WILDCARD_COLLECT_THRESHOLD + 1).count()
+    if n == 0:
+        return index.postings.where(F.lit(False))
+    if n <= WILDCARD_COLLECT_THRESHOLD:
+        terms = [r["term"] for r in hits.select("term").collect()]
+        return _candidates(index, terms)
+    return _candidates_semi(index, hits)
+
+
+def expand_wildcard(index: IndexTables, pattern: str) -> list[str]:
+    """Driver-side expansion (small patterns / tests): the scale path is
+    expanded_candidates(dict_hits(...))."""
+    return [r["term"] for r in dict_hits(index, pattern).select("term").collect()]
 
 
 def _glob_to_regex(glob: str) -> str:
@@ -179,15 +224,11 @@ def _glob_to_regex(glob: str) -> str:
 def wildcard_query(index: IndexTables, pattern: str, k: int = 10) -> DataFrame:
     """ES `wildcard`: constant-score filter (score = 1.0 per doc, the ES
     constant_score semantics for multi-term queries), tie-break doc_id."""
-    terms = expand_wildcard(index, pattern)
-    if not terms:
-        empty = _candidates(index, [])
-        return empty.select(
-            "doc_id", F.lit(1.0).alias("score")
-        ).limit(0)
-    cand = _candidates(index, terms).select("doc_id").distinct()
+    cand = expanded_candidates(index, dict_hits(index, pattern))
     return (
-        cand.withColumn("score", F.lit(1.0))
+        cand.select("doc_id")
+        .distinct()
+        .withColumn("score", F.lit(1.0))
         .orderBy(F.asc("doc_id"))
         .limit(k)
     )

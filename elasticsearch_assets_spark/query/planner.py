@@ -147,12 +147,13 @@ class QueryPlanner:
         f = self._field(node.field)
         anchored = f"^{node.pattern}$"
         if self._is_text(f):
-            t = self.index.terms.where(F.col("term").rlike(anchored))
-            terms = [r["term"] for r in t.select("term").collect()]
-            if not terms:
-                return self._empty()
-            cand = qx._candidates(self.index, terms).select("doc_id").distinct()
-            return cand.withColumn("score", F.lit(1.0))
+            # scale-safe expansion: small hit sets collect (static bucket
+            # pruning); large ones semi-join postings on (bucket, term)
+            hits = qx.dict_hits_regexp(self.index, node.pattern)
+            cand = qx.expanded_candidates(self.index, hits)
+            return (
+                cand.select("doc_id").distinct().withColumn("score", F.lit(1.0))
+            )
         return self._attr_filter(F.col(f).cast("string").rlike(anchored))
 
     def _range(self, node: Range) -> DataFrame:

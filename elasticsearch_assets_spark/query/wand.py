@@ -76,27 +76,43 @@ class PackedIndex:
 
 
 def decode_blocks(blocks: DataFrame) -> DataFrame:
-    """Packed block rows → posting rows (Arrow-batched numpy decode)."""
+    """Packed block rows → posting rows.
+
+    Fully vectorized per Arrow batch: all blocks' varbyte streams are
+    concatenated and decoded in ONE numpy pass (varbyte streams are
+    self-delimiting, so concatenation is decode-transparent), then the
+    per-block delta cumsum is recovered with a segment-offset
+    subtraction — no Python loop over blocks or postings.
+    """
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            outs = []
-            for _, r in pdf.iterrows():
-                d, tf, dl = codec.decode_block(
-                    r["docs_vb"], r["tfs_vb"], r["dls_vb"], int(r["n"])
-                )
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "term": r["term"],
-                            "doc_id": d,
-                            "tf": tf.astype(np.int32),
-                            "dl": dl.astype(np.int32),
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            ns = pdf["n"].to_numpy(dtype=np.int64)
+            total = int(ns.sum())
+            if total == 0:
+                continue
+            deltas = codec.zigzag_decode(
+                codec.varbyte_decode(b"".join(pdf["docs_vb"]), total)
+            )
+            # per-block cumsum: global cumsum minus each segment's
+            # preceding prefix (first delta of a block is its raw id)
+            g = np.cumsum(deltas)
+            starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+            prefix = np.zeros(len(ns), dtype=np.int64)
+            prefix[1:] = g[starts[1:] - 1]
+            doc_ids = g - np.repeat(prefix, ns)
+            tfs = codec.varbyte_decode(b"".join(pdf["tfs_vb"]), total)
+            dls = codec.varbyte_decode(b"".join(pdf["dls_vb"]), total)
+            yield pd.DataFrame(
+                {
+                    "term": np.repeat(pdf["term"].to_numpy(), ns),
+                    "doc_id": doc_ids,
+                    "tf": tfs.astype(np.int32),
+                    "dl": dls.astype(np.int32),
+                }
+            )
 
     return blocks.mapInPandas(gen, schema=DECODED_SCHEMA)
 

@@ -173,6 +173,28 @@ def test_update_fields_subset(spark):
     assert got == {1: ("A", 10), 2: ("b", 20)}
 
 
+def test_merge_script_expression_update(spark):
+    # K1.f applyScript (ElasticsearchBulkSender.ts:139-151): a simple
+    # `ctx._source.n += params.inc` script as a Column expression;
+    # unmatched rows untouched, params bound from source columns
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "doc_id long, v string, n long"
+    )
+    source = spark.createDataFrame(
+        [(1, 5), (3, 7), (4, 100)], "doc_id long, inc long"
+    )
+    out = writer.merge_script(
+        target,
+        source,
+        {"n": F.col("n") + F.col("param_inc"),
+         "v": F.concat(F.col("v"), F.lit("!"))},
+    )
+    got = {r["doc_id"]: (r["v"], r["n"]) for r in out.collect()}
+    # 1 and 3 scripted; 2 untouched; 4 not inserted (update touches
+    # existing docs only)
+    assert got == {1: ("a!", 15), 2: ("b", 20), 3: ("c!", 37)}
+
+
 def test_bulk_last_write_wins(spark):
     target = spark.createDataFrame([(1, "x")], "doc_id long, v string")
     source = spark.createDataFrame(
