@@ -43,6 +43,9 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("docs_vb", T.BinaryType(), False),
         T.StructField("tfs_vb", T.BinaryType(), False),
         T.StructField("dls_vb", T.BinaryType(), False),
+        # 128-byte doc_id Bloom: lets MaxScore skip DECODING
+        # non-essential blocks that contain no candidate doc
+        T.StructField("bloom", T.BinaryType(), False),
     ]
 )
 
@@ -84,6 +87,7 @@ def pack_blocks(
                 "docs_vb": [docs_vb],
                 "tfs_vb": [tfs_vb],
                 "dls_vb": [dls_vb],
+                "bloom": [codec.bloom_build(doc_ids)],
             }
         )
 

@@ -77,6 +77,49 @@ def varbyte_decode(buf: bytes, n: int) -> np.ndarray:
     return out
 
 
+# ---------------------------------------------------------------------------
+# per-block doc_id Bloom filters (candidate-aware decode skip)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1024  # 128 bytes per block
+BLOOM_K = 2
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def bloom_positions(doc_ids: np.ndarray) -> np.ndarray:
+    """(n, BLOOM_K) bit positions for each doc_id — the shared hash
+    family for build and probe."""
+    x = doc_ids.astype(np.int64).view(np.uint64)
+    h1 = _splitmix64(x)
+    h2 = _splitmix64(x ^ np.uint64(0xA076_1D64_78BD_642F))
+    return np.stack(
+        [(h1 % np.uint64(BLOOM_BITS)), (h2 % np.uint64(BLOOM_BITS))], axis=1
+    ).astype(np.int64)
+
+
+def bloom_build(doc_ids: np.ndarray) -> bytes:
+    """128-byte Bloom over a block's doc_ids."""
+    bits = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+    pos = bloom_positions(doc_ids).ravel()
+    np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return bits.tobytes()
+
+
+def bloom_may_contain_any(bloom: bytes, positions: np.ndarray) -> bool:
+    """True iff ANY candidate row of `positions` has all its bits set —
+    false positives possible (decode a useless block: safe), false
+    negatives impossible (never skips a real hit)."""
+    bits = np.frombuffer(bloom, dtype=np.uint8)
+    hit = (bits[positions >> 3] >> (positions & 7)) & 1
+    return bool(hit.all(axis=1).any())
+
+
 def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> tuple[bytes, bytes, bytes]:
     """Sort by doc_id, delta+zigzag the ids, varbyte everything."""
     order = np.argsort(doc_ids, kind="stable")

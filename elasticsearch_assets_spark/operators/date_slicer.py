@@ -200,6 +200,178 @@ def date_slicer_plan_with_subslices(
     return out
 
 
+# ---------------------------------------------------------------------------
+# D7 recovery redistribution + starting points
+# (algorithms/date-helpers.ts:147-240 redistributeDates,
+#  :287-388 compareRangeToRecoveryData, :400-468 determineDateSlicerRange)
+# ---------------------------------------------------------------------------
+
+
+def divide_range_ms(start_ms: int, limit_ms: int, n: int) -> list[tuple[int, int]]:
+    """date-helpers.ts:242-264 divideRange: float step, truncated to ms,
+    final limit pinned exactly."""
+    rng = (limit_ms - start_ms) / n
+    out = []
+    for i in range(n):
+        s = int(start_ms + i * rng)
+        e = int(start_ms + (i + 1) * rng)
+        out.append((s, e))
+    out[-1] = (out[-1][0], limit_ms)
+    return out
+
+
+def _determine_divisions(n_divisions: int, ending: int) -> list[int]:
+    """date-helpers.ts:147-162: deal `ending` units round-robin across
+    n_divisions buckets (each starts at 1)."""
+    buckets = [1] * n_divisions
+    remaining = ending - n_divisions
+    i = 0
+    while remaining > 0:
+        buckets[i] += 1
+        i = 0 if i + 1 > n_divisions - 1 else i + 1
+        remaining -= 1
+    return buckets
+
+
+def redistribute_dates(
+    recovery: list[dict], num_slicers: int, slicer_id: int
+) -> dict:
+    """N→M slicer redistribution (date-helpers.ts:225-240).
+
+    recovery items: {start, end, limit, holes} in ms (the last slice each
+    previous slicer emitted). More slicers → each old remainder range
+    [end, limit) is subdivided; fewer → consecutive old ranges compact
+    into one, recording the gaps BETWEEN them as holes."""
+    if num_slicers > len(recovery):
+        buckets = _determine_divisions(len(recovery), num_slicers)
+        ranges: list[dict] = []
+        for r, n_div in zip(recovery, buckets):
+            for s, e in divide_range_ms(r["end"], r["limit"], n_div):
+                ranges.append({"start": s, "limit": e})
+        return ranges[slicer_id]
+    buckets = _determine_divisions(num_slicers, len(recovery))
+    pockets: list[list[dict]] = []
+    it = iter(recovery)
+    for n_take in buckets:
+        pockets.append([next(it) for _ in range(n_take)])
+    segment = pockets[slicer_id]
+    holes: list[tuple[int, int]] = []
+    for cur, nxt in zip(segment, segment[1:]):
+        holes.append((cur["limit"], nxt["end"]))
+        holes.extend(tuple(h) for h in cur.get("holes") or [])
+    out = {"start": segment[0]["end"], "limit": segment[-1]["limit"]}
+    if holes:
+        out["holes"] = holes
+    return out
+
+
+def _hole_affects_range(start: int, limit: int, hole: tuple[int, int]) -> bool:
+    """date-helpers.ts:291-302 (isBetween is EXCLUSIVE both ends)."""
+    hs, he = hole
+    if start < hs < limit or start < he < limit:
+        return True
+    if hs < limit < he:
+        return True
+    if hs == start or he == limit:
+        return True
+    return False
+
+
+def _compare_range_to_recovery(
+    new_dates: dict,
+    recovery: list[dict],
+    interval_ms: int,
+    slicer_id: int,
+    num_slicers: int,
+) -> dict:
+    """date-helpers.ts:309-388 compareRangeToRecoveryData: resume point,
+    hole skipping/encapsulation, limit clamping."""
+    start = new_dates["start"]
+    limit = new_dates["limit"]
+    # compaction holes (inter-range gaps) ride along untouched unless the
+    # processing below replaces them — Object.assign semantics (:317)
+    carried = [tuple(h) for h in new_dates.get("holes") or []]
+    holes: list[tuple[int, int]] = []
+
+    if slicer_id < len(recovery) and len(recovery) >= num_slicers:
+        # exact match / compaction: resume from recoveryData[id].end
+        start = recovery[slicer_id]["end"]
+        end = start + interval_ms
+        holes.extend(tuple(h) for h in recovery[slicer_id].get("holes") or [])
+    else:
+        # expansion: ranges already account for ends; holes compared
+        # against ALL recovery entries (each covered range is a hole)
+        end = start + interval_ms
+        temp: list[tuple[int, int]] = []
+        for r in recovery:
+            temp.append((r["start"], r["end"]))
+            temp.extend(tuple(h) for h in r.get("holes") or [])
+        holes.extend(h for h in temp if _hole_affects_range(start, limit, h))
+
+    if holes:
+        final_hole = holes[-1]
+        if limit == final_hole[1]:
+            # hole ends exactly at the limit: encapsulated, drop it
+            limit = final_hole[0]
+            holes.pop()
+        elif limit < final_hole[1]:
+            # hole overflows the limit: clamp, keep for future boundary
+            limit = final_hole[0]
+            if start >= limit:
+                start = limit
+                end = limit
+        if holes and start >= holes[0][0]:
+            # previous end sat at/inside a hole: jump it
+            new_start = holes[0][1]
+            if new_start > limit:
+                new_start = holes[0][0]
+            else:
+                holes.pop(0)
+            if new_start == limit:
+                new_start = holes[0][0]
+            start = new_start
+        end = start + interval_ms
+        if holes and end >= holes[0][0]:
+            end = holes[0][0]
+        carried = holes
+
+    end = min(end, limit)
+    start = min(start, limit)
+    return {"start": start, "end": end, "limit": limit, "holes": carried}
+
+
+def determine_date_slicer_ranges(
+    start_ms: int,
+    limit_ms: int,
+    num_slicers: int,
+    interval_ms: int,
+    recovery: list[dict] | None = None,
+) -> list[dict]:
+    """date-helpers.ts:400-468 determineDateSlicerRanges: per-slicer
+    {start, end, limit, holes} resume points, handling N→M slicer-count
+    changes and recorded holes. Feed each result to date_slicer_plan
+    (holes= supported there)."""
+    recovery = recovery or []
+    out = []
+    for sid in range(num_slicers):
+        if recovery:
+            if num_slicers != len(recovery):
+                nd = redistribute_dates(recovery, num_slicers, sid)
+            else:
+                s, e = divide_range_ms(start_ms, limit_ms, num_slicers)[sid]
+                nd = {"start": s, "limit": e}
+            out.append(
+                _compare_range_to_recovery(
+                    nd, recovery, interval_ms, sid, num_slicers
+                )
+            )
+        else:
+            s, lim = divide_range_ms(start_ms, limit_ms, num_slicers)[sid]
+            end = min(s + interval_ms, lim)
+            out.append({"start": s, "end": end, "limit": lim, "holes": []})
+    return out
+
+
 def make_date_slicer_ranges(
     df,
     date_col: str,

@@ -118,15 +118,12 @@ def date_histogram(
 
 
 def divide_range(start_ms: int, limit_ms: int, n: int) -> list[tuple[int, int]]:
-    """D3 divideRange: split [start, limit) across n slicers; the last
-    takes the remainder (date-helpers.ts:242-264)."""
-    step = (limit_ms - start_ms) // n
-    out = []
-    for i in range(n):
-        s = start_ms + i * step
-        e = start_ms + (i + 1) * step if i < n - 1 else limit_ms
-        out.append((s, e))
-    return out
+    """D3 divideRange (date-helpers.ts:242-264): float step truncated to
+    ms, final limit pinned exactly — bit-identical to the reference's
+    moment arithmetic."""
+    from elasticsearch_assets_spark.operators.date_slicer import divide_range_ms
+
+    return divide_range_ms(start_ms, limit_ms, n)
 
 
 def id_slice_counts(

@@ -75,6 +75,35 @@ class PackedIndex:
         return {r["term"]: (int(r["df"]), float(r["mt"])) for r in rows}
 
 
+# candidate sets larger than this skip the Bloom prefilter (the
+# broadcast closure and per-block probe cost would outgrow the decode
+# saving; the semi-join after decode still bounds the scoring work)
+BLOOM_CAND_THRESHOLD = 50_000
+
+
+def bloom_skip_blocks(blocks: DataFrame, cand: DataFrame) -> DataFrame:
+    """Drop packed blocks whose Bloom proves they contain NO candidate
+    doc (the wand.py roadmap note, now implemented). Pass-through when
+    the index predates blooms or the candidate set is too large."""
+    if "bloom" not in blocks.columns:
+        return blocks
+    rows = cand.limit(BLOOM_CAND_THRESHOLD + 1).collect()
+    if len(rows) > BLOOM_CAND_THRESHOLD:
+        return blocks
+    if not rows:
+        return blocks.where(F.lit(False))
+    pos = codec.bloom_positions(np.array([r["doc_id"] for r in rows], np.int64))
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            keep = [
+                codec.bloom_may_contain_any(b, pos) for b in pdf["bloom"]
+            ]
+            yield pdf[keep]
+
+    return blocks.mapInPandas(gen, schema=blocks.schema)
+
+
 def decode_blocks(blocks: DataFrame) -> DataFrame:
     """Packed block rows → posting rows.
 
@@ -217,14 +246,20 @@ def match_query_packed(
             break
     essential = [t for t in qterms if t not in non_essential]
 
-    decoded = decode_blocks(qblocks)
     if non_essential:
-        cand = (
-            decoded.where(F.col("term").isin(essential))
-            .select("doc_id")
-            .distinct()
-        )
-        decoded = decoded.join(cand, "doc_id", "left_semi")
+        # candidates come from essential terms only; non-essential
+        # posting lists are decoded only where a candidate MIGHT live —
+        # the per-block Bloom drops the rest before decode (rank-safe:
+        # Bloom false negatives are impossible, and a non-candidate doc
+        # can never enter the final scoring set anyway)
+        ess_decoded = decode_blocks(qblocks.where(F.col("term").isin(essential)))
+        cand = ess_decoded.select("doc_id").distinct()
+        ne_blocks = qblocks.where(F.col("term").isin(non_essential))
+        ne_blocks = bloom_skip_blocks(ne_blocks, cand)
+        ne_decoded = decode_blocks(ne_blocks).join(cand, "doc_id", "left_semi")
+        decoded = ess_decoded.unionByName(ne_decoded)
+    else:
+        decoded = decode_blocks(qblocks)
 
     scored = _score_decoded(decoded, stats, index.n_docs, index.avg_dl)
     if operator == "and":

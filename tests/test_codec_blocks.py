@@ -104,6 +104,55 @@ def test_packed_matches_oracle(packed, text, k, op):
     _assert_parity(got, exp)
 
 
+def test_bloom_positions_roundtrip():
+    ids = np.array([1, 7, 123456789, -5, 2**62], dtype=np.int64)
+    bloom = codec.bloom_build(ids)
+    assert len(bloom) == codec.BLOOM_BITS // 8
+    # every member must test positive (no false negatives)
+    assert codec.bloom_may_contain_any(bloom, codec.bloom_positions(ids))
+    for i in ids:
+        assert codec.bloom_may_contain_any(
+            bloom, codec.bloom_positions(np.array([i], np.int64))
+        )
+
+
+def test_bloom_decode_skip_prunes_blocks_rank_safe(packed, spark):
+    """Candidate-aware decode skip: a rare+hot query must decode FEWER
+    non-essential blocks than exist, with rank-identical results."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_assets_spark.query.wand import (
+        bloom_skip_blocks,
+        match_query_packed,
+    )
+
+    pidx, oracle = packed
+    # rare term drives candidates; 'return' is the Zipf head
+    text = "return uniq_7"
+    got = match_query_packed(pidx, text, k=10)
+    exp = oracle.match(text, k=10)
+    _assert_parity(got, exp)
+
+    # direct prune evidence: candidates of the rare terms vs hot blocks
+    from elasticsearch_assets_spark.query.wand import decode_blocks
+
+    rare_docs = (
+        decode_blocks(pidx.blocks.where(F.col("term").isin(["uniq", "7"])))
+        .select("doc_id")
+        .distinct()
+    )
+    hot_blocks = pidx.blocks.where(F.col("term") == "return")
+    total = hot_blocks.count()
+    # a single candidate doc lives in exactly one block of the hot term
+    # (+ Bloom false positives): nearly all decode work is skipped
+    one = rare_docs.orderBy("doc_id").limit(1)
+    survived = bloom_skip_blocks(hot_blocks, one).count()
+    assert survived < total, (survived, total)
+    # empty candidate set prunes everything
+    empty = rare_docs.limit(0)
+    assert bloom_skip_blocks(hot_blocks, empty).count() == 0
+
+
 def test_packed_blocks_bounded(packed):
     """No block materially exceeds the target size (hash balance)."""
     pidx, _ = packed

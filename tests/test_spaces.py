@@ -61,6 +61,41 @@ def test_arrow_wire_roundtrip(spark, events):
     }
 
 
+def test_type_config_validation_and_apply(spark, events):
+    # ElasticsearchReaderAPI.ts:39-45,65-69 — frames require a declared
+    # type config; the config casts/prunes the frame
+    from elasticsearch_assets_spark.sources.wire import (
+        apply_type_config,
+        validate_type_config,
+    )
+
+    with pytest.raises(ValueError, match="type_config"):
+        validate_type_config(None)
+    with pytest.raises(ValueError, match="version"):
+        validate_type_config({"fields": {"a": {"type": "Keyword"}}})
+    with pytest.raises(ValueError, match="unsupported field type"):
+        validate_type_config(
+            {"version": 1, "fields": {"a": {"type": "NotAType"}}}
+        )
+    cfg = {
+        "version": 1,
+        "fields": {
+            "event_id": {"type": "Long"},
+            "event_type": {"type": "Keyword"},
+            "value": {"type": "Double"},
+            "missing_col": {"type": "Integer"},
+        },
+    }
+    out = apply_type_config(events, cfg)
+    assert [f.name for f in out.schema.fields] == [
+        "event_id", "event_type", "value", "missing_col",
+    ]
+    assert dict((f.name, f.dataType.simpleString()) for f in out.schema.fields)[
+        "missing_col"
+    ] == "int"
+    assert out.count() == events.count()
+
+
 @pytest.mark.parametrize(
     "q",
     [
