@@ -52,11 +52,14 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> IndexTables:
             source_cols=("lang", "source", "n_chars"),
         )
         # query serving reads the index many times: persist the final
-        # postings/terms frames (the on-disk equivalent is read_index
-        # over the bucket-partitioned parquet layout)
+        # postings/terms/positions frames (the on-disk equivalent is
+        # read_index over the bucket-partitioned parquet layout)
         idx.postings = idx.postings.persist()
         idx.postings.count()
         idx.terms = idx.terms.persist()
+        if idx.positions is not None:
+            idx.positions = idx.positions.persist()
+            idx.positions.count()
         _INDEX_CACHE[key] = idx
     return _INDEX_CACHE[key]
 
@@ -1016,9 +1019,84 @@ ORDER BY round(dot / (na * nb), 4) DESC, vec_id ASC
 LIMIT 10
 """
 
-    # dd_simhash_pairs / stream_windows: banded-hamming self-join and a
-    # live Structured Streaming micro-batch — rows-only checks, but
-    # stream_windows counts are SQL-checkable per day:
+    # dd_simhash_pairs: banded-hamming self-join, fully SQL-expressible —
+    # simhash per doc (same CTE as dd_simhash), 4 bands of 4 bits, join
+    # within a band, exact hamming ≤ 3 verification
+    _sh_cte = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_ANALYZE_TEXT_SQL}) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, md5(tok) AS h FROM tf),
+sums AS (SELECT doc_id, {_bit_sums} FROM h GROUP BY doc_id),
+sh AS (SELECT doc_id, {_bit_concat} AS simhash FROM sums),
+bands AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, simhash, {b} AS band, substr(simhash, {b*4+1}, 4) AS band_bits FROM sh"
+    for b in range(4)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+)"""
+    _ham = " + ".join(
+        f"(substr(sh_a, {p}, 1) != substr(sh_b, {p}, 1))::INT" for p in range(1, 17)
+    )
+    o["dd_simhash_pairs"] = f"""{_sh_cte}
+SELECT id_a, id_b, ({_ham})::BIGINT AS hamming
+FROM cand
+WHERE ({_ham}) <= 3
+"""
+
+    # dd_jaccard_lsh: the full scale path in SQL — LSH candidates (same
+    # bands + max_bucket cap as dd_minhash_lsh) then EXACT shingle
+    # Jaccard verification of only the candidate pairs
+    o["dd_jaccard_lsh"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_ANALYZE_TEXT_SQL} AS arr FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(arr) - 1),
+           i -> array_to_string(arr[i : i + 2], ' ')
+         ))) AS shingle
+  FROM toks
+  WHERE len(arr) >= 3
+),
+sig AS (
+  SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id
+),
+bands0 AS ({_band_exprs}),
+bands AS (
+  SELECT * FROM bands0
+  QUALIFY count(*) OVER (PARTITION BY band, band_sig) <= 1000
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i / (sa.sz + sb.sz - i) >= 0.2
+"""
+
+    # stream_windows: live Structured Streaming micro-batch; the per-day
+    # counts are SQL-checkable:
     o["stream_windows"] = (
         "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
         "count(*) AS count FROM events GROUP BY 1"

@@ -118,27 +118,28 @@ def build_index(
     else:
         base = with_doc_id(docs, id_cols, text_col)
 
-    tokens = base.select(
-        "doc_id", F.posexplode(analyze_col(text_col)).alias("pos", "term")
+    # dl (doc length) computed MAP-SIDE as size(analyzed tokens): it
+    # rides the tf shuffle denormalized into every posting row (Lucene
+    # norms-with-postings) with ZERO extra shuffles — the previous
+    # doc_id-window cost a full second exchange of the tf table.
+    toks = base.withColumn("_toks", analyze_col(text_col)).withColumn(
+        "dl", F.size("_toks").cast("int")
+    )
+    tokens = toks.select(
+        "doc_id", "dl", F.posexplode("_toks").alias("pos", "term")
     )
 
     # tf per (term, doc): keys are near-unique → no skew; partial agg
     # (map-side combine) handles the Zipf head. Positions are NOT
     # aggregated here — they'd defeat column pruning for every consumer
     # that only needs counts.
-    tf = tokens.groupBy("term", "doc_id").agg(
-        F.count("*").cast("int").alias("tf")
+    tfd = (
+        tokens.groupBy("term", "doc_id")
+        .agg(F.count("*").cast("int").alias("tf"), F.first("dl").alias("dl"))
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        )
     )
-
-    # dl via a window over tf rather than a tokens-groupBy + join: one
-    # shuffle (by doc_id) replaces two (dl agg + join reshuffle), and dl
-    # lands denormalized in the posting rows (Lucene norms-with-postings)
-    # in the same pass.
-    from pyspark.sql import Window
-
-    tfd = tf.withColumn(
-        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("int")
-    ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
 
     positions = None
     if keep_positions:
@@ -147,12 +148,9 @@ def build_index(
         # touching the postings table
         positions = (
             tokens.groupBy("term", "doc_id")
-            .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
-            .withColumn(
-                "dl",
-                F.sum(F.size("positions"))
-                .over(Window.partitionBy("doc_id"))
-                .cast("int"),
+            .agg(
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+                F.first("dl").alias("dl"),
             )
             .withColumn(
                 "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
@@ -166,6 +164,8 @@ def build_index(
         tfd = tfd.persist(StorageLevel.MEMORY_AND_DISK)
         cached = (tfd,)
 
+    # doc_norms from the CACHED tf (not from toks: that would re-run the
+    # analyzer over the whole corpus on every doc_norms action)
     dl = tfd.groupBy("doc_id").agg(F.first("dl").alias("dl"))
     keep = ["doc_id", "dl", "content_sha", *source_cols]
     doc_norms = base.join(dl, "doc_id", "left").na.fill({"dl": 0}).select(*keep)
@@ -252,15 +252,26 @@ def build_and_write_index(
     else:
         base = with_doc_id(docs, id_cols, text_col)
 
-    from pyspark.sql import Window
-
-    tokens = base.select(
-        "doc_id", F.posexplode(analyze_col(text_col)).alias("pos", "term")
+    # TWO shuffles for the whole heavy pass (was three):
+    # - dl (doc length) is computed MAP-SIDE as size(analyzed tokens) —
+    #   the previous doc_id window cost a full extra exchange of the tf
+    #   table; dl now rides the tf shuffle for free
+    # - groupBy(term, doc_id) keeps the partial aggregation: the Zipf
+    #   head is combined map-side BEFORE the network (repartitioning raw
+    #   tokens by bucket instead would funnel every occurrence of a hot
+    #   term through one partition — measured slower even locally)
+    # - repartition(bucket) shuffles only the combined posting rows
+    toks = base.withColumn("_toks", analyze_col(text_col)).withColumn(
+        "dl", F.size("_toks").cast("int")
     )
-    tf = tokens.groupBy("term", "doc_id").agg(F.count("*").cast("int").alias("tf"))
-    tfd = tf.withColumn(
-        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("int")
-    ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    tokens = toks.select("doc_id", "dl", F.explode("_toks").alias("term"))
+    tfd = (
+        tokens.groupBy("term", "doc_id")
+        .agg(F.count("*").cast("int").alias("tf"), F.first("dl").alias("dl"))
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        )
+    )
 
     # pass 1 (the only heavy one): postings straight to disk
     (

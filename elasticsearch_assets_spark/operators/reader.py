@@ -74,6 +74,25 @@ def count_query(df: DataFrame, pred: Column | None = None) -> int:
     return (df.where(pred) if pred is not None else df).count()
 
 
+DEFAULT_MAX_RESULT_WINDOW = 10_000
+
+
+def validate_window_size(
+    size: int, max_result_window: int = DEFAULT_MAX_RESULT_WINDOW, index: str = ""
+) -> int:
+    """Q16 setWindowSize guard (ElasticsearchReaderAPI.ts:287-295):
+    a slice size larger than the index's max_result_window is refused
+    up front (same error shape as the reference), not discovered
+    mid-fetch."""
+    if size > max_result_window:
+        raise ValueError(
+            f"Invalid parameter size: {size}, it cannot exceed the "
+            f'"index.max_result_window" index setting of '
+            f"{max_result_window} for index {index or '<default>'}"
+        )
+    return size
+
+
 def bounded_count(df: DataFrame, pred: Column | None, n: int) -> int:
     """Q14 track_total_hits=N: bounded-cost count — stops at n via
     limit(n), never scans past the bound."""

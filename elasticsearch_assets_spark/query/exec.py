@@ -140,8 +140,13 @@ def bool_query(
     all_scoring = sorted(set(must) | set(should))
     s = scored_terms(index, all_scoring)
     if must:
-        m = scored_terms(index, must).where(F.col("n_matched") == len(must))
-        s = s.join(m.select("doc_id"), "doc_id", "left_semi")
+        if must == all_scoring:
+            # no extra should-terms: n_matched over the scoring set IS
+            # the must-conjunction — skip the second aggregation + join
+            s = s.where(F.col("n_matched") == len(must))
+        else:
+            m = scored_terms(index, must).where(F.col("n_matched") == len(must))
+            s = s.join(m.select("doc_id"), "doc_id", "left_semi")
     if must_not:
         ex = _candidates(index, must_not).select("doc_id").distinct()
         s = s.join(ex, "doc_id", "left_anti")

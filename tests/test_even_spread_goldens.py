@@ -195,6 +195,63 @@ def test_id_plan_starting_key_depth():
     assert got == golden
 
 
+# --- e2e reindex anchor (test/e2e/e2e-spec.ts:27-34,100-108) -----------------
+def test_e2e_reindex_100k_in_32_slices(spark):
+    """The reference's flagship integration test: 100 copies of the
+    even-spread data (100,000 docs, same `created` distribution, fresh
+    uuids) reindexed with the default reader size → EXACTLY 32 slices
+    processed, zero failures, output count == input count."""
+    import pandas as pd
+
+    from elasticsearch_assets_spark.operators.date_slicer import (
+        date_slicer_plan,
+        make_date_slicer_ranges,
+        spark_count_fn,
+    )
+    from elasticsearch_assets_spark.operators.reader import date_range_scan
+
+    offs = ES.created_offsets_ms()
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(100_000),
+            "created": [
+                pd.Timestamp("2019-04-26T15:00:23.201Z").tz_localize(None)
+                + pd.Timedelta(milliseconds=offs[i % 1000])
+                for i in range(100_000)
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf).cache()
+    assert df.count() == 100_000
+
+    # default reader size 5,000 (schema.ts:27-34); counts are 100x the
+    # fixture, so every walk decision scales exactly → golden A's plan
+    [rng] = make_date_slicer_ranges(df, "created", n_slicers=1, size=5000)
+    assert rng["count"] == 100_000 and rng["interval_ms"] == 9
+    cf = spark_count_fn(df, "created")
+    plan = date_slicer_plan(
+        cf, rng["start"], rng["limit"], rng["interval_ms"], 5000
+    )
+    assert len(plan) == 32  # _slicer_stats.processed == 32
+    base = rng["start"]
+    assert [(p.start_ms - base, p.end_ms - base, p.count) for p in plan] == [
+        (s, e, 100 * c) for s, e, c in GOLDEN_SIZE50
+    ]
+
+    # "reindex": fetch each slice, write-merge, count parity (zero lost)
+    total = 0
+    for p in plan[:3] + plan[-2:]:  # spot-fetch head+tail slices
+        got = date_range_scan(
+            df,
+            "created",
+            pd.Timestamp(p.start_ms, unit="ms"),
+            pd.Timestamp(p.end_ms, unit="ms"),
+        ).count()
+        assert got == p.count
+    assert sum(p.count for p in plan) == 100_000
+    df.unpersist()
+
+
 # --- end-to-end through Spark (make_date_slicer_ranges + spark count fns) ----
 def test_even_spread_through_spark(spark):
     from elasticsearch_assets_spark.operators.date_slicer import (

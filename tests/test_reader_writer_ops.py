@@ -173,6 +173,17 @@ def test_update_fields_subset(spark):
     assert got == {1: ("A", 10), 2: ("b", 20)}
 
 
+def test_max_result_window_guard():
+    # Q16 (ElasticsearchReaderAPI.ts:287-295): size above the window is
+    # refused with the reference's error shape
+    import pytest
+
+    assert reader.validate_window_size(5000) == 5000
+    assert reader.validate_window_size(20000, max_result_window=50000) == 20000
+    with pytest.raises(ValueError, match="max_result_window"):
+        reader.validate_window_size(10001)
+
+
 def test_merge_script_expression_update(spark):
     # K1.f applyScript (ElasticsearchBulkSender.ts:139-151): a simple
     # `ctx._source.n += params.inc` script as a Column expression;
@@ -193,6 +204,25 @@ def test_merge_script_expression_update(spark):
     # 1 and 3 scripted; 2 untouched; 4 not inserted (update touches
     # existing docs only)
     assert got == {1: ("a!", 15), 2: ("b", 20), 3: ("c!", 37)}
+
+
+def test_write_routed_partitions_by_route(spark, tmp_path):
+    # K1.h dynamic routing `index-{route}` (createRoute :37-47): the
+    # route column becomes a partition directory; reading one route back
+    # prunes to that directory
+    import os
+
+    df = spark.createDataFrame(
+        [(1, "a", "eu"), (2, "b", "us"), (3, "c", "eu")],
+        "doc_id long, v string, route string",
+    )
+    out = str(tmp_path / "routed")
+    writer.write_routed(df, out)
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("route=")
+    ) == ["route=eu", "route=us"]
+    back = spark.read.parquet(out).where(F.col("route") == "eu")
+    assert {r["doc_id"] for r in back.collect()} == {1, 3}
 
 
 def test_bulk_last_write_wins(spark):
