@@ -484,6 +484,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_lsh_topk"] = sim_lsh_topk
 
+    def sim_ann_indexed(s, d):
+        # persisted ANN index: bucket DIRECTORIES pruned at scan time,
+        # multi-probe (query bucket + weakest-margin single-bit flip)
+        import tempfile
+
+        emb = _t(s, d, "embeddings")
+        key = os.path.abspath(d) + "::ann"
+        if key not in _INDEX_CACHE:
+            p = tempfile.mkdtemp(prefix="ann_idx_")
+            similarity.write_ann_index(
+                emb.where(F.col("vec_id") != 0), p, dims=[0, 1, 2, 3]
+            )
+            _INDEX_CACHE[key] = p
+        qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        out = similarity.ann_topk_indexed(
+            s, _INDEX_CACHE[key], list(qv), k=10, probes=2
+        )
+        return out.select(
+            "vec_id", F.round("cosine", 4).alias("cosine")
+        ).orderBy(F.desc("cosine"), F.asc("vec_id"))
+
+    q["sim_ann_indexed"] = sim_ann_indexed
+
     def dd_simhash_pairs(s, d):
         return dedup.simhash_near_dups(
             _t(s, d, "documents"), "text", "doc_id", bits=16, max_hamming=3
@@ -1012,6 +1035,60 @@ dots AS (
          sqrt(list_sum(list_transform(c.embedding, v -> v::DOUBLE * v::DOUBLE))) AS na,
          sqrt(list_sum(list_transform(q.qv, v -> v::DOUBLE * v::DOUBLE))) AS nb
   FROM cand c, q
+)
+SELECT vec_id, round(dot / (na * nb), 4) AS cosine
+FROM dots
+ORDER BY round(dot / (na * nb), 4) DESC, vec_id ASC
+LIMIT 10
+"""
+
+    # sim_ann_indexed: query bucket + the single-bit flip at the
+    # weakest-margin coordinate (argmin |qv[d]|, lowest index on ties)
+    _qbit = "CASE WHEN qv[{i}] >= 0 THEN '1' ELSE '0' END"
+    _qflip = "CASE WHEN qv[{i}] >= 0 THEN '0' ELSE '1' END"
+
+    def _bucket_expr(flip_at: str | None) -> str:
+        parts = []
+        for i in range(1, 5):
+            bit = _qbit.format(i=i)
+            if flip_at is not None:
+                parts.append(f"CASE WHEN {flip_at} = {i} THEN {_qflip.format(i=i)} ELSE {bit} END")
+            else:
+                parts.append(bit)
+        return " || ".join(parts)
+
+    _ebit = " || ".join(
+        f"CASE WHEN e.embedding[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 5)
+    )
+    o["sim_ann_indexed"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+fi AS (
+  SELECT qv,
+         CASE
+           WHEN abs(qv[1]) <= abs(qv[2]) AND abs(qv[1]) <= abs(qv[3]) AND abs(qv[1]) <= abs(qv[4]) THEN 1
+           WHEN abs(qv[2]) <= abs(qv[3]) AND abs(qv[2]) <= abs(qv[4]) THEN 2
+           WHEN abs(qv[3]) <= abs(qv[4]) THEN 3
+           ELSE 4
+         END AS flip
+  FROM q
+),
+buckets AS (
+  SELECT qv, {_bucket_expr(None)} AS b FROM fi
+  UNION ALL
+  SELECT qv, {_bucket_expr("flip")} AS b FROM fi
+),
+cand AS (
+  SELECT DISTINCT e.vec_id, e.embedding, b.qv
+  FROM embeddings e JOIN buckets b ON ({_ebit}) = b.b
+  WHERE e.vec_id != 0
+),
+dots AS (
+  SELECT vec_id,
+         list_sum(list_transform(list_zip(embedding, qv),
+                  x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS dot,
+         sqrt(list_sum(list_transform(embedding, v -> v::DOUBLE * v::DOUBLE))) AS na,
+         sqrt(list_sum(list_transform(qv, v -> v::DOUBLE * v::DOUBLE))) AS nb
+  FROM cand
 )
 SELECT vec_id, round(dot / (na * nb), 4) AS cosine
 FROM dots

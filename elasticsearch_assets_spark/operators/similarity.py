@@ -81,6 +81,71 @@ def lsh_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def write_ann_index(
+    emb: DataFrame,
+    path: str,
+    dims: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the ANN scale path: embeddings written partitionBy(sign
+    bucket). A query then prunes to bucket DIRECTORIES (PartitionFilters
+    in the scan), not a post-scan filter — at 10^9 vectors only the
+    probed buckets' files are opened."""
+    import json
+    import os
+
+    if dims is None:
+        dims = [0, 1, 2, 3]
+    (
+        emb.withColumn("bucket", sign_bucket(F.col(vec_col), dims))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "vectors"))
+    )
+    with open(os.path.join(path, "ann.json"), "w") as f:
+        json.dump({"dims": dims, "id_col": id_col, "vec_col": vec_col}, f)
+
+
+def query_buckets(query_vec: list[float], dims: list[int], probes: int = 1) -> list[str]:
+    """The query's sign bucket plus (probes-1) nearest neighbor buckets
+    (single-bit flips, weakest-margin coordinates first) — standard
+    multi-probe LSH recall boost without extra tables."""
+    bits = ["1" if query_vec[d] >= 0 else "0" for d in dims]
+    out = ["".join(bits)]
+    # flip order: coordinates with the smallest |value| first (most
+    # likely to differ for a true near neighbor)
+    order = sorted(range(len(dims)), key=lambda i: abs(query_vec[dims[i]]))
+    for i in order:
+        if len(out) >= probes:
+            break
+        flipped = bits.copy()
+        flipped[i] = "0" if flipped[i] == "1" else "1"
+        out.append("".join(flipped))
+    return out[:probes]
+
+
+def ann_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    probes: int = 1,
+) -> DataFrame:
+    """Top-k over the persisted ANN index: bucket partition pruning
+    (directory skip) + exact cosine within the probed buckets."""
+    import json
+    import os
+
+    with open(os.path.join(path, "ann.json")) as f:
+        meta = json.load(f)
+    vecs = spark.read.parquet(os.path.join(path, "vectors"))
+    cand = vecs.where(
+        F.col("bucket").isin(query_buckets(query_vec, meta["dims"], probes))
+    )
+    return cosine_topk(cand, query_vec, k, meta["id_col"], meta["vec_col"])
+
+
 def near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

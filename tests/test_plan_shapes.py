@@ -106,6 +106,37 @@ def test_near_dup_bucketed_is_not_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_ann_index_prunes_bucket_directories(spark, sf_dir, tmp_path_factory):
+    # persisted ANN path: the probed buckets must be DIRECTORY-pruned
+    # (PartitionFilters on the scan), not post-scan filtered
+    from elasticsearch_assets_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = str(tmp_path_factory.mktemp("ann") / "idx")
+    similarity.write_ann_index(emb, p, dims=[0, 1, 2, 3])
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = similarity.ann_topk_indexed(spark, p, list(qv), k=5, probes=2)
+    assert out.count() == 5
+    plan = _plan(out)
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    pf = scan.split("PartitionFilters")[1].split("]")[0]
+    assert "bucket" in pf, scan
+    # multi-probe recall: probed result ⊇ single-bucket result
+    single = {
+        r["vec_id"]
+        for r in similarity.ann_topk_indexed(spark, p, list(qv), 5, 1).collect()
+    }
+    probed = {
+        r["vec_id"]
+        for r in out.collect()
+    }
+    exact = {
+        r["vec_id"]
+        for r in similarity.cosine_topk(emb, list(qv), k=5).collect()
+    }
+    assert len(probed & exact) >= len(single & exact)
+
+
 def test_build_is_jvm_only_with_partial_agg(spark, corpus):
     # the tokenize+tf hot path: no Python eval nodes (pure JVM codegen
     # operators) and map-side combine (partial_count) before the shuffle
