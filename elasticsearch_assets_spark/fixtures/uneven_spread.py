@@ -44,30 +44,57 @@ _MINUTE_COUNTS = [
 ]
 # 19 docs in [15:59:01, 16:00:00) — NOT touching second 16:00:00
 _LAST_EVEN_WINDOW = (1_080_000, 19, 59_000)
-# the big slice: 100 docs in second 16:05:00 (= BASE + 23:59)
+# the big slice: 100 docs at EXACTLY 16:05:00.000 (= BASE + 23:59) —
+# the ms-resolution smallest-factor golden emits
+# [16:04:00, 16:05:00.001):100, so every doc shares the same millisecond
 _BIG_SLICE = (1_439_000, 100)
+# uuid first hex chars of the big-slice docs — the subslice-by-key
+# golden (slicer-spec.ts:1136-1234): per-prefix counts within the slice
+_BIG_UUID_PREFIX_COUNTS = {
+    "0": 9, "1": 5, "2": 4, "3": 8, "4": 9, "5": 6, "6": 7, "7": 9,
+    "8": 7, "9": 5, "a": 6, "b": 6, "c": 2, "d": 7, "e": 4, "f": 6,
+}
+assert sum(_BIG_UUID_PREFIX_COUNTS.values()) == 100
+
+
+def uneven_rows() -> list[tuple[int, str]]:
+    """All 300 docs as (created epoch ms, uuid), ascending by created."""
+    import hashlib
+
+    def mk_uuid(prefix: str, i: int) -> str:
+        h = hashlib.md5(f"uneven:{prefix}:{i}".encode()).hexdigest()
+        raw = (prefix + h)[:32]
+        return f"{raw[:8]}-{raw[8:12]}-{raw[12:16]}-{raw[16:20]}-{raw[20:32]}"
+
+    out: list[tuple[int, str]] = []
+    k = 0
+    for w_start, n in _MINUTE_COUNTS:
+        for j in range(n):
+            if w_start == 0 and j == 0:
+                ts = BASE_MS + MIN_FRACTION_MS  # the min doc
+            else:
+                # spread over seconds 2..58 of the window, +500ms
+                sec = 2 + (j * 57) // max(n, 1)
+                ts = BASE_MS + w_start + sec * 1000 + 500
+            out.append((ts, mk_uuid("%x" % (k % 16), k)))
+            k += 1
+    w_start, n, width = _LAST_EVEN_WINDOW
+    for j in range(n):
+        sec = 1 + (j * (width // 1000 - 2)) // max(n, 1)
+        out.append((BASE_MS + w_start + sec * 1000 + 500, mk_uuid("%x" % (k % 16), k)))
+        k += 1
+    big_start, _ = _BIG_SLICE
+    for pref, n in _BIG_UUID_PREFIX_COUNTS.items():
+        for i in range(n):
+            out.append((BASE_MS + big_start, mk_uuid(pref, 10_000 + i)))
+    out.sort(key=lambda r: r[0])
+    assert len(out) == 300
+    return out
 
 
 def created_ms_list() -> list[int]:
     """All 300 doc timestamps (epoch ms), ascending."""
-    out: list[int] = []
-    for w_start, n in _MINUTE_COUNTS:
-        for j in range(n):
-            if w_start == 0 and j == 0:
-                out.append(BASE_MS + MIN_FRACTION_MS)  # the min doc
-            else:
-                # spread over seconds 2..58 of the window, +500ms
-                sec = 2 + (j * 57) // max(n, 1)
-                out.append(BASE_MS + w_start + sec * 1000 + 500)
-    w_start, n, width = _LAST_EVEN_WINDOW
-    for j in range(n):
-        sec = 1 + (j * (width // 1000 - 2)) // max(n, 1)
-        out.append(BASE_MS + w_start + sec * 1000 + 500)
-    big_start, n_big = _BIG_SLICE
-    out.extend(BASE_MS + big_start + 500 for _ in range(n_big))
-    out.sort()
-    assert len(out) == 300
-    return out
+    return [ts for ts, _ in uneven_rows()]
 
 
 def second_truncated_count_fn():
