@@ -586,6 +586,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["plan_date_slices"] = plan_date_slices
 
+    def plan_date_subslices(s, d):
+        # D5 hybrid slicing as data: day slices whose count reaches the
+        # threshold split by md5-prefix WITHIN the date range
+        from elasticsearch_assets_spark.operators.date_slicer import (
+            date_slicer_plan_with_subslices,
+            spark_count_fn,
+        )
+
+        ev = _t(s, d, "events").withColumn(
+            "k", F.md5(F.col("event_id").cast("string"))
+        )
+        cf = spark_count_fn(ev, "ts")
+        rows_kt = [
+            (r["k"], r["t"])
+            for r in ev.select(
+                "k", F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
+            ).collect()
+        ]
+
+        def key_count_fn(prefix, a_ms, b_ms):
+            return sum(
+                1
+                for k, t in rows_kt
+                if k.startswith(prefix) and a_ms * 1000 <= t < b_ms * 1000
+            )
+
+        import datetime
+
+        utc = datetime.timezone.utc
+        lo = int(datetime.datetime(2024, 1, 1, tzinfo=utc).timestamp() * 1000)
+        hi = int(datetime.datetime(2024, 2, 1, tzinfo=utc).timestamp() * 1000)
+        out = date_slicer_plan_with_subslices(
+            cf, key_count_fn, lo, hi, 24 * 3600 * 1000, 10**9,
+            subslice_key_threshold=300, key_type="hexadecimal",
+        )
+        return s.createDataFrame(
+            [
+                (
+                    o["start"] - lo,
+                    o["end"] - lo,
+                    o["keys"][0] if o["keys"] else "",
+                    o["count"],
+                )
+                for o in out
+            ],
+            "start_off long, end_off long, key_prefix string, count long",
+        )
+
+    q["plan_date_subslices"] = plan_date_subslices
+
     def plan_id_slices_optimized(s, d):
         # I3 idSlicerOptimized over the md5 keyspace (char-class chunked)
         from elasticsearch_assets_spark.operators.id_slicer import (
@@ -1204,6 +1254,29 @@ k AS (
 SELECT s.start_off, s.end_off, count(k.off) AS count
 FROM slices s LEFT JOIN k ON k.off >= s.start_off AND k.off < s.end_off
 GROUP BY 1, 2
+"""
+
+    # D5 subslice: recorded day boundaries; a day with ≥ 300 docs splits
+    # into per-md5-prefix rows, below-threshold and empty days stay whole
+    o["plan_date_subslices"] = f"""
+WITH days(start_off, end_off) AS (VALUES {_date_slices}),
+k AS (
+  SELECT epoch_ms(ts) - epoch_ms(TIMESTAMP '2024-01-01') AS off,
+         substr(md5(event_id::VARCHAR), 1, 1) AS p
+  FROM events
+),
+totals AS (
+  SELECT d.start_off, d.end_off, count(k.off) AS c
+  FROM days d LEFT JOIN k ON k.off >= d.start_off AND k.off < d.end_off
+  GROUP BY 1, 2
+)
+SELECT t.start_off, t.end_off, k.p AS key_prefix, count(*) AS count
+FROM totals t JOIN k ON k.off >= t.start_off AND k.off < t.end_off
+WHERE t.c >= 300
+GROUP BY 1, 2, 3
+UNION ALL
+SELECT start_off, end_off, '' AS key_prefix, c AS count
+FROM totals WHERE c < 300
 """
 
     _i3_classes = [

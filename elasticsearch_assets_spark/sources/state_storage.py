@@ -7,9 +7,13 @@ backing table, `mset` is a keyed merge + snapshot write, and hot reads
 are `.persist()`. The chunked-mget concurrency knobs (chunk 2500,
 concurrency 10 — schema.ts:14-37) are subsumed by partitioned joins.
 
-Backing store: a parquet snapshot directory (snapshot-NNNN); writes are
-atomic by directory-swap via a `_latest` pointer file — the Iceberg
-commit analogue, sufficient for single-writer semantics.
+Backing store: a base parquet snapshot + ordered delta directories,
+committed atomically via a `_latest` pointer file — the Iceberg commit
+analogue, sufficient for single-writer semantics. `mset` writes ONLY
+the update batch as a delta (no full-table rewrite); once
+`compact_every` deltas accumulate, the merged table is materialized
+into a fresh base snapshot and the deltas retire — classic LSM shape,
+so write cost is O(batch) amortized instead of O(table) per call.
 """
 
 from __future__ import annotations
@@ -24,47 +28,81 @@ from elasticsearch_assets_spark.operators.writer import merge_index
 
 
 class StateStorage:
-    def __init__(self, spark: SparkSession, path: str, key: str = "doc_id"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str = "doc_id",
+        compact_every: int = 8,
+    ):
         self.spark = spark
         self.path = path
         self.key = key
+        self.compact_every = compact_every
+        self._seq = 0
         os.makedirs(path, exist_ok=True)
 
     # -- snapshot plumbing -------------------------------------------------
     def _pointer(self) -> str:
         return os.path.join(self.path, "_latest")
 
-    def _latest_snapshot(self) -> str | None:
+    def _state(self) -> dict:
         p = self._pointer()
         if not os.path.exists(p):
-            return None
+            return {"base": None, "deltas": []}
         with open(p) as f:
-            return json.load(f)["snapshot"]
+            st = json.load(f)
+        if "snapshot" in st:  # pre-delta pointer layout
+            return {"base": st["snapshot"], "deltas": []}
+        return st
 
-    def _commit(self, snap_dir: str) -> None:
+    def _commit(self, base: str | None, deltas: list[str]) -> None:
         tmp = self._pointer() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"snapshot": snap_dir}, f)
+            json.dump({"base": base, "deltas": deltas}, f)
         os.replace(tmp, self._pointer())  # atomic commit point
+
+    def _next_dir(self, kind: str) -> str:
+        self._seq += 1
+        import time as _t
+
+        return os.path.join(
+            self.path, f"{kind}-{int(_t.time() * 1000):013d}-{self._seq:04d}"
+        )
+
+    def _merged(self, state: dict) -> DataFrame | None:
+        base = (
+            self.spark.read.parquet(state["base"])
+            if state["base"] is not None
+            else None
+        )
+        cur = base
+        for d in state["deltas"]:
+            delta = self.spark.read.parquet(d)
+            cur = delta if cur is None else merge_index(cur, delta, self.key)
+        return cur
 
     # -- API (mirrors get/set/mget/mset) ------------------------------------
     def table(self) -> DataFrame | None:
-        snap = self._latest_snapshot()
-        if snap is None:
-            return None
-        return self.spark.read.parquet(snap)
+        """Current state: base snapshot + ordered delta merges (lazy —
+        one plan, no materialization until an action runs)."""
+        return self._merged(self._state())
 
     def mset(self, updates: DataFrame) -> None:
-        """Upsert a batch of keyed records (last write wins per key)."""
-        cur = self.table()
-        new = updates if cur is None else merge_index(cur, updates, self.key)
-        n = 0
-        snap = self._latest_snapshot()
-        if snap is not None:
-            n = int(os.path.basename(snap).split("-")[1]) + 1
-        snap_dir = os.path.join(self.path, f"snapshot-{n:06d}")
-        new.write.mode("overwrite").parquet(snap_dir)
-        self._commit(snap_dir)
+        """Upsert a batch of keyed records (last write wins per key).
+        Writes ONLY the batch as a delta; every `compact_every` deltas
+        the merged table compacts into a fresh base snapshot."""
+        state = self._state()
+        delta_dir = self._next_dir("delta")
+        updates.write.mode("overwrite").parquet(delta_dir)
+        deltas = state["deltas"] + [delta_dir]
+        if state["base"] is None or len(deltas) >= self.compact_every:
+            merged = self._merged({"base": state["base"], "deltas": deltas})
+            snap_dir = self._next_dir("snapshot")
+            merged.write.mode("overwrite").parquet(snap_dir)
+            self._commit(snap_dir, [])
+        else:
+            self._commit(state["base"], deltas)
 
     def mget(self, keys: DataFrame) -> DataFrame:
         """Fetch records for a keyed frame — broadcast join when the key

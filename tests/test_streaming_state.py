@@ -127,11 +127,30 @@ def test_state_storage_roundtrip(spark, tmp_path):
     got = {r["doc_id"] for r in st.mget(keys).collect()}
     assert got == {2, 3}
 
-    # two snapshots committed
+    # first mset materialized a base snapshot; the second wrote ONLY a
+    # delta (no full-table rewrite per call — the LSM write path)
     import os
 
-    snaps = [d for d in os.listdir(str(tmp_path / "state")) if d.startswith("snapshot-")]
-    assert len(snaps) == 2
+    root = str(tmp_path / "state")
+    assert len([d for d in os.listdir(root) if d.startswith("snapshot-")]) == 1
+    assert len([d for d in os.listdir(root) if d.startswith("delta-")]) == 2
+
+
+def test_state_storage_compaction(spark, tmp_path):
+    from elasticsearch_assets_spark.sources.state_storage import StateStorage
+
+    st = StateStorage(spark, str(tmp_path / "state"), key="doc_id", compact_every=3)
+    for i in range(7):
+        st.mset(
+            spark.createDataFrame([(i % 4, f"v{i}")], "doc_id long, v string")
+        )
+    # last-write-wins survives compaction: keys 0..3, latest values
+    got = {r["doc_id"]: r["v"] for r in st.table().collect()}
+    assert got == {0: "v4", 1: "v5", 2: "v6", 3: "v3"}
+    # deltas retire into fresh base snapshots every compact_every msets
+    state = st._state()
+    assert state["base"] is not None
+    assert len(state["deltas"]) < 3
 
 
 # ---- multimodal plumbing ----------------------------------------------------
