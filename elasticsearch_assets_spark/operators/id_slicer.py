@@ -49,10 +49,6 @@ def id_slicer_plan(
             elif prefix == retry_key:
                 skipping = False
             return
-        if len(prefix) < starting_key_depth:
-            for ch in alphabet:
-                walk(prefix + ch)
-            return
         c = count_fn(prefix)
         if c == 0:
             return
@@ -63,7 +59,20 @@ def id_slicer_plan(
         out.append((prefix, c))
 
     for k in keys:
-        walk(k)
+        if starting_key_depth > 0:
+            # generateKeyDepth/recurseDepth (idSlicer.ts:129-175): the
+            # bare start key is NEVER counted; first-level children at
+            # the depth are normal nodes, shallower ones hand their
+            # children to the normal walk (no further depth checks)
+            for ch in alphabet:
+                child = k + ch
+                if len(child) >= starting_key_depth:
+                    walk(child)
+                else:
+                    for ch2 in alphabet:
+                        walk(child + ch2)
+        else:
+            walk(k)
     return out
 
 
@@ -118,7 +127,8 @@ class _SplitKeyManager:
             end = min(self.idx[si] + left, len(sec))
             take = sec[self.idx[si] : end]
             if si == self.special:
-                part = "".join("\\" + c if c == "-" else c for c in take)
+                # safeRegexChars (id-utils/utils.ts:3-7): escape - and +
+                part = "".join("\\" + c if c in "-+" else c for c in take)
             elif len(take) == 1:
                 part = take[0]
             else:
@@ -257,17 +267,19 @@ def id_slicer_plan_optimized(
             else:
                 tracker.commit()
 
-    def walk_depth(prefix: str) -> None:
-        """generateKeyDepth/recurseDepth (:213-236,256-267)."""
-        if len(prefix) >= starting_key_depth:
-            handle(prefix)
-            return
-        for ch in alphabet:
-            walk_depth(prefix + ch)
-
     for k in keys:
         if starting_key_depth > 0:
-            walk_depth(k)
+            # generateKeyDepth/recurseDepth (:213-236,256-267): the bare
+            # start key is NEVER counted; first-level children at the
+            # depth are normal nodes, shallower ones hand their children
+            # straight to the normal walk
+            for ch in alphabet:
+                child = k + ch
+                if len(child) >= starting_key_depth:
+                    handle(child)
+                else:
+                    for ch2 in alphabet:
+                        handle(child + ch2)
         else:
             handle(k)
     return out

@@ -86,3 +86,126 @@ def test_spark_prefix_count_fn(spark):
     assert total == 500
     plan = id_slicer_plan(cf, "hexadecimal", size=25)
     assert sum(c for _, c in plan) == 500
+
+
+# ---- idSlicer-refactor unit-spec mirrors (scripted count sequences) ----------
+# (packages/elasticsearch-asset-apis/test/unit/idSlicer-refactor-spec.ts)
+def _scripted(seq):
+    it = iter(seq)
+
+    def count(_prefix, _chars=None):
+        return next(it)
+
+    return count
+
+
+def test_i3_optimize_on_oversize_unit():
+    # :123-161 — counts 50,110,50,50,50,50; size 100; keys a,b,c
+    from elasticsearch_assets_spark.operators.id_slicer import (
+        id_slicer_plan_optimized,
+    )
+
+    got = id_slicer_plan_optimized(
+        _scripted([50, 110, 50, 50, 50, 50]),
+        "hexadecimal", key_set=["a", "b", "c"], size=100,
+    )
+    assert got == [
+        ("a", 50), ("b[0-9a-d]", 50), ("b[e-f]", 50), ("c", 50)
+    ]
+
+
+def test_i3_optimize_back_to_back_unit():
+    # :163-203
+    from elasticsearch_assets_spark.operators.id_slicer import (
+        id_slicer_plan_optimized,
+    )
+
+    got = id_slicer_plan_optimized(
+        _scripted([50, 110, 50, 50, 110, 50, 50, 50]),
+        "hexadecimal", key_set=["a", "b", "c", "d"], size=100,
+    )
+    assert got == [
+        ("a", 50), ("b[0-9a-d]", 50), ("b[e-f]", 50),
+        ("c[0-9a-d]", 50), ("c[e-f]", 50), ("d", 50),
+    ]
+
+
+def test_i3_optimize_special_chars_unit():
+    # :206-242 — base64: specials escaped per safeRegexChars (- and +)
+    from elasticsearch_assets_spark.operators.id_slicer import (
+        id_slicer_plan_optimized,
+    )
+
+    got = id_slicer_plan_optimized(
+        _scripted([50, 110, 50, 50, 50, 50]),
+        "base64", key_set=["a", "b", "c"], size=100,
+    )
+    assert got == [
+        ("a", 50), ("b[A-Za-z0-7]", 50), ("b[8-9\\-_\\+/]", 50), ("c", 50)
+    ]
+
+
+def test_i3_optimize_oversized_chunk_shrinks_unit():
+    # :245-286 — a chunk still too big shrinks via the ratio rule
+    from elasticsearch_assets_spark.operators.id_slicer import (
+        id_slicer_plan_optimized,
+    )
+
+    got = id_slicer_plan_optimized(
+        _scripted([50, 110, 110, 50, 50, 110, 50, 50, 50]),
+        "hexadecimal", key_set=["a", "b", "c", "d"], size=100,
+    )
+    assert got == [
+        ("a", 50), ("b[0-9a-b]", 50), ("b[c-f]", 50),
+        ("c[0-9a-d]", 50), ("c[e-f]", 50), ("d", 50),
+    ]
+
+
+def test_i3_starting_depth_unit():
+    # :289-354 — startingKeyDepth=1: the bare keys are never counted;
+    # first-level children are the walk's nodes
+    from elasticsearch_assets_spark.operators.id_slicer import (
+        id_slicer_plan_optimized,
+    )
+
+    seq = [50, 110, 50, 50] + [50] * 30
+    got = id_slicer_plan_optimized(
+        _scripted(seq),
+        "hexadecimal", key_set=["a", "b"], size=100, starting_key_depth=1,
+    )
+    exp = [("a0", 50), ("a1[0-9a-d]", 50), ("a1[e-f]", 50)]
+    exp += [(f"a{c}", 50) for c in "23456789abcdef"]
+    exp += [(f"b{c}", 50) for c in "0123456789abcdef"]
+    assert got == exp
+
+
+def test_split_key_manager_unit_goldens():
+    # id-utils-spec.ts SplitKeyManager behaviors: split is idempotent
+    # until commit; sections compose ('8-9a-b'); shrink without commit
+    from elasticsearch_assets_spark.operators.id_slicer import _SplitKeyManager
+
+    t = _SplitKeyManager("hexadecimal")
+    assert t.split(5)[0] == "[0-4]"
+    assert t.split(5)[0] == "[0-4]"  # no commit → same range
+    t.commit()
+    assert t.split(5)[0] == "[5-9]"
+    t.commit()
+    assert t.split(6)[0] == "[a-f]"
+    t.commit()
+    assert t.split(5)[0] == ""
+
+    t = _SplitKeyManager("hexadecimal")
+    for exp in ("[0-3]", "[4-7]", "[8-9a-b]", "[c-f]", ""):
+        assert t.split(4)[0] == exp
+        t.commit()
+
+    t = _SplitKeyManager("hexadecimal")
+    assert t.split(4)[0] == "[0-3]"; t.commit()
+    assert t.split(4)[0] == "[4-7]"; t.commit()
+    assert t.split(4)[0] == "[8-9a-b]"  # NO commit → shrink
+    for exp in ("[8-9]", "[a-b]", "[c-d]", "[e-f]", ""):
+        assert t.split(2)[0] == exp
+        t.commit()
+
+    t = _SplitKeyManager("HEXADECIMAL")
+    assert t.split(5)[0] == "[0-4]"
