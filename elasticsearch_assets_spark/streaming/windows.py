@@ -95,3 +95,36 @@ def stream_delayed_windows(
         F.col("win.end").alias("window_end"),
         *[c for c in out.columns if c != "win"],
     )
+
+
+class WindowState:
+    """D9 multi-slicer window barrier, behavior-identical to the
+    reference's WindowState (WindowState.ts:11-55): every slicer checks
+    in when it finishes window W; `checkin(id)` returns True only once
+    all slicers have completed the window, releasing that slicer into
+    W+1. In Spark a micro-batch is this barrier implicitly; this class
+    exists for parity with the reference's persistent-mode coordination
+    (and drives multi-reader loops outside Structured Streaming).
+    """
+
+    def __init__(self, num_slicers: int):
+        self._state = {
+            i: {"has_called": False, "can_restart": False}
+            for i in range(num_slicers)
+        }
+
+    def checkin(self, slicer_id: int) -> bool:
+        meta = self._state.get(slicer_id)
+        if meta is None:
+            raise KeyError(f"Window metadata for id {slicer_id} is not defined")
+        out = False
+        meta["has_called"] = True
+        if all(m["has_called"] for m in self._state.values()):
+            for m in self._state.values():
+                m["can_restart"] = True
+                m["has_called"] = False
+        if meta["can_restart"]:
+            meta["can_restart"] = False
+            meta["has_called"] = True
+            out = True
+        return out

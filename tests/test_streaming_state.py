@@ -188,3 +188,22 @@ def test_frame_sample_plan(spark):
     plan = MM.frame_sample_plan(media, every_ms=1000).collect()[0]
     dur = plan["media_meta"]["duration_ms"]
     assert plan["frame_ts_ms"] == list(range(0, dur, 1000))
+
+
+def test_window_state_barrier_unit():
+    # WindowState unit goldens (test/unit/window_state-spec.ts)
+    from elasticsearch_assets_spark.streaming.windows import WindowState
+
+    one = WindowState(1)
+    assert one.checkin(0) is True
+    assert one.checkin(0) is True  # single slicer always proceeds
+
+    st = WindowState(2)
+    assert st.checkin(0) is False  # waiting on slicer 1
+    assert st.checkin(0) is False
+    assert st.checkin(1) is True   # window complete → 1 restarts
+    assert st.checkin(1) is False  # now 1 waits on 0
+    assert st.checkin(0) is True
+    assert st.checkin(1) is True
+    assert st.checkin(1) is False
+    assert st.checkin(0) is True
