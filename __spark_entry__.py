@@ -122,6 +122,20 @@ LIMIT {k}
 """
 
 
+# IVF coarse quantizer recorded from the deterministic sf0.01 train
+# (ivf_train k=8 iters=3 over embeddings vec_id != 0); the entry
+# retrains live — any drift fails the value gate.
+_IVF_CENTROIDS = [
+    [-0.020894983599646366, -0.004500124059632071, -0.0003003965530297137, -0.03126513180541224, -0.027576677457545884, 0.024671970435520052, -0.07533225756196771, 0.008996943884994835, -0.0003164687987009529, -0.019520486497640377, -0.031498795477091335, 0.03570469249825692, 0.06864913498611713, -0.075438966639922, 0.022222672294446966, 0.018644499661149894, -0.024722649683099007, -0.004048357230203692, 0.05839390516302956, -0.03907835979771335, -0.014081535155128222, 0.048570021420346166, 0.0025170737026201095, -0.0041022781588253565, 0.05172835477424087, 0.06623104663958657, -0.00022058214744902216, -0.026080003495735582, -0.014409481536858948, 0.02633805044388282, -0.031090581891476177, 0.022168238672747975, -0.014190717706810574, 0.008533246822480578, 0.0008693301406310638, 0.009792446187930182, -0.043989817168039735, -0.006407998645954649, -0.018344806722325302, -0.09658870242128614, 0.021316451700840844, -0.04298239843774354, 0.036029918063889, 0.009439026361178549, -0.007346256432356313, 0.0391126342356074, -0.042765142978169024, 0.004600213826051913, -0.04076545389398234, -0.08058827499553445, -0.016844329180457862, 0.0033281490855188167, 0.007529567054007202, -0.019862807133904425, -0.0213578636321472, 0.03582438936791732, 0.038942596145489006, -0.027969632010353962, 0.0006460168515332043, 0.013377799161389703, -0.01776505405723583, 0.03295367445844022, -0.034768359359077294, -0.01377673250681255],
+    [-0.0044584658502697435, 0.0015577926453010276, -0.012875878292232239, 0.024580710543698935, 0.024811279799403816, -0.014205375545786629, -0.029552913660279893, -0.014555730114305585, -0.006337693471166482, -0.09536827983061687, -0.026397088293692673, -0.01551819256715605, -0.07160494408112597, 0.07251613085250498, -0.0013279171162766629, 0.01201222987106905, -0.011654848377380905, 0.04424296601290076, -0.010550831508790624, -0.017516441860011424, -0.00854886495026535, 0.010988638230503119, 0.05180010266987414, -0.019572599546116745, -0.008745321691847118, -0.045641537294080804, 0.02463602567701761, -0.013564250010451109, 0.016730224537052984, 0.026117822627039176, -0.03851739509464723, -0.07881975872837287, -0.010054164399505305, -0.008288883427479144, -0.0006356539349232254, -0.032094767361333404, 0.013197565611837239, 0.043672933127552445, 0.04943481263712626, 0.03520343403391147, -0.0018606776474967021, -0.0021506539738640703, 0.02128028835507174, 0.008336505908840176, 0.015897996383908573, -0.005899786636040643, -0.020470267310256845, -0.015127880330165398, 0.048616021582535626, 0.026324781761825854, 0.039916451297828864, -0.057019122130566695, -0.008103038987209057, -0.04975187817813251, 0.022755518748328603, 0.017811218661994768, 0.016264929195287926, -0.010763390150306553, 0.006468434495688818, 0.034410282584099935, 0.03633565034171374, 0.029026814638075, 0.031930449675640155, 0.029799280864796763],
+    [-0.036780843604708825, 0.04319228523474356, 0.0022580508679807695, -0.005073071372779933, -0.008238608239811252, -0.016209714615604644, 0.03889486797958274, -0.004381509406040564, -0.01959473824580059, 0.014569740488447926, 0.005454575263711652, 0.04237440161787989, 0.006085297363549189, 0.06504671903905657, 0.022524910710864897, -0.014852005169924461, -0.022473007154820316, -0.02516634302975779, -0.00010065596981086966, 0.029344072484298413, -0.013651847651503473, 0.0073138341434638605, -0.02641619999176879, 0.007342099459051635, -0.0054111821615758044, 0.042725099637843385, -0.026586808828693447, -0.02597683646617401, -0.05866906346195857, -0.032372462623188214, -0.009007003743935264, -0.007655635691304325, 0.0754628260972712, 0.006114741510387059, -0.02212399837144679, -0.008496456497320623, 0.025154789133618276, -0.009788681711005196, -0.02417206809861289, -0.027092972281741713, -0.01036188046793651, -0.021274819952492235, -0.06491083968924641, -0.01922761912150732, 0.009705069877037948, 0.0034362828944612183, 0.003741739016153257, -0.05145101558071363, 0.07424072391762765, -0.047569722261731374, 0.011187793708152392, -0.0009982183321633122, 0.019610385373446414, 0.029823342338204384, -0.02417454239912331, -0.03265475874032938, 0.03225950046996304, -0.011841791441177273, 0.01589736027755972, -0.048832950557081145, 0.036416634931370165, -0.004434609765942723, -0.010723651604194223, -0.06625044455568334],
+    [0.027647277501483377, -0.0005491374076182882, 0.06972905316461737, -0.020723142553693973, -0.04235135932238056, -0.08689170110469255, 0.044983954182288684, -0.0012125244516377838, 0.005627371169864021, 0.0416827208828181, 0.03889760241145268, -0.048794397741753176, 0.02194329544615287, -0.029669297818775073, 0.009987449179439304, -0.02447822187633182, 0.07225429049979609, 0.02396449846520017, 0.005707010016731846, 0.02392289642459498, -0.0047273722101146215, 0.038485466580963336, -0.0153866334786961, 0.014380782269514523, -0.01922834339179994, -0.002887963921798823, 0.027364838590773825, 0.02635639063149798, 0.021185830488460712, -0.023023557437297244, 0.033059395876569815, -0.014374435804291772, 0.015355909252181076, -0.011890382573115997, 0.01604095700671538, -0.050737826162591, -0.009187438238698702, -0.09251327303578503, -0.014171191689736308, 0.02976148713227863, 0.009337000602569718, -0.011995138134807348, -0.01222545459257582, 0.026954486640499035, -0.033299268946463526, 0.012766924641954783, -0.029598948064421374, 0.05003984704112204, -0.024874121402927604, 0.01589856223346522, -0.000976084337498133, 0.028271000697154356, 0.027979022008366883, 0.01460450914489159, 0.08545729572114606, -0.003866760017654787, 0.0029945161659270525, -0.029452108019121133, 0.025248296899147905, 0.007991350579406852, -0.05727125437428745, -0.006223189756453324, 0.0386390456607422, 0.009238119402792878],
+    [0.003973960815570676, -0.01424164637350119, 0.031186125348680295, 0.015339042973489715, 0.06070615050311272, -0.03083101865620567, -0.058599074018107225, 0.07518669117528659, -0.02640601770164302, 0.014340033924851853, 0.04189763915939973, -0.02961453692987561, 0.01902572106784926, 0.009188680191381046, -0.028467541356356096, 0.0022110479454008434, -0.009695692168651685, -0.026280024953974555, -0.039510267768771604, 0.018303550967427258, 0.013603395794948132, -0.019591543966761, 0.028804780834784303, -0.020964565242712313, 0.04642677008657931, 0.026883664197073533, -0.027058633309430802, 0.01667358286034029, 0.009657973108383325, 0.041138596320524815, 0.022799614064681988, -0.04276180872693658, 0.02581383651838853, 0.004633632167063367, 0.011234930895555478, 0.05415032484407465, 0.0006583291285026532, 0.0812934413444824, -0.0131698705882837, 0.02522224950639961, -0.042671993088263735, 0.02832683035521768, -0.01373689270649965, 0.03797627510502934, -0.08180108682897229, -0.022397144871334044, 0.019284103417661614, -0.006344477280687827, -0.018453878561894482, 0.014052751968399836, 0.044195329838504015, 0.05613818016852467, -0.012192162026006441, 0.01718855158855709, -0.02027089811789875, -0.04392711015221162, 0.017566241846921352, -0.05477776971215812, -0.021812439113944912, 0.00983081513729233, 0.020979476949343316, 0.007800420488302524, -0.032781777831797414, 0.03314201893965499],
+    [0.0070877815606460596, -0.028418763389345257, -0.004823044058866799, -0.036274435522500426, 0.007022662022306273, 0.07080593359423801, -0.0004351112986720788, -0.03789600227998259, 0.013665512863857051, 0.037779954366851595, 0.06633620475477073, 0.0052359985963751875, 0.02258484947960824, 0.04651791803383579, -0.026965226093307138, 0.01048120462122218, 0.013948030734900385, 0.08135813822445925, -0.05925145805231295, -0.025632996088825168, -0.008113939540150265, -0.008567133592441678, -0.009953478250342112, -0.06182339929509908, 0.004794970500127723, -0.026800334298362333, 0.0027928744801708188, 0.028081575247536725, 0.011340027302503585, -0.0017935485617878537, 0.027775463227105016, 0.03308072759148975, 0.001311530598710912, -0.07585246838085974, -0.044163549706960716, 0.06620911353190119, 0.02252499492606148, -0.024237423719023356, 0.001430001353098002, -0.018850720025936123, 0.05419407518541751, -0.038732594600878655, 0.00968466531485319, -0.01833695759996772, 0.011772654812860613, 0.01932400762064693, 0.049967953009763734, 0.039673941856987464, 0.014824313811307851, 0.009689110562127705, -0.020100866281427442, 0.0020051939102510613, 0.049959010668681005, -0.024366580953680265, 0.022659100444676974, 0.01777713275126492, -0.051516184967476876, 0.05895638957396538, -0.012418810836970806, -0.031108244407611587, 0.029878165388860605, -0.02196321663116881, -0.02903314969347169, 0.016409245715476573],
+    [0.08911631344888134, 0.018446500236732943, -0.030480282838018895, 0.03382003168878851, -0.01349787717812102, 0.025999647535641227, -0.004466401946653302, 0.04585616772281796, -0.011524797862600253, -0.02183265992701336, 0.007150722039637692, -0.007164487603762554, -0.07795819545131191, -0.06607760444361095, -0.0297066618575517, -0.007628797959169429, -0.008425286434816591, 0.0010953875184482472, 0.00968424832293143, 0.006356104016021797, -0.038052833013793905, -0.020163795727333338, -0.005768548796009837, 0.05685818471212053, -0.007627611036172531, -0.03621946026087795, -0.014583739756772324, 0.050756172787232295, -0.003994834888020925, 0.03916629168661805, 0.05405618202392802, 0.0504870724992846, -0.017292889110236007, 0.007586976730222391, 0.014424140381655006, 0.017281531123444438, -0.05107096085945765, -0.03950525630110254, -0.00045066008742926925, 0.03293952949796662, -0.027285032081029687, -0.011256815976759588, 0.03218459033506048, -0.021946134049027354, -0.009364063548149936, 0.03558858423705467, 0.015892974339129232, 0.040699870653704485, -0.05663707258292672, 0.0064597067812979785, 0.023100825261225866, -0.01562971968175561, -0.004479396918957884, -0.013679938156256509, -0.018458002518552046, 0.016538750332653184, 0.022843689724774748, 0.012256988461806693, -0.08389211979793441, -0.03469990270285493, -0.006313596026633273, -0.014686552030925117, 0.014444868842309172, -0.06238787001436294],
+    [-0.04340291759067708, -0.05280304093920516, -0.010769283449489568, -0.0177809294032426, 0.06422529587186598, 0.07141329389859867, -0.048216345699449235, -0.005819825659273192, 0.02453103304073653, 0.022893047002606394, -0.04166794256718062, 0.03153552790600395, -0.00539048745036673, -0.0008639816380095641, 0.02937375456959297, 0.045311443411799913, 0.02974779365981436, -0.03395390408524476, 0.026928881565040415, 0.011193824127343866, 0.04387549650581444, -0.026366712867884952, 0.006130734503077453, -0.03666048761806451, -0.0752524714991844, 0.060284137270440734, 0.0087620122174164, 0.03043325780890882, 0.015736278177321178, -0.07422996851656695, -0.013620249300455564, -0.019092045443625572, -0.008313898298451129, 0.01202341474024305, 0.06095401696203386, -0.052583473703741807, 0.0027176605962107286, 0.018995977592353216, 0.013875356834272252, 0.015947926976129085, -0.010182932887426646, 0.0033246675512226135, -0.0019289363952018047, -0.020369417934596318, 0.0012194419293390477, -0.04848180397290408, -0.006546065686801311, -0.0028678684577564985, -0.02628430531373905, -0.01443382544333444, -0.0065939403130494826, -0.02985316686852671, -0.012700358106218012, 0.012401009036693722, 0.009933988044983433, -0.03040361245546271, -0.04321570044232752, 0.039235345190664864, 0.03933603300024783, -0.011201415577328162, -0.04737914455900489, 0.01608795519774396, 0.019209759970716035, -0.0345700020698132],
+]
+
 # deterministic synthetic geo coordinates derived from events columns
 # (identical arithmetic in both engines)
 _LAT = "((user_id % 180) - 90 + (event_id % 100) * 0.01)"
@@ -506,6 +520,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy(F.desc("cosine"), F.asc("vec_id"))
 
     q["sim_ann_indexed"] = sim_ann_indexed
+
+    def sim_ivf_topk(s, d):
+        # IVF ANN scale path: deterministic k-means quantizer, inverted
+        # lists partitioned by centroid, top-nprobe lists scanned
+        import tempfile
+
+        emb = _t(s, d, "embeddings")
+        key = os.path.abspath(d) + "::ivf"
+        if key not in _INDEX_CACHE:
+            p = tempfile.mkdtemp(prefix="ivf_idx_")
+            similarity.write_ivf_index(
+                emb.where(F.col("vec_id") != 0), p, k=8, iters=3
+            )
+            _INDEX_CACHE[key] = p
+        qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        out = similarity.ivf_topk(s, _INDEX_CACHE[key], list(qv), k=10, nprobe=2)
+        return out.select(
+            "vec_id", F.round("cosine", 4).alias("cosine")
+        ).orderBy(F.desc("cosine"), F.asc("vec_id"))
+
+    q["sim_ivf_topk"] = sim_ivf_topk
 
     def dd_simhash_pairs(s, d):
         return dedup.simhash_near_dups(
@@ -1143,6 +1178,45 @@ dots AS (
 SELECT vec_id, round(dot / (na * nb), 4) AS cosine
 FROM dots
 ORDER BY round(dot / (na * nb), 4) DESC, vec_id ASC
+LIMIT 10
+"""
+
+    # sim_ivf_topk: recorded quantizer (see _IVF_CENTROIDS) → per-vector
+    # assignment by max cosine (ties → lowest centroid id), probe the
+    # query's top-2 lists, exact cosine top-k within them
+    _cent_rows = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(_IVF_CENTROIDS)
+    )
+    _cosexpr = (
+        "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+        " / (sqrt(list_sum(list_transform({a}, v -> v::DOUBLE * v::DOUBLE)))"
+        " * sqrt(list_sum(list_transform({b}, v -> v::DOUBLE * v::DOUBLE))))"
+    )
+    o["sim_ivf_topk"] = f"""
+WITH cents(cid, c) AS (VALUES {_cent_rows}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT cid FROM cents, q
+  ORDER BY {_cosexpr.format(a="qv", b="c")} DESC, cid ASC
+  LIMIT 2
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, cents.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_cosexpr.format(a="e.embedding", b="cents.c")} DESC, cents.cid ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN cents
+  WHERE e.vec_id != 0
+),
+cand AS (
+  SELECT vec_id, embedding FROM assign
+  WHERE rn = 1 AND cid IN (SELECT cid FROM probes)
+)
+SELECT c.vec_id, round({_cosexpr.format(a="c.embedding", b="q.qv")}, 4) AS cosine
+FROM cand c, q
+ORDER BY round({_cosexpr.format(a="c.embedding", b="q.qv")}, 4) DESC, c.vec_id ASC
 LIMIT 10
 """
 

@@ -146,6 +146,125 @@ def ann_topk_indexed(
     return cosine_topk(cand, query_vec, k, meta["id_col"], meta["vec_col"])
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: the second scale path beside sign-bucket LSH.
+# Deterministic Lloyd iterations expressed as DataFrame ops; the coarse
+# quantizer (centroid list) is tiny and lives on the driver.
+# ---------------------------------------------------------------------------
+
+
+def _cosine_to_centroids(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of cosines from vec to each centroid (JVM exprs)."""
+    cols = []
+    for c in centroids:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        cols.append(cosine_col(vec_col, lit))
+    return F.array(*cols)
+
+
+def assign_centroid(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """argmax cosine, ties → lowest centroid id (array_position finds
+    the FIRST occurrence of the max)."""
+    cos = _cosine_to_centroids(vec_col, centroids)
+    return (F.array_position(cos, F.array_max(cos)) - 1).cast("int")
+
+
+def ivf_train(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic k-means for the coarse quantizer: init = the k
+    vectors with the smallest ids, then `iters` Lloyd steps (assign =
+    JVM column exprs; means = one groupBy per step; the k×dim centroid
+    table is the only driver-side state)."""
+    init = (
+        emb.orderBy(F.asc(id_col)).limit(k).select(vec_col).collect()
+    )
+    centroids = [list(map(float, r[0])) for r in init]
+    for _ in range(iters):
+        assigned = emb.withColumn(
+            "_c", assign_centroid(F.col(vec_col), centroids)
+        )
+        means = (
+            assigned.select("_c", F.posexplode(vec_col).alias("_d", "_v"))
+            .groupBy("_c", "_d")
+            .agg(F.avg("_v").alias("m"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_c.setdefault(r["_c"], {})[r["_d"]] = float(r["m"])
+        centroids = [
+            [by_c[c][d] for d in sorted(by_c[c])] if c in by_c else centroids[c]
+            for c in range(k)
+        ]
+    return centroids
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Persist the IVF index: vectors written partitionBy(centroid) so a
+    query scans only the probed lists (directory pruning), plus the
+    quantizer as JSON."""
+    import json
+    import os
+
+    centroids = ivf_train(emb, k, iters, id_col, vec_col)
+    (
+        emb.withColumn("centroid", assign_centroid(F.col(vec_col), centroids))
+        .write.mode("overwrite")
+        .partitionBy("centroid")
+        .parquet(os.path.join(path, "vectors"))
+    )
+    with open(os.path.join(path, "ivf.json"), "w") as f:
+        json.dump(
+            {"centroids": centroids, "id_col": id_col, "vec_col": vec_col}, f
+        )
+    return centroids
+
+
+def ivf_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search: rank centroids by cosine to the query (driver-side,
+    k_centroids×dim flops), scan the top-`nprobe` inverted lists only
+    (partition pruning), exact cosine re-rank within them."""
+    import json
+    import math
+    import os
+
+    with open(os.path.join(path, "ivf.json")) as f:
+        meta = json.load(f)
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb)
+
+    ranked = sorted(
+        range(len(meta["centroids"])),
+        key=lambda c: (-cos(query_vec, meta["centroids"][c]), c),
+    )
+    probe = ranked[:nprobe]
+    vecs = spark.read.parquet(os.path.join(path, "vectors"))
+    cand = vecs.where(F.col("centroid").isin(probe))
+    return cosine_topk(cand, query_vec, k, meta["id_col"], meta["vec_col"])
+
+
 def near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -137,6 +137,29 @@ def test_ann_index_prunes_bucket_directories(spark, sf_dir, tmp_path_factory):
     assert len(probed & exact) >= len(single & exact)
 
 
+def test_ivf_index_prunes_centroid_directories(spark, sf_dir, tmp_path_factory):
+    # IVF scale path: probed inverted lists must be directory-pruned;
+    # training is deterministic (stable init + Lloyd in DataFrame ops)
+    from elasticsearch_assets_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") != 0)
+    p = str(tmp_path_factory.mktemp("ivf") / "idx")
+    c1 = similarity.write_ivf_index(base, p, k=4, iters=2)
+    assert c1 == similarity.ivf_train(base, k=4, iters=2)
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = similarity.ivf_topk(spark, p, list(qv), k=5, nprobe=2)
+    assert out.count() == 5
+    scan = [l for l in _plan(out).splitlines() if "FileScan" in l][0]
+    assert "centroid" in scan.split("PartitionFilters")[1].split("]")[0], scan
+    # nprobe=ALL lists == exact brute force (IVF is exhaustive at full probe)
+    full = similarity.ivf_topk(spark, p, list(qv), k=5, nprobe=4)
+    exact = similarity.cosine_topk(base, list(qv), k=5)
+    assert [r["vec_id"] for r in full.collect()] == [
+        r["vec_id"] for r in exact.collect()
+    ]
+
+
 def test_build_is_jvm_only_with_partial_agg(spark, corpus):
     # the tokenize+tf hot path: no Python eval nodes (pure JVM codegen
     # operators) and map-side combine (partial_count) before the shuffle
