@@ -192,3 +192,54 @@ def test_plan_on_events_table(spark, sf_dir):
     assert all(
         p.count <= 200 or (p.end_ms - p.start_ms) <= 1 for p in plan
     )
+
+
+# ---- condensed-spread fixture (the extreme-density case) --------------------
+# The reference fixture (test/fixtures/data/condensed-spread.ts:4-19) packs
+# 2,000 records into 2 milliseconds: 1,000 at base+1ms and 1,000 at base+2ms
+# (base = 2019-04-26T15:00:23.207Z). Goldens from db-tests/condensed-data-
+# spec.ts:78-134.
+def _condensed_cf():
+    import numpy as np
+
+    ts = np.array([1] * 1000 + [2] * 1000, dtype=np.int64) + 207
+    return lambda a, b: int(np.searchsorted(ts, b) - np.searchsorted(ts, a))
+
+
+def test_condensed_auto_interval_floors_to_one_ms():
+    # determineSliceInterval: 2000 docs / size 100 over a 2ms range →
+    # floor(2/20) = 0 → clamped to [1,'ms'] (:78-96)
+    from elasticsearch_assets_spark.operators.reader import auto_interval_ms
+
+    assert auto_interval_ms(208, 210, total=2000, size=100) == 1
+
+
+def test_condensed_two_oversized_slices():
+    # size=100 but slices cannot shrink below 1ms: exactly two slices of
+    # 1,000 docs each, then done (:98-134)
+    plan = date_slicer_plan(_condensed_cf(), 208, 210, 1, 100, resolution="ms")
+    assert [(p.start_ms, p.end_ms, p.count) for p in plan] == [
+        (208, 209, 1000), (209, 210, 1000),
+    ]
+
+
+def test_condensed_subslice_by_key_splits_density():
+    # D5: the same density split by key prefix instead of emitting
+    # oversized date slices (dateSlicer.ts:203-256)
+    from elasticsearch_assets_spark.operators.date_slicer import (
+        date_slicer_plan_with_subslices,
+    )
+
+    docs = [(208 + (i >= 1000), f"{i % 16:x}") for i in range(2000)]
+
+    def key_count_fn(prefix, a, b):
+        return sum(1 for ms, k in docs if a <= ms < b and k.startswith(prefix))
+
+    out = date_slicer_plan_with_subslices(
+        _condensed_cf(), key_count_fn, 208, 210, 1, 100,
+        subslice_key_threshold=500, key_type="hexadecimal",
+    )
+    # both 1000-doc ms slices subsplit into 16 key slices of 62-63 docs
+    assert len(out) == 32
+    assert all(o["keys"] and o["count"] <= 100 for o in out)
+    assert sum(o["count"] for o in out) == 2000
