@@ -290,6 +290,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ev_geo_distance"] = ev_geo_distance
 
+    def ev_geo_sorted(s, d):
+        # Q9 _geo_distance sort, ORDER value-checked: the rank column
+        # makes the driver's order-insensitive hash sensitive to sort
+        # position (ties broken by event_id in both engines)
+        from pyspark.sql import Window
+
+        g = _ev_geo(_t(s, d, "events"))
+        out = reader.geo_distance(
+            g, "lat", "lon", (40.0, -60.0), 1500.0, "km"
+        ).select(
+            "event_id", F.round(F.col("_distance_m") / 1000.0, 3).alias("dist_km")
+        )
+        w = Window.orderBy(F.asc("dist_km"), F.asc("event_id"))
+        return out.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= 100
+        )
+
+    q["ev_geo_sorted"] = ev_geo_sorted
+
     def ev_delayed_window(s, d):
         # D8 delayedStreamSegment relative to max(ts): window
         # [max - delay - interval, max - delay)
@@ -820,6 +839,27 @@ d AS (
 SELECT event_id, round(dist_m / 1000.0, 3) AS dist_km FROM d
 WHERE dist_m <= 3000.0 * 1000.0
 """
+    o["ev_geo_sorted"] = f"""
+WITH g AS (
+  SELECT event_id, ({_LAT})::DOUBLE AS lat, ({_LON})::DOUBLE AS lon FROM events
+),
+d AS (
+  SELECT event_id,
+         2.0 * 6371000.0 * asin(sqrt(
+           sin(radians(lat - 40.0) / 2) * sin(radians(lat - 40.0) / 2)
+           + cos(radians(40.0)) * cos(radians(lat))
+           * sin(radians(lon - (-60.0)) / 2) * sin(radians(lon - (-60.0)) / 2)
+         )) AS dist_m
+  FROM g
+)
+SELECT event_id, round(dist_m / 1000.0, 3) AS dist_km,
+       row_number() OVER (
+         ORDER BY round(dist_m / 1000.0, 3) ASC, event_id ASC
+       ) AS rank
+FROM d WHERE dist_m <= 1500.0 * 1000.0
+QUALIFY rank <= 100
+"""
+
     o["ev_delayed_window"] = """
 WITH mx AS (SELECT max(ts) AS m FROM events)
 SELECT event_id, event_type FROM events, mx
