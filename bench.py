@@ -162,24 +162,33 @@ def main() -> None:
                 ).parquet(scale_corpus)
             # one untimed warm-up at the hi level (JIT state lives in the
             # shared gateway JVM, so it covers the lo level too), then
-            # INTERLEAVED lo/hi pairs with per-level medians: efficiency
-            # is a ratio of two measurements, so host-noise minutes apart
-            # dominates unless the pairs are adjacent in time
+            # INTERLEAVED lo/hi pairs. Efficiency is a RATIO, so slow
+            # host drift between the two runs dominates its variance
+            # unless (a) the pair members are adjacent in time, (b) the
+            # order alternates between pairs (cancels systematic order
+            # effects), and (c) the reported number is the MEDIAN OF THE
+            # PER-PAIR RATIOS rather than a ratio of medians.
             spark = _fresh_spark(SCALE_HI)
             index_build_job(spark, scale_corpus, os.path.join(tmp, "idx_shi"))
-            his, los = [], []
+            his, los, pair_effs = [], [], []
             for rep in range(3):
-                spark = _fresh_spark(SCALE_HI)
-                his.append(
-                    index_build_job(spark, scale_corpus, os.path.join(tmp, f"ih{rep}"))
+                order = (
+                    [SCALE_HI, SCALE_LO] if rep % 2 == 0 else [SCALE_LO, SCALE_HI]
                 )
-                spark = _fresh_spark(SCALE_LO)
-                los.append(
-                    index_build_job(spark, scale_corpus, os.path.join(tmp, f"il{rep}"))
+                pair = {}
+                for cpus in order:
+                    spark = _fresh_spark(cpus)
+                    pair[cpus] = index_build_job(
+                        spark, scale_corpus, os.path.join(tmp, f"is{rep}_{cpus}")
+                    )
+                his.append(pair[SCALE_HI])
+                los.append(pair[SCALE_LO])
+                pair_effs.append(
+                    (pair[SCALE_LO] / pair[SCALE_HI]) / (SCALE_HI / SCALE_LO)
                 )
             s_hi, s_lo = sorted(his)[1], sorted(los)[1]
             t_hi, t_lo = SCALE_DOCS / s_hi, SCALE_DOCS / s_lo
-            eff = (t_hi / t_lo) / (SCALE_HI / SCALE_LO)
+            eff = sorted(pair_effs)[1]
             result["scaling"] = {
                 "docs": SCALE_DOCS,
                 "cpus_lo": SCALE_LO,
@@ -189,6 +198,7 @@ def main() -> None:
                 "docs_per_sec_lo": round(t_lo, 1),
                 "docs_per_sec_hi": round(t_hi, 1),
                 "efficiency": round(eff, 3),
+                "pair_efficiencies": [round(e, 3) for e in pair_effs],
             }
 
         result["value"] = round(

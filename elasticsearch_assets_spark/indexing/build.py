@@ -282,16 +282,45 @@ def build_and_write_index(
         .parquet(os.path.join(path, "postings"))
     )
 
-    # derivations read back only the columns they need
-    postings = spark.read.parquet(os.path.join(path, "postings"))
-    postings.groupBy("term").agg(F.count("*").cast("long").alias("df")).coalesce(
-        8
-    ).write.mode("overwrite").parquet(os.path.join(path, "terms"))
+    # derivations read back only the columns they need; terms and
+    # doc_norms are independent, so their jobs run CONCURRENTLY (the
+    # serial tail is pure Amdahl loss — it costs the same wall time at
+    # every cluster size and so caps scaling efficiency)
+    import threading
 
-    dl = postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-    keep = ["doc_id", "dl", "content_sha", *source_cols]
-    doc_norms = base.join(dl, "doc_id", "left").na.fill({"dl": 0}).select(*keep)
-    doc_norms.write.mode("overwrite").parquet(os.path.join(path, "doc_norms"))
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+
+    def _write_terms():
+        postings.groupBy("term").agg(
+            F.count("*").cast("long").alias("df")
+        ).coalesce(8).write.mode("overwrite").parquet(os.path.join(path, "terms"))
+
+    def _write_doc_norms():
+        dl = postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+        keep = ["doc_id", "dl", "content_sha", *source_cols]
+        doc_norms = (
+            base.join(dl, "doc_id", "left").na.fill({"dl": 0}).select(*keep)
+        )
+        doc_norms.write.mode("overwrite").parquet(os.path.join(path, "doc_norms"))
+
+    errs: list[BaseException] = []
+
+    def _run(fn):
+        try:
+            fn()
+        except BaseException as e:  # surfaced after join
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=_run, args=(f,))
+        for f in (_write_terms, _write_doc_norms)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
 
     dn = spark.read.parquet(os.path.join(path, "doc_norms"))
     agg = dn.agg(F.count("*").alias("n"), F.avg("dl").alias("avg_dl")).collect()[0]
