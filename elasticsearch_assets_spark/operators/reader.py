@@ -100,6 +100,56 @@ def bounded_count(df: DataFrame, pred: Column | None, n: int) -> int:
     return base.limit(n).count()
 
 
+def fetch_with_expansion(
+    df: DataFrame,
+    pred: Column | None,
+    count: int | None = None,
+    max_result_window: int = DEFAULT_MAX_RESULT_WINDOW,
+    retries: int = 5,
+):
+    """F1 fetch with size-expansion retry (ElasticsearchReaderAPI.ts
+    fetch :104-178): query at ceil(count·1.5); a result of EXACTLY the
+    query size may be truncated, so grow ×1.5 and refetch, up to
+    `retries` times, refusing sizes past the window. Spark reads are
+    exact, so truncation here is simulated with limit() — the semantics
+    (stale slice counts racing concurrent writers) and the error shapes
+    are the reference's; real deployments can call the plain scan.
+
+    Returns the collected rows ('the fetcher successfully retrieves all
+    8 records' behavior when the set grew after slicing).
+    """
+    import math
+
+    base = df.where(pred) if pred is not None else df
+    query_size = 10_000
+    if count:
+        expanded = math.ceil(count * 1.5)
+        if expanded >= max_result_window:
+            raise ValueError(
+                f"The query size, {expanded}, is greater than the "
+                f"index.max_result_window: {max_result_window}"
+            )
+        query_size = expanded
+
+    last_err: Exception | None = None
+    for _attempt in range(retries):  # pRetry: `retries` total attempts
+        rows = base.limit(query_size).collect()
+        if len(rows) != query_size:
+            return rows
+        expanded = math.ceil(query_size * 1.5)
+        if expanded >= max_result_window:
+            raise ValueError(
+                f"The query size, {expanded}, is greater than the "
+                f"index.max_result_window: {max_result_window}"
+            )
+        last_err = ValueError(
+            f"The result set contained exactly {len(rows)} records, "
+            f"searching again with size: {expanded}"
+        )
+        query_size = expanded
+    raise last_err
+
+
 def auto_interval_ms(
     start_ms: int, end_ms: int, total: int, size: int, resolution: str = "ms"
 ) -> int:

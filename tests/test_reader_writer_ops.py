@@ -233,3 +233,35 @@ def test_bulk_last_write_wins(spark):
     out = writer.merge_index(target, source)
     got = {r["doc_id"]: r["v"] for r in out.collect()}
     assert got == {1: "last"}
+
+
+def test_fetch_expansion_recovers_grown_slice(spark):
+    # fetcher-spec.ts:154-167 — slice counted 4 docs, 4 more arrived:
+    # the expansion retry retrieves all 8
+    df = spark.range(8).select(F.col("id").alias("doc_id"))
+    rows = reader.fetch_with_expansion(df, None, count=4)
+    assert len(rows) == 8
+
+
+def test_fetch_expansion_retry_limit_golden_error(spark):
+    # fetcher-spec.ts:200-227 — 32 docs behind a stale count of 4:
+    # sizes walk 6→9→14→21→32 and fail with the reference's message
+    import pytest
+
+    df = spark.range(32).select(F.col("id").alias("doc_id"))
+    with pytest.raises(
+        ValueError,
+        match="The result set contained exactly 32 records, "
+        "searching again with size: 48",
+    ):
+        reader.fetch_with_expansion(df, None, count=4)
+
+
+def test_fetch_expansion_window_guard(spark):
+    # ElasticsearchReaderAPI.ts:117-124 — expanded size past the window
+    # is refused up front
+    import pytest
+
+    df = spark.range(5).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="greater than the index.max_result_window"):
+        reader.fetch_with_expansion(df, None, count=9000, max_result_window=10000)
