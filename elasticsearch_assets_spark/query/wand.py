@@ -20,10 +20,17 @@ Rank-safe pruning strategies, chosen per query shape:
   that become non-essential — their billion-row posting lists are never
   aggregated, only semi-joined on the (small) candidate set.
 
-Roadmap (noted for parity at extreme scale): candidate-aware block
-skip via per-block doc_id Bloom filters would also prune the DECODE of
-non-essential blocks; at the current scales decode is not the
-bottleneck (the scoring shuffle is).
+Candidate-aware decode skip: packed blocks carry 128-byte doc_id
+Blooms; non-essential blocks that provably hold no candidate are never
+decoded (rank-safe — Bloom false negatives are impossible).
+
+Serving-path routing note: the packed path trades latency for storage
+(varbyte-compressed blocks, Arrow-batched Python decode); measured at
+240k docs the row-postings path answers hot multi-term queries ~3x
+faster while the packed path reads ~4x fewer bytes. A deployment
+serves latency-critical queries from row postings and storage-bound /
+scan-heavy workloads from blocks — both are rank-AND-score identical
+(tests/test_codec_blocks.py).
 """
 
 from __future__ import annotations
@@ -75,10 +82,11 @@ class PackedIndex:
         return {r["term"]: (int(r["df"]), float(r["mt"])) for r in rows}
 
 
-# candidate sets larger than this skip the Bloom prefilter (the
-# broadcast closure and per-block probe cost would outgrow the decode
-# saving; the semi-join after decode still bounds the scoring work)
-BLOOM_CAND_THRESHOLD = 50_000
+# candidate sets larger than this skip the Bloom prefilter: probe cost
+# is O(candidates × blocks) and a big candidate set means few skippable
+# blocks anyway (every block likely holds SOME candidate). Decode-skip
+# pays off exactly for selective queries — few candidates, hot terms.
+BLOOM_CAND_THRESHOLD = 4_000
 
 
 def bloom_skip_blocks(blocks: DataFrame, cand: DataFrame) -> DataFrame:
@@ -96,9 +104,15 @@ def bloom_skip_blocks(blocks: DataFrame, cand: DataFrame) -> DataFrame:
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            keep = [
-                codec.bloom_may_contain_any(b, pos) for b in pdf["bloom"]
-            ]
+            if len(pdf) == 0:
+                continue
+            # one vectorized probe for the whole batch: (n_blocks, bytes)
+            # bloom matrix × (C, K) candidate bit positions
+            mat = np.frombuffer(
+                b"".join(pdf["bloom"]), dtype=np.uint8
+            ).reshape(len(pdf), -1)
+            hit = (mat[:, pos >> 3] >> (pos & 7)) & 1  # (n_blocks, C, K)
+            keep = hit.all(axis=2).any(axis=1)
             yield pdf[keep]
 
     return blocks.mapInPandas(gen, schema=blocks.schema)
@@ -221,18 +235,26 @@ def match_query_packed(
     bounds = {
         t: idf(index.n_docs, df_) * mt * (K1 + 1.0) for t, (df_, mt) in stats.items()
     }
-    # θ: exact contributions of the rarest term (highest idf)
+    # θ: exact contributions of the rarest term (highest idf). Skip the
+    # θ job entirely when it provably cannot prune: θ ≤ bounds[rarest],
+    # so if even that upper bound is below no term's bound prefix, no
+    # term can become non-essential (common for 2-3 similar-df terms) —
+    # saves a decode+collect round trip per query.
     rarest = min(qterms, key=lambda t: stats[t][0])
-    r_scored = _score_decoded(
-        decode_blocks(qblocks.where(F.col("term") == rarest)),
-        {rarest: stats[rarest]},
-        index.n_docs,
-        index.avg_dl,
-    )
-    theta_rows = (
-        r_scored.orderBy(F.desc("score")).limit(k).select("score").collect()
-    )
-    theta = theta_rows[-1]["score"] if len(theta_rows) >= k else 0.0
+    theta_ub = bounds[rarest]
+    min_bound = min(bounds[t] for t in qterms if t != rarest) if len(qterms) > 1 else 0.0
+    theta = 0.0
+    if stats[rarest][0] >= k and min_bound <= theta_ub:
+        r_scored = _score_decoded(
+            decode_blocks(qblocks.where(F.col("term") == rarest)),
+            {rarest: stats[rarest]},
+            index.n_docs,
+            index.avg_dl,
+        )
+        theta_rows = (
+            r_scored.orderBy(F.desc("score")).limit(k).select("score").collect()
+        )
+        theta = theta_rows[-1]["score"] if len(theta_rows) >= k else 0.0
 
     # essential = terms not provably useless under θ
     by_bound = sorted(qterms, key=lambda t: bounds[t])
@@ -251,8 +273,12 @@ def match_query_packed(
         # posting lists are decoded only where a candidate MIGHT live —
         # the per-block Bloom drops the rest before decode (rank-safe:
         # Bloom false negatives are impossible, and a non-candidate doc
-        # can never enter the final scoring set anyway)
-        ess_decoded = decode_blocks(qblocks.where(F.col("term").isin(essential)))
+        # can never enter the final scoring set anyway). The essential
+        # decode is persisted: it feeds both the candidate set (an
+        # action inside bloom_skip_blocks) and the final scoring pass.
+        ess_decoded = decode_blocks(
+            qblocks.where(F.col("term").isin(essential))
+        ).persist()
         cand = ess_decoded.select("doc_id").distinct()
         ne_blocks = qblocks.where(F.col("term").isin(non_essential))
         ne_blocks = bloom_skip_blocks(ne_blocks, cand)
