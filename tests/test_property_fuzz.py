@@ -94,3 +94,87 @@ def test_analyzer_spark_agrees_on_fuzz_batch(spark):
     df = spark.createDataFrame([(t,) for t in texts], ["txt"])
     got = [r[0] for r in df.select(analyze_col("txt")).collect()]
     assert got == [analyze_text(t) for t in texts]
+
+
+# ---- slicer conservation invariants under fuzzing ----------------------------
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=120),
+    st.integers(min_value=1, max_value=60),
+    st.integers(min_value=5, max_value=400),
+)
+def test_date_slicer_conserves_and_never_overlaps(counts, interval, size):
+    """Any per-ms distribution: the walk's slices are disjoint, ordered,
+    cover [start, limit), and their counts sum to the total."""
+    import numpy as np
+
+    from elasticsearch_assets_spark.operators.date_slicer import date_slicer_plan
+
+    ts = np.repeat(np.arange(len(counts)), counts)
+
+    def cf(a, b):
+        return int(np.searchsorted(ts, b) - np.searchsorted(ts, a))
+
+    limit = len(counts)
+    plan = date_slicer_plan(cf, 0, limit, interval, size)
+    assert plan[0].start_ms == 0 and plan[-1].end_ms == limit
+    for prev, cur in zip(plan, plan[1:]):
+        assert prev.end_ms == cur.start_ms  # gapless, ordered
+    assert sum(p.count for p in plan) == int(ts.size)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="0123456789abcdef", min_size=1, max_size=6),
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    st.integers(min_value=2, max_value=50),
+)
+def test_i3_optimized_conserves_all_keys(key_rows, size):
+    """Any hex keyspace: the char-class plan's counts sum to the corpus
+    size and the emitted expressions never overlap (each key matches
+    exactly one emitted slice)."""
+    import re
+
+    from elasticsearch_assets_spark.operators.id_slicer import (
+        class_count_fn_from_keys,
+        id_slicer_plan_optimized,
+    )
+
+    keys = [k for (k,) in key_rows]
+    plan = id_slicer_plan_optimized(
+        class_count_fn_from_keys(keys), "hexadecimal", size=size
+    )
+    assert sum(c for _, c in plan) == len(keys)
+    pats = [re.compile("^" + e.replace("[", "[").replace("]", "]")) for e, _ in plan]
+    for k in keys:
+        assert sum(1 for p in pats if p.match(k)) == 1, k
+
+
+def test_multi_slicer_ranges_cover_even_fixture(spark):
+    """D3×D4 composition: two slicers' walks over the even fixture
+    partition the corpus exactly."""
+    from elasticsearch_assets_spark.fixtures import even_spread as ES
+    from elasticsearch_assets_spark.operators.date_slicer import (
+        date_slicer_plan,
+        make_date_slicer_ranges,
+        spark_count_fn,
+    )
+
+    df = ES.even_spread_df(spark).cache()
+    ranges = make_date_slicer_ranges(df, "created", n_slicers=2, size=50)
+    assert len(ranges) == 2
+    assert ranges[0]["limit"] == ranges[1]["start"]
+    cf = spark_count_fn(df, "created")
+    total = 0
+    for rng in ranges:
+        plan = date_slicer_plan(
+            cf, rng["start"], rng["limit"], rng["interval_ms"], 50
+        )
+        total += sum(p.count for p in plan)
+    assert total == 1000
+    df.unpersist()
