@@ -208,14 +208,20 @@ def date_slicer_plan_with_subslices(
 
 
 def divide_range_ms(start_ms: int, limit_ms: int, n: int) -> list[tuple[int, int]]:
-    """date-helpers.ts:242-264 divideRange: float step, truncated to ms,
-    final limit pinned exactly."""
+    """date-helpers.ts:242-264 divideRange: float step added CUMULATIVELY
+    to a single mutating moment (`step.add(range,'ms')`), and moment's
+    underlying JS Date truncates fractional ms at EVERY add (TimeClip).
+    So each boundary advances by trunc(cur + rng) from the PREVIOUS
+    truncated boundary — the accumulated fraction is dropped each step,
+    not carried (e.g. 0..8 over 5 slicers → boundaries 1,2,3,4, last
+    pinned to 8; NOT 1,3,4,6). Final limit pinned exactly."""
     rng = (limit_ms - start_ms) / n
     out = []
-    for i in range(n):
-        s = int(start_ms + i * rng)
-        e = int(start_ms + (i + 1) * rng)
-        out.append((s, e))
+    cur = start_ms
+    for _ in range(n):
+        nxt = int(cur + rng)  # trunc toward zero == JS Date TimeClip
+        out.append((cur, nxt))
+        cur = nxt
     out[-1] = (out[-1][0], limit_ms)
     return out
 

@@ -233,13 +233,21 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
 
 
 def simhash_near_dups(
-    df: DataFrame, text_col: str, id_col: str, bits: int = 16, max_hamming: int = 2
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 16,
+    max_hamming: int = 2,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
 
     Banding on bit halves (a pair within distance d shares at least one
     of d+1 equal-width bands) keeps this join keyed instead of
-    all-pairs."""
+    all-pairs. Band buckets larger than `max_bucket` are dropped (a
+    degenerate band over near-constant docs makes the band join
+    quadratic — same window-count hot-bucket defense as
+    minhash_lsh_candidates; log the drop at call sites)."""
     s = simhash(df, text_col, id_col, bits)
     n_bands = max_hamming + 1
     w = bits // n_bands
@@ -258,6 +266,12 @@ def simhash_near_dups(
     allb = per[0]
     for p in per[1:]:
         allb = allb.unionByName(p)
+    # hot-bucket cap via window count — no join, one extra shuffle key
+    from pyspark.sql import Window
+
+    allb = allb.withColumn(
+        "_bs", F.count("*").over(Window.partitionBy("band", "band_bits"))
+    ).where(F.col("_bs") <= max_bucket)
     l = allb.select("band", "band_bits", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
     r = allb.select("band", "band_bits", F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
     cand = (

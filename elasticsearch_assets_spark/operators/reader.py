@@ -132,7 +132,16 @@ def fetch_with_expansion(
         query_size = expanded
 
     last_err: Exception | None = None
-    for _attempt in range(retries):  # pRetry: `retries` total attempts
+    # `retries` TOTAL attempts — pinned by the reference's own golden
+    # (test/elasticsearch_reader/fetcher-spec.ts:199-227): the size walk
+    # is 6→9→14→21→32 (five attempts) and the FINAL error names 48 as
+    # the next size never attempted; with npm-p-retry semantics
+    # (initial + 5 retries = 6 attempts) the sixth attempt at 48 would
+    # have thrown "...exactly 48 ... size: 72" instead. Terascope's
+    # pRetry counts attempts, not retries-after-initial (the spec's own
+    # comment flags "a bug in pRetry" as the reason the message is the
+    # inner error) — we match the observable behavior.
+    for _attempt in range(retries):
         rows = base.limit(query_size).collect()
         if len(rows) != query_size:
             return rows

@@ -271,17 +271,38 @@ def near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_dims: list[int] | None = None,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
     With bucket_dims, pairs are only considered within a sign bucket
-    (the scale path — near-dups almost surely share sign patterns)."""
+    (the scale path — near-dups almost surely share sign patterns).
+
+    The within-bucket join is quadratic in bucket size, so buckets
+    larger than `max_bucket` are dropped entirely (the same hot-bucket
+    defense as dedup.minhash_lsh_candidates — a degenerate bucket of
+    near-identical vectors at 10^9 rows would otherwise explode to
+    ~10^15 candidate pairs; log the drop at call sites). Use ≥8
+    bucket_dims at scale: 2^bits buckets bound the expected bucket size,
+    and multi-probe (query_buckets) recovers recall."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if bucket_dims:
         a = a.withColumn("_bk", sign_bucket(F.col("va"), bucket_dims))
-        b = b.withColumn("_bk", sign_bucket(F.col("vb"), bucket_dims))
+        if max_bucket is not None:
+            from pyspark.sql import Window
+
+            a = (
+                a.withColumn(
+                    "_bs", F.count("*").over(Window.partitionBy("_bk"))
+                )
+                .where(F.col("_bs") <= max_bucket)
+                .drop("_bs")
+            )
+        b = a.select(
+            F.col("id_a").alias("id_b"), F.col("va").alias("vb"), "_bk"
+        )
         joined = a.join(b, "_bk")
     else:
+        b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
         joined = a.crossJoin(b)
     return (
         joined.where(F.col("id_a") < F.col("id_b"))

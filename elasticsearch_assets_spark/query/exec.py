@@ -179,18 +179,22 @@ def dict_hits_regexp(index: IndexTables, pattern: str) -> DataFrame:
 
 
 def _candidates_semi(index: IndexTables, hits: DataFrame) -> DataFrame:
-    """Postings for a DataFrame of dictionary hits: broadcast the hits
-    with their build-side bucket and join on (bucket, term). The bucket
-    join key lets dynamic partition pruning skip non-matching bucket
-    directories; the hit set never lands on the driver or in the plan as
-    an IN-list literal."""
+    """Postings for a DataFrame of dictionary hits: semi-join on
+    (bucket, term) with the hits carrying their build-side bucket. The
+    bucket join key lets dynamic partition pruning skip non-matching
+    bucket directories. No broadcast hint: this path is reached exactly
+    when the hit set exceeded WILDCARD_COLLECT_THRESHOLD, so it may be
+    arbitrarily large (a short prefix over a 10^9-term dictionary) —
+    forcing a broadcast would materialize it on the driver. AQE picks
+    broadcast on its own when runtime stats show the set is small; a
+    genuinely huge expansion stays a shuffle semi-join."""
     hb = hits.select(
         "term",
         F.pmod(F.xxhash64("term"), F.lit(index.n_buckets))
         .cast("int")
         .alias("bucket"),
     )
-    return index.postings.join(F.broadcast(hb), ["bucket", "term"], "left_semi")
+    return index.postings.join(hb, ["bucket", "term"], "left_semi")
 
 
 def expanded_candidates(index: IndexTables, hits: DataFrame) -> DataFrame:

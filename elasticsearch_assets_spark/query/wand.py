@@ -285,16 +285,48 @@ def match_query_packed(
         ne_decoded = decode_blocks(ne_blocks).join(cand, "doc_id", "left_semi")
         decoded = ess_decoded.unionByName(ne_decoded)
     else:
+        ess_decoded = None
         decoded = decode_blocks(qblocks)
 
     scored = _score_decoded(decoded, stats, index.n_docs, index.avg_dl)
     if operator == "and":
         scored = scored.where(F.col("n_matched") == len(qterms))
-    return (
+    topk = (
         scored.select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+    if ess_decoded is not None:
+        # materialize the ≤k result rows, then release the block cache —
+        # otherwise every MaxScore query leaks a persisted DataFrame for
+        # the session lifetime
+        rows = [(r["doc_id"], r["score"]) for r in topk.collect()]
+        ess_decoded.unpersist()
+        return spark.createDataFrame(rows, "doc_id long, score double")
+    return topk
+
+
+def _phase1_blocks(qblocks: DataFrame, k: int) -> tuple[list, int]:
+    """Phase-1 block selection for single-term block-max: the highest-
+    bound blocks until ≥ k docs are covered. Every block holds ≥1 doc,
+    so the k highest-bound blocks always cover ≥ min(k, df) docs — a
+    distributed orderBy().limit(k) (TakeOrderedAndProject) bounds the
+    driver fetch at O(k) metadata rows, NOT O(df/128): a Zipf-head term
+    with 10^9 postings would otherwise land ~8M block-meta rows on the
+    driver per query. Returns (block_ids, docs_covered)."""
+    meta = (
+        qblocks.select("block", "n", "max_tfn")
+        .orderBy(F.desc("max_tfn"), F.asc("block"))
+        .limit(k)
+        .collect()
+    )
+    got, top_blocks = 0, []
+    for r in meta:
+        top_blocks.append(r["block"])
+        got += r["n"]
+        if got >= k:
+            break
+    return top_blocks, got
 
 
 def _single_term_blockmax(
@@ -304,13 +336,7 @@ def _single_term_blockmax(
     t_idf = idf(index.n_docs, df_)
 
     # phase 1: highest-bound blocks until ≥ k docs seen → θ
-    meta = qblocks.select("block", "n", "max_tfn").orderBy(F.desc("max_tfn")).collect()
-    got, top_blocks = 0, []
-    for r in meta:
-        top_blocks.append(r["block"])
-        got += r["n"]
-        if got >= k:
-            break
+    top_blocks, _got = _phase1_blocks(qblocks, k)
     p1 = _score_decoded(
         decode_blocks(qblocks.where(F.col("block").isin(top_blocks))),
         {term: stats[term]},

@@ -52,3 +52,27 @@ def test_lsh_verified_matches_exact(dup_corpus):
     assert verified <= exact
     # recall ≥ 90% at s≥0.8 with k=8/bands=4 (theory ≈ 0.96)
     assert len(verified) >= 0.9 * len(exact), (len(verified), len(exact))
+
+
+def test_simhash_near_dups_hot_bucket_cap(spark):
+    """A degenerate band (near-constant docs) must be dropped above
+    max_bucket — the quadratic band join is bounded by the cap, and
+    non-degenerate pairs survive."""
+    # 40 near-identical docs (one shared vocabulary) + 2 distinct dups
+    rows = [(i, "alpha beta gamma delta shared text body") for i in range(40)]
+    rows += [(100, "totally different unique corpus here"),
+             (101, "totally different unique corpus here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.simhash_near_dups(
+        df, "text", "doc_id", bits=16, max_hamming=2, max_bucket=10_000
+    )
+    capped = dedup.simhash_near_dups(
+        df, "text", "doc_id", bits=16, max_hamming=2, max_bucket=30
+    )
+    # uncapped: the 40-clone cluster yields ~C(40,2) pairs
+    assert uncapped.count() >= 40 * 39 // 2
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # capped: every band bucket holding the 40 clones (>30) is dropped…
+    assert all(a >= 100 for a, _ in got), got
+    # …but the distinct-pair bucket (size 2 per band) survives
+    assert (100, 101) in got

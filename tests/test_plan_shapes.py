@@ -14,6 +14,20 @@ from elasticsearch_assets_spark.query import exec as qx
 
 
 @pytest.fixture(scope="module")
+def packed_corpus(spark, corpus):
+    """Packed index with tiny blocks (so hot terms span many blocks)."""
+    from elasticsearch_assets_spark.indexing.blockpack import pack_blocks
+    from elasticsearch_assets_spark.query.wand import PackedIndex
+
+    index, _ = corpus
+    blocks = pack_blocks(index, block_size=8).persist()
+    blocks.count()
+    return PackedIndex(
+        blocks, index.terms, index.n_docs, index.avg_dl, index.n_buckets
+    )
+
+
+@pytest.fixture(scope="module")
 def disk_index(spark, corpus, tmp_path_factory):
     """The on-disk index (plan checks need FileScan nodes)."""
     index, _ = corpus
@@ -83,7 +97,12 @@ def test_wildcard_expansion_semi_join_above_threshold(disk_index):
     assert n_terms > qx.WILDCARD_COLLECT_THRESHOLD
     cand = qx.expanded_candidates(disk_index, hits)
     plan = _plan(cand)
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    # semi-join, with NO forced broadcast (ADVICE r2: a forced broadcast
+    # materializes an arbitrarily large hit set on the driver — exactly
+    # the failure this path exists to avoid). AQE may still CHOOSE
+    # broadcast at runtime when stats show the set is small; what must
+    # not appear is the ResolvedHint/driver-side collect.
+    assert "LeftSemi" in plan, plan
     # no giant literal list pushed from the driver
     assert plan.count(",") < n_terms, "IN-list of collected terms in plan"
     # below the threshold: static bucket pruning path (IN-filter, no join)
@@ -104,6 +123,59 @@ def test_near_dup_bucketed_is_not_cartesian(spark, sf_dir):
     plan = _plan(out)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_near_dup_hot_bucket_cap(spark, sf_dir):
+    # the within-bucket join is quadratic in bucket size: a bucket above
+    # max_bucket must be DROPPED entirely (same defense as
+    # dedup.minhash_lsh_candidates), bounding candidate pairs at
+    # n_buckets * max_bucket^2 regardless of skew
+    from elasticsearch_assets_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dims = [0, 1, 2, 3]
+    sizes = (
+        emb.withColumn("_bk", similarity.sign_bucket(F.col("embedding"), dims))
+        .groupBy("_bk")
+        .count()
+        .collect()
+    )
+    by_size = sorted((r["count"], r["_bk"]) for r in sizes)
+    cap = by_size[-1][0] - 1  # cap excludes exactly the largest bucket
+    uncapped = similarity.near_dup_pairs(
+        emb, threshold=0.0, bucket_dims=dims, max_bucket=None
+    )
+    capped = similarity.near_dup_pairs(
+        emb, threshold=0.0, bucket_dims=dims, max_bucket=cap
+    )
+    assert capped.count() < uncapped.count()
+    # every surviving pair's members are outside the dropped bucket(s)
+    dropped = {bk for c, bk in by_size if c > cap}
+    bmap = {
+        r["vec_id"]: r["_bk"]
+        for r in emb.withColumn(
+            "_bk", similarity.sign_bucket(F.col("embedding"), dims)
+        ).select("vec_id", "_bk").collect()
+    }
+    for r in capped.limit(2000).collect():
+        assert bmap[r["id_a"]] not in dropped
+
+
+def test_single_term_phase1_collect_is_bounded(packed_corpus):
+    # the phase-1 θ probe must fetch O(k) block-meta rows, not O(df/B):
+    # a Zipf-head term's full block metadata is ~8M driver rows at 10^9
+    # postings (VERDICT r2 "What's wrong" #2)
+    from elasticsearch_assets_spark.query.wand import _phase1_blocks
+
+    pidx = packed_corpus
+    hot = pidx.blocks.groupBy("term").count().orderBy(F.desc("count")).first()
+    qblocks = pidx.blocks.where(F.col("term") == hot["term"])
+    n_blocks = qblocks.count()
+    k = 3
+    assert n_blocks > k, "fixture term too small to prove the bound"
+    top, got = _phase1_blocks(qblocks, k)
+    assert len(top) <= k  # O(k), independent of n_blocks
+    assert got >= k  # still covers enough docs to establish θ
 
 
 def test_ann_index_prunes_bucket_directories(spark, sf_dir, tmp_path_factory):

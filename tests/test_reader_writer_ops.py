@@ -19,6 +19,20 @@ def test_divide_range_even_split_last_takes_remainder():
     assert out[-1][1] == 100
 
 
+def test_divide_range_cumulative_truncation_non_divisible():
+    # moment's step.add(range,'ms') mutates ONE moment cumulatively and
+    # the underlying JS Date truncates fractional ms at every add
+    # (TimeClip) — so for 0..8 over 5 slicers (range 1.6 ms) boundaries
+    # advance 1,2,3,4 (floor(step) each), NOT int(i*1.6)=1,3,4,6
+    out = reader.divide_range(0, 8, 5)
+    assert out == [(0, 1), (1, 2), (2, 3), (3, 4), (4, 8)]
+    # coverage + disjointness invariants still hold
+    for (s1, e1), (s2, _e2) in zip(out, out[1:]):
+        assert e1 == s2 and s1 < e1
+    # another non-divisible shape: 7 ms over 3 slicers (range 2.333..)
+    assert reader.divide_range(0, 7, 3) == [(0, 2), (2, 4), (4, 7)]
+
+
 def test_auto_interval_golden():
     # determineSliceInterval = floor(range / ceil(count/size)) — golden
     # metadata from the reference's even-spread harness runs
