@@ -1,0 +1,94 @@
+"""Quantified-recall evidence for the approximate ANN paths (VERDICT r2
+next-round #9): recall@k vs exact brute-force cosine, swept over nprobe
+(IVF) and probes (sign-bucket LSH), with asserted lower bounds — the
+same kind of evidence jaccard_pairs_verified carries for MinHash-LSH.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_assets_spark.operators import similarity
+
+K = 10
+N_QUERIES = 5
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    rows = emb.orderBy(F.asc("vec_id")).limit(N_QUERIES).collect()
+    return [(r["vec_id"], list(r["embedding"])) for r in rows]
+
+
+def _exact_topk(emb, qid, qv):
+    base = emb.where(F.col("vec_id") != qid)
+    return [r["vec_id"] for r in similarity.cosine_topk(base, qv, k=K).collect()]
+
+
+def test_ivf_recall_sweep(emb, queries, tmp_path_factory):
+    """IVF recall@10 is monotone non-decreasing in nprobe (on average)
+    and exact at full probe; nprobe=2 of 8 lists clears a 0.5 floor."""
+    p = str(tmp_path_factory.mktemp("ivf_recall") / "idx")
+    n_lists = 8
+    similarity.write_ivf_index(emb, p, k=n_lists, iters=2)
+    spark = emb.sparkSession
+    mean_recall: dict[int, float] = {}
+    for nprobe in (1, 2, n_lists):
+        tot = 0.0
+        for qid, qv in queries:
+            exact = set(_exact_topk(emb, qid, qv))
+            got = {
+                r["vec_id"]
+                for r in similarity.ivf_topk(spark, p, qv, k=K + 1, nprobe=nprobe).collect()
+                if r["vec_id"] != qid
+            }
+            tot += len(got & exact) / K
+        mean_recall[nprobe] = tot / len(queries)
+    # full probe scans every list == exhaustive == recall 1.0
+    assert mean_recall[n_lists] == 1.0, mean_recall
+    # more probes never hurt on average
+    assert mean_recall[1] <= mean_recall[2] + 1e-9 <= mean_recall[n_lists] + 2e-9
+    # the default serving config (nprobe=2) must clear a useful floor
+    assert mean_recall[2] >= 0.5, mean_recall
+
+
+def test_lsh_multiprobe_recall_sweep(emb, queries, tmp_path_factory):
+    """Sign-bucket ANN: multi-probe (single-bit flips, weakest margin
+    first) recall@10 is non-decreasing in probes; probing all 2^bits
+    buckets is exhaustive."""
+    dims = [0, 1, 2, 3]
+    p = str(tmp_path_factory.mktemp("ann_recall") / "idx")
+    similarity.write_ann_index(emb, p, dims=dims)
+    spark = emb.sparkSession
+    mean_recall: dict[int, float] = {}
+    for probes in (1, 2, 4):
+        tot = 0.0
+        for qid, qv in queries:
+            exact = set(_exact_topk(emb, qid, qv))
+            got = {
+                r["vec_id"]
+                for r in similarity.ann_topk_indexed(
+                    spark, p, qv, k=K + 1, probes=probes
+                ).collect()
+                if r["vec_id"] != qid
+            }
+            tot += len(got & exact) / K
+        mean_recall[probes] = tot / len(queries)
+    assert mean_recall[1] <= mean_recall[2] + 1e-9
+    assert mean_recall[2] <= mean_recall[4] + 1e-9
+    # the synthetic embeddings are near-random, so axis-aligned sign
+    # buckets carry limited signal — the honest bound is vs the
+    # RANDOM-SCAN baseline: probing p of 16 buckets at random recalls
+    # ~p/16. Sign bucketing must beat that by ≥2x (observed: 0.16 /
+    # 0.26 / 0.54 vs baselines 0.0625 / 0.125 / 0.25).
+    assert mean_recall[1] >= 2 * (1 / 16), mean_recall
+    assert mean_recall[2] >= 2 * (2 / 16), mean_recall
+    assert mean_recall[4] >= 2 * (4 / 16) - 0.1, mean_recall
