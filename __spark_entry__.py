@@ -409,6 +409,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ss_roundtrip"] = ss_roundtrip
 
+    # ---- stateful streaming sessionization (applyInPandasWithState) ----
+    def stream_sessions(s, d):
+        # live Structured Streaming with per-user session state: with
+        # availableNow the run emits exactly the CLOSED sessions (each
+        # user's last session stays open in state, flushed only by the
+        # processing-time timeout) — deterministically reproducible in
+        # SQL as gaps-and-islands minus each user's final island. The
+        # input is written as ONE file so the run is a single batch
+        # (cross-batch arrival order would otherwise be nondeterministic
+        # without a watermark).
+        import tempfile
+
+        from elasticsearch_assets_spark.streaming.sessions import (
+            stream_sessions as _ss,
+        )
+
+        ev = (
+            _t(s, d, "events")
+            .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        )
+        src = tempfile.mkdtemp(prefix="sess_src_")
+        ev.coalesce(1).write.mode("overwrite").parquet(src)
+        out = _ss(s, src, ev.schema, gap_sec=3 * 86400.0)
+        qname = "entry_stream_sessions"
+        query = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # the open per-user sessions keep 3-day processing-time timeouts
+        # registered, so the query does NOT self-terminate after the
+        # available data — stop once the data batch has committed
+        from elasticsearch_assets_spark.streaming.sessions import (
+            drain_closed_sessions,
+        )
+
+        drain_closed_sessions(query)
+        return s.sql(
+            f"SELECT user_id, unix_micros(session_start) AS start_us, "
+            f"unix_micros(session_end) AS end_us, "
+            f"CAST(n_events AS LONG) AS n_events FROM {qname}"
+        )
+
+    q["stream_sessions"] = stream_sessions
+
     # ---- dedup / text analysis / similarity ----
     q["dd_exact"] = lambda s, d: dedup.exact_dedup(_t(s, d, "documents"), "text", "doc_id")
     q["dd_jaccard"] = lambda s, d: (
@@ -947,6 +994,34 @@ SELECT t.doc_id,
        CASE WHEN s.doc_id IS NOT NULL THEN t.text || '#' || s.tag
             ELSE t.text END AS text
 FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+"""
+
+    # stateful sessionization: gaps-and-islands (3-day gap), dropping
+    # each user's LAST island (it stays open in streaming state — only
+    # the processing-time timeout would flush it)
+    o["stream_sessions"] = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 259200000000::BIGINT
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+isl AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+),
+sess AS (
+  SELECT user_id, sid,
+         epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+         count(*) AS n_events
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id, start_us, end_us, n_events
+FROM sess
+QUALIFY sid < max(sid) OVER (PARTITION BY user_id)
 """
 
     # S4 state storage roundtrip: three last-write-wins mset batches

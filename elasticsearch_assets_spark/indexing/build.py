@@ -230,11 +230,23 @@ def build_and_write_index(
     doc_id_col: str | None = None,
     n_buckets: int = DEFAULT_BUCKETS,
     source_cols: tuple[str, ...] = (),
+    cache_tokens: bool = True,
 ) -> IndexTables:
     """Single-pass build-to-disk: the heavy tokenize→tf→dl pipeline runs
     ONCE, writing postings directly; terms / doc_norms / stats then
     derive from the WRITTEN postings parquet (cheap column-pruned
-    re-reads) instead of a persisted cache.
+    re-reads) instead of recomputing the analyzer chain.
+
+    cache_tokens=True persists the tokenized doc projection
+    (doc_id, dl, content_sha, sources, tokens) DURING pass 1, so the
+    doc_norms derivation is a cache scan instead of a postings
+    groupBy(doc_id) — that groupBy gets no map-side reduction (a doc's
+    terms spread over every partition, so partial agg emits ~P copies
+    of each doc row) plus a corpus re-scan with a second sha256 pass.
+    MEMORY_AND_DISK: at cluster scale the cache spills to executor-local
+    SSD (cost ≈ one extra local write of the tokenized corpus); set
+    cache_tokens=False on memory/disk-constrained clusters to fall back
+    to the postings-derived path.
 
     This is the cluster-scale shape (tf may exceed cluster memory; the
     written table IS the checkpoint) and minimizes serial job count —
@@ -264,7 +276,18 @@ def build_and_write_index(
     toks = base.withColumn("_toks", analyze_col(text_col)).withColumn(
         "dl", F.size("_toks").cast("int")
     )
-    tokens = toks.select("doc_id", "dl", F.explode("_toks").alias("term"))
+    cached_src = None
+    if cache_tokens:
+        from pyspark import StorageLevel
+
+        cached_src = toks.select(
+            "doc_id", "dl", "content_sha", *source_cols, "_toks"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        tokens = cached_src.select(
+            "doc_id", "dl", F.explode("_toks").alias("term")
+        )
+    else:
+        tokens = toks.select("doc_id", "dl", F.explode("_toks").alias("term"))
     tfd = (
         tokens.groupBy("term", "doc_id")
         .agg(F.count("*").cast("int").alias("tf"), F.first("dl").alias("dl"))
@@ -285,10 +308,15 @@ def build_and_write_index(
     # derivations read back only the columns they need; terms and
     # doc_norms are independent, so their jobs run CONCURRENTLY (the
     # serial tail is pure Amdahl loss — it costs the same wall time at
-    # every cluster size and so caps scaling efficiency)
+    # every cluster size and so caps scaling efficiency). n_docs/avg_dl
+    # ride the doc_norms WRITE as an Observation (query-metric
+    # accumulators): the former separate stats job is gone entirely.
     import threading
 
+    from pyspark.sql import Observation
+
     postings = spark.read.parquet(os.path.join(path, "postings"))
+    obs = Observation("index_stats")
 
     def _write_terms():
         postings.groupBy("term").agg(
@@ -296,12 +324,19 @@ def build_and_write_index(
         ).coalesce(8).write.mode("overwrite").parquet(os.path.join(path, "terms"))
 
     def _write_doc_norms():
-        dl = postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
         keep = ["doc_id", "dl", "content_sha", *source_cols]
-        doc_norms = (
-            base.join(dl, "doc_id", "left").na.fill({"dl": 0}).select(*keep)
-        )
-        doc_norms.write.mode("overwrite").parquet(os.path.join(path, "doc_norms"))
+        if cached_src is not None:
+            # cache scan (populated by pass 1): no postings groupBy, no
+            # corpus re-scan, no second sha256 pass
+            doc_norms = cached_src.select(*keep)
+        else:
+            dl = postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+            doc_norms = (
+                base.join(dl, "doc_id", "left").na.fill({"dl": 0}).select(*keep)
+            )
+        doc_norms.observe(
+            obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avg_dl")
+        ).write.mode("overwrite").parquet(os.path.join(path, "doc_norms"))
 
     errs: list[BaseException] = []
 
@@ -322,8 +357,7 @@ def build_and_write_index(
     if errs:
         raise errs[0]
 
-    dn = spark.read.parquet(os.path.join(path, "doc_norms"))
-    agg = dn.agg(F.count("*").alias("n"), F.avg("dl").alias("avg_dl")).collect()[0]
+    agg = obs.get
     stats = {
         "n_docs": int(agg["n"]),
         "avg_dl": float(agg["avg_dl"] or 0.0),
@@ -331,6 +365,8 @@ def build_and_write_index(
     }
     with open(os.path.join(path, "stats.json"), "w") as f:
         json.dump(stats, f)
+    if cached_src is not None:
+        cached_src.unpersist()
     return read_index(spark, path)
 
 

@@ -88,6 +88,28 @@ def _session_fn(gap_sec: float):
     return fn
 
 
+def drain_closed_sessions(query, timeout_sec: float = 120.0) -> None:
+    """Wait until the first data micro-batch commits, then stop.
+
+    With trigger(availableNow) + ProcessingTimeTimeout, Spark does NOT
+    terminate after the available data: it loops "no new data but
+    cleaning up state" micro-batches until every registered timeout
+    fires (observed: ~1 batch/0.6 s indefinitely for long gaps), so
+    both awaitTermination and processAllAvailable block for their full
+    timeout. The closed sessions are all in the sink once the first
+    data batch commits — poll for that, then stop() (which interrupts
+    the in-flight cleanup batch; the logged CANNOT_COMMIT from that
+    interrupt is benign)."""
+    import time as _t
+
+    deadline = _t.time() + timeout_sec
+    while _t.time() < deadline:
+        if query.lastProgress is not None and not query.status["isDataAvailable"]:
+            break
+        _t.sleep(0.2)
+    query.stop()
+
+
 def stream_sessions(
     spark: SparkSession,
     input_path: str,

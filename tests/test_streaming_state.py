@@ -96,7 +96,13 @@ def test_stateful_sessionization(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # pending state timeouts keep the query alive past availableNow
+    # (state-cleanup batch loop) — stop once the data batch commits
+    from elasticsearch_assets_spark.streaming.sessions import (
+        drain_closed_sessions,
+    )
+
+    drain_closed_sessions(q)
     got = {
         (r["user_id"], r["n_events"])
         for r in spark.sql("select * from sess_test").collect()
