@@ -538,6 +538,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_near_dup"] = sim_near_dup
 
+    def sim_near_dup_banded(s, d):
+        # recall path: OR of two 8-bit sign bands (LSH banding) — a pair
+        # crossing a sign boundary in one band still matches via the
+        # other; every join stays a keyed equi-join + per-band cap
+        emb = _t(s, d, "embeddings")
+        out = similarity.near_dup_pairs_banded(
+            emb,
+            threshold=0.35,
+            band_dims=[[0, 1, 2, 3, 4, 5, 6, 7], [8, 9, 10, 11, 12, 13, 14, 15]],
+            max_bucket=10_000,
+        )
+        return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+    q["sim_near_dup_banded"] = sim_near_dup_banded
+
     # ---- spaces frontend (S3): xLucene filter over a plain table ----
     def sp_filter(s, d):
         from elasticsearch_assets_spark.sources.spaces import spaces_filter
@@ -1229,6 +1244,38 @@ pairs AS (
 )
 SELECT id_a, id_b, round(dot / (na * nb), 4) AS cosine
 FROM pairs WHERE dot / (na * nb) >= 0.35
+"""
+
+    # banded variant: OR of two 8-bit sign bands (dims 1-8 and 9-16),
+    # per-(band,bucket) cap, distinct candidate pairs, exact cosine
+    _sbk_hi = " || ".join(
+        f"CASE WHEN embedding[{i}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(9, 17)
+    )
+    o["sim_near_dup_banded"] = f"""
+WITH bands0 AS (
+  SELECT vec_id, embedding, 0 AS band, ({_sbk8}) AS bk FROM embeddings
+  UNION ALL
+  SELECT vec_id, embedding, 1 AS band, ({_sbk_hi}) AS bk FROM embeddings
+),
+bands AS (
+  SELECT * FROM bands0 QUALIFY count(*) OVER (PARTITION BY band, bk) <= 10000
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS ea, b.embedding AS eb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         list_sum(list_transform(list_zip(ea, eb),
+                  x -> x[1]::DOUBLE * x[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(ea, v -> v::DOUBLE * v::DOUBLE)))
+          * sqrt(list_sum(list_transform(eb, v -> v::DOUBLE * v::DOUBLE)))) AS c
+  FROM cand
+)
+SELECT id_a, id_b, round(c, 4) AS cosine FROM scored WHERE c >= 0.35
 """
 
     o["sp_filter"] = (

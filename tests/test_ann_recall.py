@@ -92,3 +92,28 @@ def test_lsh_multiprobe_recall_sweep(emb, queries, tmp_path_factory):
     assert mean_recall[1] >= 2 * (1 / 16), mean_recall
     assert mean_recall[2] >= 2 * (2 / 16), mean_recall
     assert mean_recall[4] >= 2 * (4 / 16) - 0.1, mean_recall
+
+
+def test_banded_near_dup_recall_dominates_single_bucket(emb):
+    """OR-of-bands candidate generation strictly contains the single-
+    bucket candidates when band 0 IS the single bucket's dims — so the
+    banded result is a superset at identical precision (exact cosine
+    verify in both)."""
+    dims8 = list(range(8))
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.near_dup_pairs(
+            emb, threshold=0.3, bucket_dims=dims8, max_bucket=10_000
+        ).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.near_dup_pairs_banded(
+            emb,
+            threshold=0.3,
+            band_dims=[dims8, list(range(8, 16))],
+            max_bucket=10_000,
+        ).collect()
+    }
+    assert single <= banded
+    assert len(banded) > len(single)  # the second band adds real recall
