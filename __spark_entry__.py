@@ -587,6 +587,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_regexp"] = ft_regexp
 
+    def ft_fuzzy(s, d):
+        # Lucene fuzzy: levenshtein dictionary expansion (≤1 edit of
+        # 'merg'), BM25 OR over the expansions; rounded ranking for the
+        # cross-engine-stable top-k boundary
+        index = _docs_index(s, d)
+        hits = qx.dict_hits_fuzzy(index, "merg", max_edits=1)
+        out = qx.scored_expansion(index, hits)
+        return (
+            out.withColumn("score", F.round("score", 4))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(15)
+            .select("doc_id", "score")
+        )
+
+    q["ft_fuzzy"] = ft_fuzzy
+
     def wr_dual_yield(s, d):
         docs = _t(s, d, "documents").select("doc_id", "text")
         target = docs.where(F.col("doc_id") % 3 == 0)
@@ -1299,6 +1315,20 @@ WITH toks AS (
   SELECT doc_id, unnest({_ANALYZE_TEXT_SQL}) AS term FROM documents
 )
 SELECT DISTINCT doc_id FROM toks WHERE regexp_matches(term, '^qu.*y$')
+"""
+
+    # fuzzy = BM25 OR over dictionary terms within levenshtein 1 of
+    # 'merg' (length window mirrors the engine's pushed prefilter)
+    o["ft_fuzzy"] = f"""{_bm25_cte()},
+exp AS (
+  SELECT term FROM dfreq
+  WHERE length(term) BETWEEN 3 AND 5 AND levenshtein(term, 'merg') <= 1
+)
+SELECT doc_id, round(sum(c), 4) AS score
+FROM contrib WHERE term IN (SELECT term FROM exp)
+GROUP BY doc_id
+ORDER BY round(sum(c), 4) DESC, doc_id ASC
+LIMIT 15
 """
 
     o["wr_dual_yield"] = """

@@ -178,6 +178,84 @@ def dict_hits_regexp(index: IndexTables, pattern: str) -> DataFrame:
     return index.terms.where(F.col("term").rlike(f"^{pattern}$"))
 
 
+def dict_hits_fuzzy(index: IndexTables, term: str, max_edits: int = 2) -> DataFrame:
+    """Dictionary rows within `max_edits` Levenshtein distance of the
+    (lowercased) term. The length window |len(t)-len(q)| ≤ max_edits is
+    a necessary condition pushed ahead of the levenshtein evaluation —
+    at 10^9 dictionary terms it prunes the scan to a narrow length band
+    before the O(nm) distance runs. Spark's levenshtein() also takes a
+    threshold arg, which short-circuits rows beyond the bound."""
+    q = term.lower()
+    n = len(q)
+    lt = F.length("term")
+    return index.terms.where(
+        (lt >= n - max_edits)
+        & (lt <= n + max_edits)
+        & (F.levenshtein(F.col("term"), F.lit(q), max_edits) >= 0)
+    )
+
+
+def scored_expansion(index: IndexTables, hits: DataFrame) -> DataFrame:
+    """BM25-scored OR over a DataFrame of dictionary hits (term, df) —
+    the scored counterpart of expanded_candidates, used by fuzzy (and
+    any multi-term rewrite that wants per-term idf instead of
+    constant_score). Small hit sets collect and reuse the statically
+    bucket-pruned scored_terms; large ones stay distributed: postings
+    semi-joined on (bucket, term), df joined from the hits themselves.
+    Deterministic: per-doc contributions fold in term-sorted order."""
+    n = hits.limit(WILDCARD_COLLECT_THRESHOLD + 1).count()
+    if n == 0:
+        return (
+            index.postings.select("doc_id")
+            .limit(0)
+            .withColumn("score", F.lit(0.0))
+            .withColumn("n_matched", F.lit(0).cast("long"))
+        )
+    if n <= WILDCARD_COLLECT_THRESHOLD:
+        terms = [r["term"] for r in hits.select("term").collect()]
+        return scored_terms(index, sorted(terms))
+    cand = _candidates_semi(index, hits)
+    contrib = cand.join(hits.select("term", "df"), "term").withColumn(
+        "contrib",
+        score_contrib_col(
+            F.col("tf").cast("double"),
+            F.col("dl").cast("double"),
+            F.col("df").cast("double"),
+            index.n_docs,
+            index.avg_dl,
+            K1,
+            B,
+        ),
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("_cs"),
+            F.count("*").alias("n_matched"),
+        )
+        .withColumn(
+            "score",
+            F.aggregate("_cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]),
+        )
+        .drop("_cs")
+    )
+
+
+def fuzzy_query(
+    index: IndexTables, value: str, max_edits: int = 2, k: int = 10
+) -> DataFrame:
+    """ES/Lucene fuzzy query: expand the term to dictionary entries
+    within `max_edits` Levenshtein distance, score the expansion as a
+    BM25 OR (each expanded term with its own idf).
+
+    Documented deviation: Lucene's FuzzyQuery blends the expansions'
+    idf through its top-N multi-term rewrite and weights by edit
+    distance; this engine scores each expansion with its exact BM25
+    contribution (deterministic, oracle-reproducible)."""
+    hits = dict_hits_fuzzy(index, value, max_edits)
+    return top_k(scored_expansion(index, hits).select("doc_id", "score"), k)
+
+
 def _candidates_semi(index: IndexTables, hits: DataFrame) -> DataFrame:
     """Postings for a DataFrame of dictionary hits: semi-join on
     (bucket, term) with the hits carrying their build-side bucket. The

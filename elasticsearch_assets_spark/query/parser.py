@@ -11,6 +11,9 @@ Scope is pinned to the forms the reference actually emits/translates
     field:[A TO B}            range, [ ] inclusive, { } exclusive
     field:>=X  >X  <=X  <X    open ranges
     "a b"                     phrase
+    term~  /  term~1          fuzzy (Lucene default 2 edits)
+    term^2  /  "a b"^1.5      boost
+    _exists_:field            field-has-value
     a AND b, a OR b, NOT a    boolean (also &&, ||, !)
     (...)                     grouping
 
@@ -56,6 +59,24 @@ class Range:
     hi: str | None
     incl_lo: bool = True
     incl_hi: bool = True
+
+
+@dataclass(frozen=True)
+class Fuzzy:
+    field: str | None
+    value: str
+    max_edits: int = 2
+
+
+@dataclass(frozen=True)
+class Boost:
+    child: object = None
+    factor: float = 1.0
+
+
+@dataclass(frozen=True)
+class Exists:
+    field: str = ""
 
 
 @dataclass(frozen=True)
@@ -170,7 +191,7 @@ class _Parser:
             return node
         if k == "quoted":
             self.next()
-            return Phrase(self.default_field, _unquote(v))
+            return self._maybe_boost(Phrase(self.default_field, _unquote(v)))
         if k == "regex":
             self.next()
             return Regexp(self.default_field, v[1:-1])
@@ -180,15 +201,28 @@ class _Parser:
             self.next()
             if self.peek()[0] == "colon":
                 self.next()
+                if v == "_exists_":
+                    # Lucene `_exists_:field` — matches docs where the
+                    # field has any non-null value
+                    return Exists(self.expect("atom"))
                 return self._parse_value(field=v)
             return self._leaf(self.default_field, v)
         raise ValueError(f"unexpected token {k}={v!r}")
+
+    def _maybe_boost(self, node):
+        """`"a phrase"^2` lexes as quoted + atom '^2' — fold the boost
+        suffix token into the preceding node."""
+        k, v = self.peek()
+        if k == "atom" and re.fullmatch(r"\^\d+(?:\.\d+)?", v):
+            self.next()
+            return Boost(node, float(v[1:]))
+        return node
 
     def _parse_value(self, field):
         k, v = self.peek()
         if k == "quoted":
             self.next()
-            return Phrase(field, _unquote(v))
+            return self._maybe_boost(Phrase(field, _unquote(v)))
         if k == "regex":
             self.next()
             return Regexp(field, v[1:-1])
@@ -247,9 +281,22 @@ class _Parser:
         return "".join(parts)
 
     def _leaf(self, field, v):
-        if "*" in v or "?" in v:
-            return Wildcard(field, v)
-        return Term(field, v)
+        # suffix operators, outermost first: boost (`term^2`), then
+        # fuzzy (`term~` / `term~1`); `term~1^2` carries both
+        boost = None
+        m = re.fullmatch(r"(.+?)\^(\d+(?:\.\d+)?)", v)
+        if m:
+            v, boost = m.group(1), float(m.group(2))
+        node = None
+        m = re.fullmatch(r"(.+?)~(\d*)", v)
+        if m:
+            # Lucene fuzzy default is 2 edits when the distance is omitted
+            node = Fuzzy(field, m.group(1), int(m.group(2)) if m.group(2) else 2)
+        elif "*" in v or "?" in v:
+            node = Wildcard(field, v)
+        else:
+            node = Term(field, v)
+        return Boost(node, boost) if boost is not None else node
 
 
 def _unquote(s: str) -> str:

@@ -10,7 +10,12 @@ reference emits, documented deviations noted):
 - text Term            BM25 contribution (Lucene defaults)
 - text Phrase          consecutive-position filter, BM25 over members
 - text Wildcard        constant_score 1.0 (the ES multi-term rewrite)
-- keyword Term/Wildcard/Regexp/Range   filter context, score 1.0
+- text Fuzzy           dictionary expansion ≤ max_edits, BM25 OR over
+                       expansions (deviation: Lucene blends idf through
+                       its top-N rewrite and weights by distance)
+- Boost                child score × factor
+- Exists               field IS NOT NULL, filter context
+- keyword Term/Wildcard/Regexp/Range/Fuzzy   filter context, score 1.0
 - Or                   union; scores of matching clauses SUM (ES should)
 - And                  intersection; scores SUM (ES must)
 - Not                  anti-join exclusion (score 0 contribution)
@@ -33,6 +38,9 @@ from elasticsearch_assets_spark.indexing.build import IndexTables
 from elasticsearch_assets_spark.query import exec as qx
 from elasticsearch_assets_spark.query.parser import (
     And,
+    Boost,
+    Exists,
+    Fuzzy,
     Node,
     Not,
     Or,
@@ -99,6 +107,17 @@ class QueryPlanner:
             return self._regexp(node)
         if isinstance(node, Range):
             return self._range(node)
+        if isinstance(node, Fuzzy):
+            return self._fuzzy(node)
+        if isinstance(node, Boost):
+            # multiply the child's score; filter-context children keep
+            # their constant 1.0 * factor (Lucene boost semantics)
+            child = self.plan(node.child)
+            return child.select(
+                "doc_id", (F.col("score") * F.lit(node.factor)).alias("score")
+            )
+        if isinstance(node, Exists):
+            return self._attr_filter(F.col(node.field).isNotNull())
         if isinstance(node, Or):
             return self._combine(list(node.children), require_all=False)
         if isinstance(node, And):
@@ -142,6 +161,23 @@ class QueryPlanner:
             )
         pat = qx._glob_to_regex(node.pattern)
         return self._attr_filter(F.col(f).cast("string").rlike(f"^{pat}$"))
+
+    def _fuzzy(self, node: Fuzzy) -> DataFrame:
+        f = self._field(node.field)
+        if self._is_text(f):
+            # text path: dictionary expansion within max_edits, BM25 OR
+            # over the expansions (scale-safe: large expansions stay
+            # distributed — exec.scored_expansion)
+            return qx.fuzzy_query(
+                self.index, node.value, node.max_edits, k=2**31 - 1
+            ).select("doc_id", "score")
+        # keyword path: no analysis, case-sensitive levenshtein filter
+        return self._attr_filter(
+            F.levenshtein(
+                F.col(f).cast("string"), F.lit(node.value), node.max_edits
+            )
+            >= 0
+        )
 
     def _regexp(self, node: Regexp) -> DataFrame:
         f = self._field(node.field)

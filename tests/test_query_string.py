@@ -55,6 +55,20 @@ from elasticsearch_assets_spark.query.planner import PlannerConfig, QueryPlanner
             P.And((P.Range("x", "a", "b", True, True), P.Not(P.Term("y", "c")))),
         ),
         ("id:/[a-f].*/", P.Regexp("id", "[a-f].*")),
+        # fuzzy: explicit distance, Lucene default 2 when omitted
+        ("merg~1", P.Fuzzy(None, "merg", 1)),
+        ("merg~", P.Fuzzy(None, "merg", 2)),
+        ("content:merg~1", P.Fuzzy("content", "merg", 1)),
+        # boost on terms, fuzzy terms, and phrases
+        ("content:merge^2", P.Boost(P.Term("content", "merge"), 2.0)),
+        ("merg~1^2", P.Boost(P.Fuzzy(None, "merg", 1), 2.0)),
+        ('"load config"^1.5', P.Boost(P.Phrase(None, "load config"), 1.5)),
+        # _exists_ pseudo-field
+        ("_exists_:lang", P.Exists("lang")),
+        (
+            "_exists_:lang AND merge",
+            P.And((P.Exists("lang"), P.Term(None, "merge"))),
+        ),
     ],
 )
 def test_parse_goldens(q, expected):
@@ -78,6 +92,59 @@ def planner(corpus):
 
 def _ids(df):
     return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_matches_oracle_expansion(planner):
+    """fuzzy = BM25 OR over all dictionary terms within max_edits —
+    expansion recomputed independently with a pure-Python levenshtein
+    over the oracle's vocabulary."""
+    qp, oracle = planner
+    got = _ids(qp.query_string("content:merg~1", k=10))
+    expansions = sorted(t for t in oracle.tf if _levenshtein(t, "merg") <= 1)
+    assert "merge" in expansions  # the corpus vocabulary guarantees a hit
+    exp_scored = oracle.score_terms(expansions)
+    exp = sorted(
+        ((d, s) for d, (s, _n) in exp_scored.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, gs), (_, es) in zip(got, exp):
+        assert abs(gs - es) < 1e-9
+
+
+def test_boost_scales_scores(planner):
+    qp, _ = planner
+    plain = dict(_ids(qp.plan(P.parse("content:parseDate"))))
+    boosted = dict(_ids(qp.plan(P.parse("content:parseDate^2"))))
+    assert boosted.keys() == plain.keys() and plain
+    for d, s in plain.items():
+        assert abs(boosted[d] - 2.0 * s) < 1e-12
+
+
+def test_exists_filters_nulls(spark, corpus):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_assets_spark.query.planner import QueryPlanner
+
+    index, _ = corpus
+    attrs = index.doc_norms.withColumn(
+        "maybe", F.when(F.col("doc_id") % 2 == 0, F.lit("x"))
+    )
+    qp = QueryPlanner(index, attrs=attrs)
+    n_all = attrs.count()
+    n_exists = qp.plan(P.parse("_exists_:maybe")).count()
+    assert 0 < n_exists < n_all
+    assert n_exists == attrs.where(F.col("maybe").isNotNull()).count()
 
 
 def test_qs_single_term_matches_oracle(planner):
