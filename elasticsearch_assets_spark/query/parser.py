@@ -211,11 +211,18 @@ class _Parser:
 
     def _maybe_boost(self, node):
         """`"a phrase"^2` lexes as quoted + atom '^2' — fold the boost
-        suffix token into the preceding node."""
+        suffix token into the preceding node. Phrase slop (`"a b"~2`)
+        is rejected explicitly: Lucene's SloppyPhraseScorer move
+        semantics are not implemented, and silently parsing `~2` as a
+        term would change results."""
         k, v = self.peek()
         if k == "atom" and re.fullmatch(r"\^\d+(?:\.\d+)?", v):
             self.next()
             return Boost(node, float(v[1:]))
+        if k == "atom" and re.fullmatch(r"~\d*", v):
+            raise ValueError(
+                'phrase slop ("..."~N) is not supported by this engine'
+            )
         return node
 
     def _parse_value(self, field):

@@ -80,6 +80,8 @@ def test_parse_errors():
         P.parse("(a OR b")  # unclosed paren
     with pytest.raises(ValueError):
         P.parse("x:[a TO")  # incomplete range
+    with pytest.raises(ValueError, match="phrase slop"):
+        P.parse('"load config"~2')  # explicit unsupported, never silent
 
 
 # ---- end-to-end over the corpus fixture --------------------------------
