@@ -236,6 +236,135 @@ def id_prefix_pred(key_col: str, keys: list[str]) -> Column:
     return cond if cond is not None else F.lit(False)
 
 
+def _point_py(v) -> tuple[float, float]:
+    """Driver-side geo point: '"lat, lon"' string or (lat, lon) pair."""
+    if isinstance(v, (tuple, list)):
+        return float(v[0]), float(v[1])
+    lat, lon = (p.strip() for p in str(v).split(","))
+    return float(lat), float(lon)
+
+
+def build_slice_query(
+    df: DataFrame, op_config: dict, slice_params: dict
+) -> DataFrame:
+    """The reference's central ES-DSL assembly (utils.ts:9-110
+    buildQuery/_buildRangeQuery) as ONE composed DataFrame plan: every
+    clause lands in the same WHERE so Catalyst pushes the conjunction
+    into the scan together.
+
+    - params.start/end        → range gte/lt on date_field_name
+    - params.keys             → OR over id_field_name prefixes: wildcard
+                                `key*` by default, regexp `key.*` when
+                                recurse_optimization (utils.ts:66-90)
+    - op_config.query         → lucene query_string over the columns
+                                (the reference passes it verbatim to ES)
+    - op_config.geo_*         → bounding-box or distance query, with the
+                                reference's _geo_distance sort rules
+    - op_config.fields        → _source projection
+
+    Parity notes: params.count is required (reference error) but the
+    returned frame is NOT truncated to it — Spark reads are exact, so
+    the size cap + expansion-retry live in fetch_with_expansion (F1).
+    """
+    if slice_params.get("count") is None:
+        raise ValueError("Expected count to buildQuery")
+
+    out = df
+    start, end = slice_params.get("start"), slice_params.get("end")
+    if start and end:
+        out = out.where(date_range_pred(op_config["date_field_name"], start, end))
+
+    keys = slice_params.get("keys") or []
+    if keys:
+        id_field = op_config.get("id_field_name")
+        if not isinstance(id_field, str):
+            raise ValueError("Missing id_field_name for id slicer")
+        if op_config.get("recurse_optimization"):
+            cond = None
+            for k in keys:
+                c = F.col(id_field).rlike(f"^{k}.*$")
+                cond = c if cond is None else (cond | c)
+            out = out.where(cond)
+        else:
+            out = out.where(id_prefix_pred(id_field, keys))
+
+    if op_config.get("query"):
+        from elasticsearch_assets_spark.sources.spaces import spaces_filter
+
+        out = spaces_filter(out, op_config["query"])
+
+    if op_config.get("geo_field"):
+        from elasticsearch_assets_spark.sources.jobconfig import (
+            validate_geo_parameters,
+        )
+
+        validate_geo_parameters(op_config)
+        gf = op_config["geo_field"]
+        lat, lon = f"{gf}.lat", f"{gf}.lon"
+        if dict(out.dtypes).get(gf, "").startswith("string"):
+            out = out.withColumn(f"_{gf}_pt", parse_geo_point(gf))
+            lat, lon = f"_{gf}_pt.lat", f"_{gf}_pt.lon"
+        out = out.withColumn("_glat", F.col(lat)).withColumn("_glon", F.col(lon))
+        if op_config.get("geo_box_top_left"):
+            out = geo_bounding_box(
+                out,
+                "_glat",
+                "_glon",
+                _point_py(op_config["geo_box_top_left"]),
+                _point_py(op_config["geo_box_bottom_right"]),
+            )
+            if op_config.get("geo_sort_point"):
+                p = _point_py(op_config["geo_sort_point"])
+                d = haversine_m(
+                    F.lit(p[0]), F.lit(p[1]), F.col("_glat"), F.col("_glon")
+                )
+                order = op_config.get("geo_sort_order", "asc")
+                out = out.withColumn("_distance_m", d).orderBy(
+                    F.col("_distance_m").asc()
+                    if order == "asc"
+                    else F.col("_distance_m").desc()
+                )
+        else:
+            # distance query always carries a _geo_distance sort, around
+            # geo_sort_point when given else the query point (utils.ts
+            # geoSearch)
+            sp = op_config.get("geo_sort_point") or op_config["geo_point"]
+            import re as _re
+
+            m = _re.fullmatch(
+                r"([\d.]+)\s*([a-z]*)", str(op_config["geo_distance"]).strip()
+            )
+            if not m:
+                raise ValueError(
+                    f"invalid geo_distance: {op_config['geo_distance']!r}"
+                )
+            dist = float(m.group(1))
+            unit = m.group(2) or op_config.get("geo_sort_unit", "m")
+            out = geo_distance(
+                out,
+                "_glat",
+                "_glon",
+                _point_py(op_config["geo_point"]),
+                dist,
+                unit if unit in UNIT_M else "m",
+                op_config.get("geo_sort_order", "asc"),
+            )
+            if op_config.get("geo_sort_point") and sp != op_config["geo_point"]:
+                p = _point_py(sp)
+                d = haversine_m(
+                    F.lit(p[0]), F.lit(p[1]), F.col("_glat"), F.col("_glon")
+                )
+                out = out.withColumn("_sort_m", d).orderBy(
+                    F.col("_sort_m").asc()
+                    if op_config.get("geo_sort_order", "asc") == "asc"
+                    else F.col("_sort_m").desc()
+                )
+
+    if op_config.get("fields"):
+        out = out.select(*op_config["fields"])
+    return out
+
+
 # ---- geo (Q7-Q9) ---------------------------------------------------------
 def parse_geo_point(col: Column | str) -> Column:
     """Parse the reference's geo-point string form '"lat, lon"'

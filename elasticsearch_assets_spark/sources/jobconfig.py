@@ -59,6 +59,49 @@ def validate_reader_api_config(api: dict[str, Any], slicers: int = 1) -> None:
         )
 
 
+def validate_geo_parameters(cfg: dict[str, Any]) -> None:
+    """utils.ts:111-196 validateGeoParameters — reference error text
+    verbatim. `cfg` carries the geo_* reader options."""
+    top_left = cfg.get("geo_box_top_left")
+    bottom_right = cfg.get("geo_box_bottom_right")
+    point = cfg.get("geo_point")
+    distance = cfg.get("geo_distance")
+    sort_point = cfg.get("geo_sort_point")
+    sort_order = cfg.get("geo_sort_order")
+    sort_unit = cfg.get("geo_sort_unit")
+    field = cfg.get("geo_field")
+
+    if top_left and point:
+        raise ValueError("geo_box and geo_distance queries can not be combined.")
+    if (point and not distance) or (not point and distance):
+        raise ValueError(
+            "Both geo_point and geo_distance must be provided for a "
+            "geo_point query."
+        )
+    if (top_left and not bottom_right) or (not top_left and bottom_right):
+        raise ValueError(
+            "Both geo_box_top_left and geo_box_bottom_right must be "
+            "provided for a geo bounding box query."
+        )
+    if top_left and (sort_order or sort_unit) and not sort_point:
+        raise ValueError(
+            "bounding box search requires geo_sort_point to be set if "
+            "any other geo_sort_* parameter is provided"
+        )
+    if (top_left or point or distance or sort_point) and not field:
+        raise ValueError(
+            "geo box search requires geo_field to be set if any other "
+            "geo query parameters are provided"
+        )
+    is_box = bool(top_left and bottom_right)
+    is_dist = bool(point and distance)
+    if field and not (is_box or is_dist):
+        raise ValueError(
+            "if geo_field is specified then the appropriate geo_box or "
+            "geo_distance query parameters need to be provided as well"
+        )
+
+
 def validate_reader_job(job: dict[str, Any]) -> None:
     """elasticsearch_reader/schema.ts:7-46 validateJob: date reader
     requirements + persistent-mode manual interval/delay."""
