@@ -55,10 +55,10 @@ SCALE_HI = int(os.environ.get("BENCH_SCALE_HI", "8"))
 # way hour-long cluster builds do: the efficiency criterion measures the
 # JOB's throughput scaling, and at 120k docs ~2s of fixed overhead was
 # 20% of the hi-level runtime (a measurement artifact a 100 TB build
-# never sees). Pairs drop 5 -> 3: the longer runs average scheduling
-# noise, so fewer pairs reach the same median stability.
+# never sees). 4 pairs: the hi level carries ±8% host noise, and the
+# median of 4 per-pair ratios tolerates one bad pair.
 SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", str(BENCH_DOCS)))
-SCALE_PAIRS = int(os.environ.get("BENCH_SCALE_PAIRS", "3"))
+SCALE_PAIRS = int(os.environ.get("BENCH_SCALE_PAIRS", "4"))
 
 # headline queries: the ES-DSL-equivalent surface + pipeline operators
 HEADLINE = [
@@ -211,10 +211,12 @@ def main() -> None:
                 pair_effs.append(
                     (pair[SCALE_LO] / pair[SCALE_HI]) / (SCALE_HI / SCALE_LO)
                 )
-            s_hi = sorted(his)[len(his) // 2]
-            s_lo = sorted(los)[len(los) // 2]
+            import statistics
+
+            s_hi = statistics.median(his)
+            s_lo = statistics.median(los)
             t_hi, t_lo = SCALE_DOCS / s_hi, SCALE_DOCS / s_lo
-            eff = sorted(pair_effs)[len(pair_effs) // 2]
+            eff = statistics.median(pair_effs)
             result["scaling"] = {
                 "docs": SCALE_DOCS,
                 "cpus_lo": SCALE_LO,
