@@ -53,13 +53,22 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> IndexTables:
         )
         # query serving reads the index many times: persist the final
         # postings/terms/positions frames (the on-disk equivalent is
-        # read_index over the bucket-partitioned parquet layout)
+        # read_index over the bucket-partitioned parquet layout).
+        # postings and positions are independent — warm them
+        # concurrently instead of serially.
+        import threading
+
         idx.postings = idx.postings.persist()
-        idx.postings.count()
         idx.terms = idx.terms.persist()
+        warms = [idx.postings.count]
         if idx.positions is not None:
             idx.positions = idx.positions.persist()
-            idx.positions.count()
+            warms.append(idx.positions.count)
+        threads = [threading.Thread(target=w) for w in warms]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
         _INDEX_CACHE[key] = idx
     return _INDEX_CACHE[key]
 
@@ -602,6 +611,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ft_fuzzy"] = ft_fuzzy
+
+    def ft_boost(s, d):
+        # Lucene boost through the full planner: merge^2 doubles that
+        # clause's BM25 contribution before the OR sum
+        from elasticsearch_assets_spark.query.planner import (
+            PlannerConfig,
+            QueryPlanner,
+        )
+
+        index = _docs_index(s, d)
+        qp = QueryPlanner(
+            index, config=PlannerConfig(default_field="text", text_fields=("text",))
+        )
+        out = qp.plan(parse("text:merge^2 OR text:batch", default_field="text"))
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_boost"] = ft_boost
 
     def wr_dual_yield(s, d):
         docs = _t(s, d, "documents").select("doc_id", "text")
@@ -1329,6 +1355,16 @@ FROM contrib WHERE term IN (SELECT term FROM exp)
 GROUP BY doc_id
 ORDER BY round(sum(c), 4) DESC, doc_id ASC
 LIMIT 15
+"""
+
+    # boost: merge clause × 2 + batch clause (≤2 values per doc, so the
+    # float sum is order-independent — IEEE addition is commutative)
+    o["ft_boost"] = f"""{_bm25_cte()},
+m AS (SELECT doc_id, 2 * sum(c) AS s FROM contrib WHERE term = 'merge' GROUP BY doc_id),
+b AS (SELECT doc_id, sum(c) AS s FROM contrib WHERE term = 'batch' GROUP BY doc_id)
+SELECT doc_id, round(sum(s), 4) AS score
+FROM (SELECT * FROM m UNION ALL SELECT * FROM b)
+GROUP BY doc_id
 """
 
     o["wr_dual_yield"] = """
