@@ -340,6 +340,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    def ev_slice_query(s, d):
+        # the reference's central buildQuery composition (utils.ts:9-110)
+        # as ONE plan: date range + id-key prefixes + lucene query_string
+        ev = _t(s, d, "events").withColumn(
+            "key", F.md5(F.col("event_id").cast("string"))
+        )
+        cfg = {
+            "date_field_name": "ts",
+            "id_field_name": "key",
+            "query": "event_type:click AND value:>=10",
+        }
+        sl = {
+            "start": "2024-01-05",
+            "end": "2024-01-20",
+            "keys": ["a", "b", "c"],
+            "count": 10**9,
+        }
+        return reader.build_slice_query(ev, cfg, sl).select("event_id")
+
+    q["ev_slice_query"] = ev_slice_query
+
     # ---- writer semantics (K1.a-K1.d) over documents ----
     def _wr_frames(s, d):
         docs = _t(s, d, "documents").select("doc_id", "text")
@@ -1018,6 +1039,12 @@ WHERE ts >= m - INTERVAL 6 HOUR - INTERVAL 1 DAY
         "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
         "FROM events"
     )
+    o["ev_slice_query"] = """
+SELECT event_id FROM events
+WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+  AND substr(md5(event_id::VARCHAR), 1, 1) IN ('a', 'b', 'c')
+  AND event_type = 'click' AND value >= 10
+"""
 
     # ---- writer merges ----
     _target = "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0"
