@@ -650,6 +650,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_boost"] = ft_boost
 
+    def ft_qs_required(s, d):
+        # Lucene `+required optional -prohibited`: batch gates matching,
+        # merge only adds score, stream excludes
+        from elasticsearch_assets_spark.query.planner import (
+            PlannerConfig,
+            QueryPlanner,
+        )
+
+        index = _docs_index(s, d)
+        qp = QueryPlanner(
+            index, config=PlannerConfig(default_field="text", text_fields=("text",))
+        )
+        out = qp.plan(
+            parse("+text:batch text:merge -text:stream", default_field="text")
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_qs_required"] = ft_qs_required
+
     def wr_dual_yield(s, d):
         docs = _t(s, d, "documents").select("doc_id", "text")
         target = docs.where(F.col("doc_id") % 3 == 0)
@@ -1392,6 +1411,17 @@ b AS (SELECT doc_id, sum(c) AS s FROM contrib WHERE term = 'batch' GROUP BY doc_
 SELECT doc_id, round(sum(s), 4) AS score
 FROM (SELECT * FROM m UNION ALL SELECT * FROM b)
 GROUP BY doc_id
+"""
+
+    # +batch merge -stream: required gates, optional adds score,
+    # prohibited excludes (≤2 values per doc — order-independent sum)
+    o["ft_qs_required"] = f"""{_bm25_cte()},
+m AS (SELECT doc_id, sum(c) AS s FROM contrib WHERE term = 'batch' GROUP BY doc_id),
+sh AS (SELECT doc_id, sum(c) AS s FROM contrib WHERE term = 'merge' GROUP BY doc_id),
+ex AS (SELECT DISTINCT doc_id FROM contrib WHERE term = 'stream')
+SELECT m.doc_id, round(m.s + coalesce(sh.s, 0), 4) AS score
+FROM m LEFT JOIN sh USING (doc_id)
+WHERE m.doc_id NOT IN (SELECT doc_id FROM ex)
 """
 
     o["wr_dual_yield"] = """

@@ -30,11 +30,21 @@ def id_slicer_plan(
     starting_key_depth: int = 0,
     max_depth: int = 32,
     retry_key: str | None = None,
+    conserve_exact: bool = True,
 ) -> list[tuple[str, int]]:
     """DFS emit order identical to the reference's generators.
     retry_key resumes AFTER the given key (idSlicer-refactor.ts:77-98 —
     the I4 retry fast-forward), matching the 'can return to previous
-    position' golden (test/id_reader/slicer-spec.ts:429-448)."""
+    position' golden (test/id_reader/slicer-spec.ts:429-448).
+
+    conserve_exact (engine extension, default on): docs whose key IS an
+    over-`size` prefix match `prefix*` but no child `prefixX*` — the
+    reference's wildcard descent silently loses them on variable-length
+    keyspaces. They emit as a `prefix$` exact-key slice, derived from
+    the subtree's emitted sum (zero extra count calls). No-op on
+    fixed-length (uuid-style) keyspaces, so all reference goldens are
+    unchanged; set False to pin the raw reference protocol against
+    scripted (non-conservative) count sequences."""
     alphabet = ALPHABETS[key_type]
     keys = list(key_set) if key_set else list(alphabet)
     out: list[tuple[str, int]] = []
@@ -53,8 +63,23 @@ def id_slicer_plan(
         if c == 0:
             return
         if c > size and len(prefix) < max_depth:
+            before = len(out)
             for ch in alphabet:
                 walk(prefix + ch)
+            # exact-key remainder: docs whose key IS the prefix are
+            # matched by `prefix*` but by NO child `prefixX*` — the
+            # reference's wildcard descent silently loses them. Derived
+            # from the subtree's emitted sum (ZERO extra count calls, so
+            # the reference's scripted count-call sequence is
+            # preserved); only possible on variable-length keyspaces —
+            # uuid-style fixed-length keys always sum exactly, so golden
+            # plans are unchanged. Emitted as `prefix$`, an exact-key
+            # slice (engine extension for data conservation). Skipped
+            # under retry resume: a partial subtree sum would inflate it.
+            if conserve_exact and retry_key is None:
+                sub = sum(cnt for _, cnt in out[before:])
+                if sub < c:
+                    out.append((prefix + "$", c - sub))
             return
         out.append((prefix, c))
 
@@ -171,6 +196,7 @@ def id_slicer_plan_optimized(
     size: int = 5000,
     starting_key_depth: int = 0,
     retry_key: str | None = None,
+    conserve_exact: bool = True,
 ) -> list[tuple[str, int]]:
     """I3 idSlicerOptimized as a plan: emit (key_expr, count) where
     key_expr is the reference's printable slice key — a bare prefix or
@@ -216,12 +242,22 @@ def id_slicer_plan_optimized(
         if c == 0:
             return
         if c > size:
+            before = len(out)
             r = ratio_fn(c)
             if r is False:
                 for ch in alphabet:
                     handle(prefix + ch)
             else:
                 split_keys(prefix, r)
+            # exact-key remainder from the subtree's emitted sum — same
+            # data-conservation extension as id_slicer_plan.walk (zero
+            # extra count calls, so the reference's scripted count-call
+            # sequence stays exact; dangling == 0 on fixed-length
+            # keyspaces so golden plans are unchanged)
+            if conserve_exact and retry_key is None:
+                sub = sum(cnt for _, cnt in out[before:])
+                if sub < c:
+                    emit(prefix + "$", c - sub)
             return
         emit(prefix, c)
 

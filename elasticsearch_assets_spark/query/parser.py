@@ -14,6 +14,7 @@ Scope is pinned to the forms the reference actually emits/translates
     term~  /  term~1          fuzzy (Lucene default 2 edits)
     term^2  /  "a b"^1.5      boost
     _exists_:field            field-has-value
+    +clause  /  -clause       required / prohibited modifiers
     a AND b, a OR b, NOT a    boolean (also &&, ||, !)
     (...)                     grouping
 
@@ -77,6 +78,14 @@ class Boost:
 @dataclass(frozen=True)
 class Exists:
     field: str = ""
+
+
+@dataclass(frozen=True)
+class Must:
+    """Lucene `+clause` (required): the clause gates matching; in an OR
+    context the other (should) clauses become optional score-adders."""
+
+    child: object = None
 
 
 @dataclass(frozen=True)
@@ -176,10 +185,21 @@ class _Parser:
         return parts[0] if len(parts) == 1 else And(tuple(parts))
 
     def parse_unary(self):
-        k, _ = self.peek()
+        k, v = self.peek()
         if k == "not":
             self.next()
             return Not(self.parse_unary())
+        # Lucene +required / -prohibited clause modifiers. Only a
+        # LEADING +/- at clause position is a modifier ("foo-bar" stays
+        # one term; a field value like bytes:-5 never reaches here).
+        if k == "atom" and v and v[0] in "+-":
+            cls = Must if v[0] == "+" else Not
+            if len(v) == 1:
+                # "+(" / "-(" lex as a bare +/- atom before the paren
+                self.next()
+                return cls(self.parse_primary())
+            self.toks[self.i] = ("atom", v[1:])
+            return cls(self.parse_primary())
         return self.parse_primary()
 
     def parse_primary(self):

@@ -41,6 +41,7 @@ from elasticsearch_assets_spark.query.parser import (
     Boost,
     Exists,
     Fuzzy,
+    Must,
     Node,
     Not,
     Or,
@@ -124,6 +125,10 @@ class QueryPlanner:
             return self._combine(list(node.children), require_all=True)
         if isinstance(node, Not):
             return self._not(node)
+        if isinstance(node, Must):
+            # a lone required clause is just the clause; the modifier
+            # only changes semantics inside a combinator (see _combine)
+            return self.plan(node.child)
         raise TypeError(f"unknown AST node {node!r}")
 
     # -- leaves -----------------------------------------------------------
@@ -233,6 +238,7 @@ class QueryPlanner:
     # -- combinators --------------------------------------------------------
     def _combine(self, children: list, require_all: bool) -> DataFrame:
         positives: list[DataFrame] = []
+        must_flags: list[bool] = []
         negatives: list[DataFrame] = []
         for child in children:
             if isinstance(child, Not):
@@ -242,8 +248,15 @@ class QueryPlanner:
                 # the NOT as a top-level exclusion, not a complement
                 # union operand)
                 negatives.append(self.plan(child.child).select("doc_id"))
+            elif isinstance(child, Must):
+                # Lucene `+clause`: gates matching; the sibling should
+                # clauses become optional score-adders (classic
+                # `+required optional -prohibited` form)
+                positives.append(self.plan(child.child))
+                must_flags.append(True)
             else:
                 positives.append(self.plan(child))
+                must_flags.append(False)
 
         if not positives:
             # pure-negative query: all docs minus exclusions, score 0
@@ -252,8 +265,11 @@ class QueryPlanner:
                 base = base.join(n, "doc_id", "left_anti")
             return base
 
+        n_must = sum(must_flags)
         tagged = [
-            p.select("doc_id", "score").withColumn("_c", F.lit(i))
+            p.select("doc_id", "score")
+            .withColumn("_c", F.lit(i))
+            .withColumn("_m", F.lit(1 if must_flags[i] else 0))
             for i, p in enumerate(positives)
         ]
         u = tagged[0]
@@ -264,6 +280,7 @@ class QueryPlanner:
             .agg(
                 F.sort_array(F.collect_list(F.struct("_c", "score"))).alias("_cs"),
                 F.count(F.lit(1)).alias("_n"),
+                F.sum("_m").alias("_nm"),
             )
             .withColumn(
                 "score",
@@ -272,6 +289,10 @@ class QueryPlanner:
         )
         if require_all:
             agg = agg.where(F.col("_n") == len(positives))
+        elif n_must:
+            # every required clause must match; non-must siblings only
+            # add score
+            agg = agg.where(F.col("_nm") == n_must)
         out = agg.select("doc_id", "score")
         for n in negatives:
             out = out.join(n, "doc_id", "left_anti")

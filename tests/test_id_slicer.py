@@ -60,6 +60,34 @@ def test_descend_on_oversize_prunes_zeros(hexkeys):
     assert got == sorted(got, key=lambda p: "0123456789abcdef".index(p[1]))
 
 
+def test_exact_key_remainder_slice():
+    """Hot exact-key cluster on a variable-length keyspace: 5 docs with
+    key '0' exactly + 3 with key '07'. Descending past '0' (count 8 >
+    size 4), the children cover only the 3 '07' docs — the 5 exact '0'
+    docs emit as the '0$' remainder slice instead of being lost (the
+    reference's wildcard descent drops them). Both planners."""
+    from elasticsearch_assets_spark.operators.id_slicer import (
+        class_count_fn_from_keys,
+        id_slicer_plan,
+        id_slicer_plan_optimized,
+    )
+
+    keys = ["0"] * 5 + ["07"] * 3
+
+    def cf(prefix):
+        return sum(1 for k in keys if k.startswith(prefix))
+
+    plan = id_slicer_plan(cf, "hexadecimal", size=4)
+    assert ("07", 3) in plan and ("0$", 5) in plan
+    assert sum(c for _, c in plan) == 8
+
+    plan_o = id_slicer_plan_optimized(
+        class_count_fn_from_keys(keys), "hexadecimal", size=4
+    )
+    assert ("0$", 5) in plan_o
+    assert sum(c for _, c in plan_o) == 8
+
+
 def test_starting_key_depth(hexkeys):
     cf = counts_from_keys(hexkeys)
     plan = id_slicer_plan(
@@ -108,6 +136,7 @@ def test_i3_optimize_on_oversize_unit():
     got = id_slicer_plan_optimized(
         _scripted([50, 110, 50, 50, 50, 50]),
         "hexadecimal", key_set=["a", "b", "c"], size=100,
+        conserve_exact=False,  # mock count sequences are non-conservative
     )
     assert got == [
         ("a", 50), ("b[0-9a-d]", 50), ("b[e-f]", 50), ("c", 50)
@@ -123,6 +152,7 @@ def test_i3_optimize_back_to_back_unit():
     got = id_slicer_plan_optimized(
         _scripted([50, 110, 50, 50, 110, 50, 50, 50]),
         "hexadecimal", key_set=["a", "b", "c", "d"], size=100,
+        conserve_exact=False,
     )
     assert got == [
         ("a", 50), ("b[0-9a-d]", 50), ("b[e-f]", 50),
@@ -139,6 +169,7 @@ def test_i3_optimize_special_chars_unit():
     got = id_slicer_plan_optimized(
         _scripted([50, 110, 50, 50, 50, 50]),
         "base64", key_set=["a", "b", "c"], size=100,
+        conserve_exact=False,
     )
     assert got == [
         ("a", 50), ("b[A-Za-z0-7]", 50), ("b[8-9\\-_\\+/]", 50), ("c", 50)
@@ -154,6 +185,7 @@ def test_i3_optimize_oversized_chunk_shrinks_unit():
     got = id_slicer_plan_optimized(
         _scripted([50, 110, 110, 50, 50, 110, 50, 50, 50]),
         "hexadecimal", key_set=["a", "b", "c", "d"], size=100,
+        conserve_exact=False,
     )
     assert got == [
         ("a", 50), ("b[0-9a-b]", 50), ("b[c-f]", 50),
@@ -172,6 +204,7 @@ def test_i3_starting_depth_unit():
     got = id_slicer_plan_optimized(
         _scripted(seq),
         "hexadecimal", key_set=["a", "b"], size=100, starting_key_depth=1,
+        conserve_exact=False,
     )
     exp = [("a0", 50), ("a1[0-9a-d]", 50), ("a1[e-f]", 50)]
     exp += [(f"a{c}", 50) for c in "23456789abcdef"]

@@ -135,24 +135,38 @@ def test_date_slicer_conserves_and_never_overlaps(counts, interval, size):
     st.integers(min_value=2, max_value=50),
 )
 def test_i3_optimized_conserves_all_keys(key_rows, size):
-    """Any hex keyspace: the char-class plan's counts sum to the corpus
-    size and the emitted expressions never overlap (each key matches
-    exactly one emitted slice)."""
+    """Any hex keyspace — including variable-length keys with hot
+    exact-key clusters: BOTH id planners' counts sum to the corpus size
+    and the emitted expressions never overlap (each key matches exactly
+    one slice). Exact-key remainders emit as `prefix$` (the engine's
+    data-conservation extension — the reference's wildcard descent
+    loses docs whose key IS an over-`size` prefix)."""
     import re
 
     from elasticsearch_assets_spark.operators.id_slicer import (
         class_count_fn_from_keys,
+        id_slicer_plan,
         id_slicer_plan_optimized,
     )
 
     keys = [k for (k,) in key_rows]
-    plan = id_slicer_plan_optimized(
-        class_count_fn_from_keys(keys), "hexadecimal", size=size
+
+    def check(plan):
+        assert sum(c for _, c in plan) == len(keys)
+        pats = [re.compile("^" + e) for e, _ in plan]
+        for k in keys:
+            assert sum(1 for p in pats if p.match(k)) == 1, (k, plan)
+
+    check(
+        id_slicer_plan_optimized(
+            class_count_fn_from_keys(keys), "hexadecimal", size=size
+        )
     )
-    assert sum(c for _, c in plan) == len(keys)
-    pats = [re.compile("^" + e.replace("[", "[").replace("]", "]")) for e, _ in plan]
-    for k in keys:
-        assert sum(1 for p in pats if p.match(k)) == 1, k
+
+    def count_fn(prefix):
+        return sum(1 for k in keys if k.startswith(prefix))
+
+    check(id_slicer_plan(count_fn, "hexadecimal", size=size))
 
 
 def test_multi_slicer_ranges_cover_even_fixture(spark):

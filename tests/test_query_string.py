@@ -69,6 +69,16 @@ from elasticsearch_assets_spark.query.planner import PlannerConfig, QueryPlanner
             "_exists_:lang AND merge",
             P.And((P.Exists("lang"), P.Term(None, "merge"))),
         ),
+        # +required / -prohibited clause modifiers
+        (
+            "+a b -c",
+            P.Or(
+                (P.Must(P.Term(None, "a")), P.Term(None, "b"), P.Not(P.Term(None, "c")))
+            ),
+        ),
+        ("+lang:de", P.Must(P.Term("lang", "de"))),
+        ("-(a OR b)", P.Not(P.Or((P.Term(None, "a"), P.Term(None, "b"))))),
+        ("foo-bar", P.Term(None, "foo-bar")),  # interior hyphen is literal
     ],
 )
 def test_parse_goldens(q, expected):
@@ -122,6 +132,31 @@ def test_fuzzy_matches_oracle_expansion(planner):
     assert [d for d, _ in got] == [d for d, _ in exp]
     for (_, gs), (_, es) in zip(got, exp):
         assert abs(gs - es) < 1e-9
+
+
+def test_required_optional_prohibited(planner):
+    """`+batch merge -stream`: batch gates, merge only adds score,
+    stream excludes — verified against the oracle's bool_query plus a
+    hand-built score check."""
+    qp, oracle = planner
+    got = dict(
+        _ids(qp.plan(P.parse("+content:batch content:merge -content:stream")))
+    )
+    batch = oracle.score_terms(["batch"])
+    merge = oracle.score_terms(["merge"])
+    stream = oracle.score_terms(["stream"])
+    exp = {
+        d: s + (merge[d][0] if d in merge else 0.0)
+        for d, (s, _) in batch.items()
+        if d not in stream
+    }
+    assert got.keys() == exp.keys() and got
+    for d, s in exp.items():
+        assert abs(got[d] - s) < 1e-9
+    # at least one doc matches batch WITHOUT merge (pure-must doc) and
+    # one matches both (score-added doc), or the test proves nothing
+    assert any(d not in merge for d in exp)
+    assert any(d in merge for d in exp)
 
 
 def test_boost_scales_scores(planner):
