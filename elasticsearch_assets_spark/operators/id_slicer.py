@@ -282,8 +282,17 @@ def id_slicer_plan_optimized(
             c = class_count_fn(prefix, chars)
             if c > size:
                 if limit_of_splitting:
+                    # this descent skips the (prefix + next_key) node —
+                    # its exact-key remainder must be accounted HERE or
+                    # the outer node would mis-attribute those docs to
+                    # its own `$` slice (see conserve_exact notes)
+                    before = len(out)
                     for ch in alphabet:
                         handle(prefix + next_key + ch)
+                    if conserve_exact and retry_key is None:
+                        sub = sum(cnt for _, cnt in out[before:])
+                        if sub < c:
+                            emit(prefix + next_key + "$", c - sub)
                     tracker.commit()
                 else:
                     resp = ratio_fn(c)
