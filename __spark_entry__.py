@@ -400,11 +400,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {"text": F.concat(F.col("text"), F.lit("#"), F.col("param_tag"))},
         )
 
+    def wr_update_fields(s, d):
+        # K1.e column-subset update: only `lang` changes, text untouched
+        docs = _t(s, d, "documents").select("doc_id", "text", "lang")
+        target = docs.where(F.col("doc_id") % 3 == 0)
+        src = (
+            _t(s, d, "documents")
+            .where(F.col("doc_id") % 2 == 0)
+            .select("doc_id", F.lit("xx").alias("lang"))
+        )
+        return writer.merge_update(target, src, update_fields=["lang"])
+
+    def wr_lww(s, d):
+        # K1.g bulk last-write-wins: two actions per even key (_seq 1
+        # then 2 for multiples of 4) — the LAST action wins per key
+        docs = _t(s, d, "documents").select("doc_id", "text")
+        target = docs.where(F.col("doc_id") % 3 == 0)
+        a1 = docs.where(F.col("doc_id") % 2 == 0).select(
+            "doc_id",
+            F.concat(F.lit("V1:"), F.col("doc_id").cast("string")).alias("text"),
+            F.lit(1).alias("_seq"),
+        )
+        a2 = docs.where(F.col("doc_id") % 4 == 0).select(
+            "doc_id",
+            F.concat(F.lit("V2:"), F.col("doc_id").cast("string")).alias("text"),
+            F.lit(2).alias("_seq"),
+        )
+        return writer.merge_index(target, a1.unionByName(a2))
+
+    def wr_routed(s, d):
+        # K1.h dynamic routing index-{route}: partitionBy(route) write,
+        # read back through the directory layout, count per route — the
+        # partition-column reconstruction is what's value-checked
+        import tempfile
+
+        docs = _t(s, d, "documents").select("doc_id", "text", "lang")
+        p = tempfile.mkdtemp(prefix="wr_routed_")
+        writer.write_routed(docs, p, route_col="lang")
+        back = s.read.parquet(p)
+        return back.groupBy("lang").agg(F.count("*").alias("count"))
+
     q["wr_index"] = wr_index
     q["wr_create"] = wr_create
     q["wr_update"] = wr_update
+    q["wr_update_fields"] = wr_update_fields
     q["wr_delete"] = wr_delete
     q["wr_script"] = wr_script
+    q["wr_lww"] = wr_lww
+    q["wr_routed"] = wr_routed
 
     # ---- S4 state storage: mset/compact/mget roundtrip as a query ----
     def ss_roundtrip(s, d):
@@ -915,7 +958,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["plan_date_subslices"] = plan_date_subslices
     q["stream_windows"] = stream_windows
 
-    return q
+    # Explicit registration order for the driver's per-round budget
+    # (the round-2 artifact recorded exactly the FIRST 50 registered
+    # entries): cheap + never-yet-driver-proven entries come first;
+    # the tail holds entries already green in CORRECTNESS_r02 plus the
+    # slowest (streaming / packed-index / ANN-index builds), all still
+    # covered by tools/check_entry.py either way.
+    order = [
+        # ft core (first entry pays the serving-index build)
+        "ft_match_or", "ft_match_and", "ft_match_all_k", "ft_count",
+        "ft_wildcard_prefix", "ft_phrase", "ft_bool_must_not",
+        "ft_source_filter",
+        # new query_string features (reuse the built index, ~1s each)
+        "ft_fuzzy", "ft_boost", "ft_qs_required",
+        # events family
+        "ev_range_scan", "ev_count", "ev_minmax", "ev_sort_limit",
+        "ev_id_prefix_counts", "ev_date_histogram", "ev_track_total",
+        "ev_subslice_flag", "ev_geo_box", "ev_geo_distance",
+        "ev_geo_sorted", "ev_delayed_window", "ev_json_extract",
+        "ev_slice_query",
+        # slicer plans (fast; plan_id_slices_optimized must land in the
+        # artifact — VERDICT r2 #1)
+        "plan_id_slices", "plan_id_slices_optimized", "plan_date_slices",
+        "plan_date_subslices",
+        # writers
+        "wr_index", "wr_create", "wr_update", "wr_update_fields",
+        "wr_delete", "wr_script", "wr_lww", "wr_routed", "ss_roundtrip",
+        # dedup / text / multimodal
+        "dd_exact", "dd_minhash_lsh", "dd_jaccard", "dd_jaccard_lsh",
+        "dd_simhash", "ts_token_count", "ts_quality", "ts_lang_id",
+        "ts_fingerprint", "mm_features",
+        # similarity core
+        "sim_near_dup_banded", "sim_cosine_topk", "sim_near_dup",
+        # r02-proven tail + the slow builders/streamers
+        "sp_filter", "ft_querystring", "ft_regexp", "wr_dual_yield",
+        "dd_simhash_pairs", "sim_lsh_topk", "sim_ann_indexed",
+        "sim_ivf_topk", "ft_match_packed", "stream_sessions",
+        "stream_windows",
+    ]
+    assert set(order) == set(q), (
+        sorted(set(order) ^ set(q)),
+        "entry registered without a slot in the driver-budget order",
+    )
+    return {k: q[k] for k in order}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1126,6 +1211,30 @@ SELECT user_id, start_us, end_us, n_events
 FROM sess
 QUALIFY sid < max(sid) OVER (PARTITION BY user_id)
 """
+
+    o["wr_update_fields"] = """
+WITH t AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 0),
+s AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0)
+SELECT t.doc_id, t.text,
+       CASE WHEN s.doc_id IS NOT NULL THEN 'xx' ELSE t.lang END AS lang
+FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+"""
+
+    o["wr_lww"] = """
+WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+s AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN 'V2:' || doc_id::VARCHAR
+              ELSE 'V1:' || doc_id::VARCHAR END AS text
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT * FROM t WHERE doc_id NOT IN (SELECT doc_id FROM s)
+UNION ALL SELECT * FROM s
+"""
+
+    o["wr_routed"] = (
+        "SELECT lang, count(*) AS count FROM documents GROUP BY 1"
+    )
 
     # S4 state storage roundtrip: three last-write-wins mset batches
     # (the middle one compacts the LSM), then mget on doc_id % 5 = 0
