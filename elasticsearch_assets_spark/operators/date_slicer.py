@@ -77,6 +77,21 @@ def determine_slice(
         if _expanded:
             new_start = _prev_end
             diff = split_time_ms(new_start, end, limit, resolution, ratio)
+            # cycle breaker (engine fix): the reference's expanded branch
+            # lacks the `diff <= 0` guard its non-expanded branch has
+            # (dateSlicer.ts:148-151). Its zero-width split (newEnd ==
+            # newStart) usually terminates — count 0 → range expansion
+            # marches on — and that observable walk is golden-pinned
+            # (test_expansion_with_large_slices boundary 1437→1438). But
+            # when the expansion step itself re-splits to zero width the
+            # state recurs exactly: zero-width [x,x) → expand to
+            # [x, x+interval) → diff 0 → [x,x) → … (an empty slice
+            # followed by an over-`size` burst within one interval of
+            # one resolution unit hangs the reference forever). The
+            # recurring state is precisely `new_start == start` with
+            # diff <= 0 — emit the oversized slice there and only there.
+            if diff <= 0 and new_start == start:
+                return (start, end, count)
             new_end = new_start + diff
             s2, e2, c2 = determine_slice(
                 count_fn, new_start, new_end, limit, size, interval_ms,

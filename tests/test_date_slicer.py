@@ -223,6 +223,27 @@ def test_condensed_two_oversized_slices():
     ]
 
 
+def test_empty_slice_then_oversized_burst_terminates():
+    """An EMPTY 1ms slice followed by an over-`size` 1ms burst: the
+    reference's expanded branch recurses forever here (dateSlicer.ts
+    :113-142 has no `diff <= 0` floor guard, unlike :148-151); the
+    engine's resolution clamp emits the oversized expanded slice and
+    the walk keeps marching. Conservation + coverage hold."""
+    import numpy as np
+
+    counts = [0, 4000] + [0] * 10
+    ts = np.repeat(np.arange(len(counts)), counts)
+
+    def cf(a, b):
+        return int(np.searchsorted(ts, b) - np.searchsorted(ts, a))
+
+    plan = date_slicer_plan(cf, 0, len(counts), 1, 50, resolution="ms")
+    assert plan[0].start_ms == 0 and plan[-1].end_ms == len(counts)
+    assert sum(p.count for p in plan) == 4000
+    # the burst emits as one oversized slice spanning the expansion
+    assert (plan[0].start_ms, plan[0].end_ms, plan[0].count) == (0, 2, 4000)
+
+
 def test_condensed_subslice_by_key_splits_density():
     # D5: the same density split by key prefix instead of emitting
     # oversized date slices (dateSlicer.ts:203-256)

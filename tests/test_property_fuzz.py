@@ -99,9 +99,11 @@ def test_analyzer_spark_agrees_on_fuzz_batch(spark):
 # ---- slicer conservation invariants under fuzzing ----------------------------
 @settings(max_examples=30, deadline=None)
 @given(
-    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=120),
+    # 0..5000 per ms: includes over-`size` single-ms bursts, the shape
+    # that sent the reference's expanded branch into infinite recursion
+    st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=120),
     st.integers(min_value=1, max_value=60),
-    st.integers(min_value=5, max_value=400),
+    st.integers(min_value=1, max_value=400),
 )
 def test_date_slicer_conserves_and_never_overlaps(counts, interval, size):
     """Any per-ms distribution: the walk's slices are disjoint, ordered,
