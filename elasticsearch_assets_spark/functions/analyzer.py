@@ -15,6 +15,16 @@ must agree byte-for-byte:
                             used by the driver's oracle queries.
 
 Tokenization spec (applied in order):
+  0. non-ASCII → token separator. Final tokens can only ever contain
+     [a-z0-9] (step d deletes everything else), so non-ASCII input
+     NEVER survives into a token anyway — but lowercasing it first is
+     engine-dependent: Python/JVM map U+0130 'İ' → 'i' + combining
+     dot (an ASCII leak) while DuckDB maps it → 'i', and such
+     special-casing tables differ per engine. Separating non-ASCII
+     BEFORE casing makes the three implementations byte-identical on
+     arbitrary unicode (fuzz-verified), at the cost of dropping the
+     handful of non-ASCII uppercase letters whose lowercase would have
+     landed in ASCII.
   a. camelCase boundary:   insert space between [a-z0-9] and [A-Z]
      ("parseDate" -> "parse Date", "base64Url" -> "base64 Url")
   b. acronym boundary:     insert space between [A-Z]+ and [A-Z][a-z]
@@ -35,11 +45,13 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# (a) camelCase boundary, (b) acronym boundary, (d) split pattern.
+# (0) ASCII gate, (a) camelCase boundary, (b) acronym boundary, (d) split.
+ASCII_RE = r"[^\x00-\x7F]+"
 CAMEL_RE = r"([a-z0-9])([A-Z])"
 ACRONYM_RE = r"([A-Z]+)([A-Z][a-z])"
 SPLIT_RE = r"[^a-z0-9]+"
 
+_ascii = re.compile(ASCII_RE)
 _camel = re.compile(CAMEL_RE)
 _acronym = re.compile(ACRONYM_RE)
 _split = re.compile(SPLIT_RE)
@@ -49,7 +61,8 @@ def analyze_text(text: str) -> list[str]:
     """Pure-Python analyzer — the oracle implementation."""
     if not text:
         return []
-    s = _camel.sub(r"\1 \2", text)
+    s = _ascii.sub(" ", text)
+    s = _camel.sub(r"\1 \2", s)
     s = _acronym.sub(r"\1 \2", s)
     s = s.lower()
     return [t for t in _split.split(s) if t]
@@ -63,7 +76,8 @@ def analyze_col(col: Column | str) -> Column:
     path at 10^12-file scale, so no Python is allowed here.
     """
     c = F.col(col) if isinstance(col, str) else col
-    s = F.regexp_replace(c, CAMEL_RE, r"$1 $2")
+    s = F.regexp_replace(c, ASCII_RE, " ")
+    s = F.regexp_replace(s, CAMEL_RE, r"$1 $2")
     s = F.regexp_replace(s, ACRONYM_RE, r"$1 $2")
     s = F.lower(s)
     arr = F.split(s, SPLIT_RE)
@@ -79,7 +93,9 @@ def duckdb_analyze_sql(expr: str) -> str:
     """
     return (
         "list_filter(regexp_split_to_array(lower("
-        f"regexp_replace(regexp_replace({expr}, '{CAMEL_RE}', '\\1 \\2', 'g'),"
+        f"regexp_replace(regexp_replace(regexp_replace({expr},"
+        f" '{ASCII_RE}', ' ', 'g'),"
+        f" '{CAMEL_RE}', '\\1 \\2', 'g'),"
         f" '{ACRONYM_RE}', '\\1 \\2', 'g')), '{SPLIT_RE}'), t -> t <> '')"
     )
 

@@ -71,3 +71,39 @@ def test_duckdb_matches_python():
         sql = f"select {duckdb_analyze_sql('?')}"
         got = con.execute(sql, [t]).fetchone()[0]
         assert list(got) == analyze_text(t), t
+
+
+# non-ASCII is a token separator BEFORE casing (spec step 0): engine
+# lowercase tables differ exactly where unicode special-casing maps
+# INTO ascii (U+0130 'İ' → 'i'+combining dot on JVM/Python but 'i' in
+# DuckDB), so these must never reach the casing step
+UNICODE_CASES = [
+    ("İstanbul", ["stanbul"]),
+    ("xİy", ["x", "y"]),
+    ("café naïve", ["caf", "na", "ve"]),
+    ("ΑΣ ΣΙΓΜΑ", []),
+    ("ﬁle ſtring ẞig", ["le", "tring", "ig"]),
+    ("emoji🎉mix", ["emoji", "mix"]),
+    ("日本語テキスト", []),
+]
+
+
+@pytest.mark.parametrize("text,expected", UNICODE_CASES)
+def test_unicode_ascii_gate_python(text, expected):
+    assert analyze_text(text) == expected
+
+
+def test_unicode_three_way_agreement(spark):
+    """The divergence fuzz found U+0130 splitting Python/Spark from
+    DuckDB pre-gate; all three must now agree byte-for-byte."""
+    texts = [t for t, _ in UNICODE_CASES]
+    df = spark.createDataFrame([(t,) for t in texts], ["txt"])
+    got_spark = [r[0] for r in df.select(analyze_col("txt")).collect()]
+    con = duckdb.connect()
+    got_duck = [
+        list(con.execute(f"select {duckdb_analyze_sql('?')}", [t]).fetchone()[0])
+        for t in texts
+    ]
+    exp = [analyze_text(t) for t in texts]
+    assert got_spark == exp
+    assert got_duck == exp
