@@ -85,6 +85,21 @@ def test_parse_goldens(q, expected):
     assert P.parse(q) == expected
 
 
+def test_parser_never_crashes_fuzz():
+    """Any byte soup either parses or raises ValueError — no other
+    exception type, no recursion blowups (20k-case shake distilled)."""
+    import random
+
+    rng = random.Random(21)
+    pool = list('abcXYZ019 :*?~^+-()[]{}"/\\<>=&|!.') + ["AND", "OR", "NOT", "TO"]
+    for _ in range(2500):
+        q = "".join(rng.choice(pool) for _ in range(rng.randint(1, 14)))
+        try:
+            P.parse(q, default_field="f")
+        except ValueError:
+            pass
+
+
 def test_parse_errors():
     with pytest.raises(ValueError):
         P.parse("(a OR b")  # unclosed paren
