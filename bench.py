@@ -191,9 +191,10 @@ def main() -> None:
             # unless (a) the pair members are adjacent in time, (b) the
             # order alternates between pairs (cancels systematic order
             # effects), and (c) the reported number is the MEDIAN OF THE
-            # PER-PAIR RATIOS rather than a ratio of medians. 5 pairs
-            # (was 3): the hi-level run has ±15% host noise and the
-            # median of 5 ratios cuts its influence roughly in half.
+            # PER-PAIR RATIOS rather than a ratio of medians. Default
+            # SCALE_PAIRS=3 keeps the block inside the per-round wall
+            # budget (d55f734); raise BENCH_SCALE_PAIRS when wall time
+            # is free — more pairs cut the ±15% host noise further.
             spark = _fresh_spark(SCALE_HI, build_conf=True)
             index_build_job(spark, scale_corpus, os.path.join(tmp, "idx_shi"))
             his, los, pair_effs = [], [], []

@@ -122,8 +122,11 @@ def build_index(
     # rides the tf shuffle denormalized into every posting row (Lucene
     # norms-with-postings) with ZERO extra shuffles — the previous
     # doc_id-window cost a full second exchange of the tf table.
+    # coalesce(size, 0): size(NULL) is NULL under ANSI Spark 4 — null-
+    # text docs must carry dl=0 so the cached doc_norms path matches
+    # the postings-derived fallback (which na.fill(0)s) exactly
     toks = base.withColumn("_toks", analyze_col(text_col)).withColumn(
-        "dl", F.size("_toks").cast("int")
+        "dl", F.coalesce(F.size("_toks"), F.lit(0)).cast("int")
     )
     tokens = toks.select(
         "doc_id", "dl", F.posexplode("_toks").alias("pos", "term")
@@ -273,8 +276,11 @@ def build_and_write_index(
     #   tokens by bucket instead would funnel every occurrence of a hot
     #   term through one partition — measured slower even locally)
     # - repartition(bucket) shuffles only the combined posting rows
+    # coalesce(size, 0): size(NULL) is NULL under ANSI Spark 4 — null-
+    # text docs must carry dl=0 so the cached doc_norms path matches
+    # the postings-derived fallback (which na.fill(0)s) exactly
     toks = base.withColumn("_toks", analyze_col(text_col)).withColumn(
-        "dl", F.size("_toks").cast("int")
+        "dl", F.coalesce(F.size("_toks"), F.lit(0)).cast("int")
     )
     cached_src = None
     if cache_tokens:

@@ -228,10 +228,18 @@ def id_slicer_ranges(key_type: str, n_slicers: int) -> list[list[str]]:
 
 
 def id_prefix_pred(key_col: str, keys: list[str]) -> Column:
-    """Q4: OR of prefix wildcards (the slice's `keys`)."""
+    """Q4: OR of prefix wildcards (the slice's `keys`).
+
+    A trailing `$` marks an exact-key slice (the id slicers'
+    conserve_exact extension, operators/id_slicer.py): `ab$` matches
+    docs whose key IS `ab`, not keys prefixed by the literal two-char
+    string "ab$" (which exists in no reference keyspace alphabet)."""
     cond = None
     for kpref in keys:
-        c = F.col(key_col).startswith(kpref)
+        if kpref.endswith("$"):
+            c = F.col(key_col) == kpref[:-1]
+        else:
+            c = F.col(key_col).startswith(kpref)
         cond = c if cond is None else (cond | c)
     return cond if cond is not None else F.lit(False)
 
@@ -282,7 +290,13 @@ def build_slice_query(
         if op_config.get("recurse_optimization"):
             cond = None
             for k in keys:
-                c = F.col(id_field).rlike(f"^{k}.*$")
+                if k.endswith("$"):
+                    # conserve_exact marker (operators/id_slicer.py):
+                    # an exact-key slice, translated to equality rather
+                    # than relying on `$` doubling as a regex anchor
+                    c = F.col(id_field) == k[:-1]
+                else:
+                    c = F.col(id_field).rlike(f"^{k}.*$")
                 cond = c if cond is None else (cond | c)
             out = out.where(cond)
         else:
@@ -340,13 +354,20 @@ def build_slice_query(
                 )
             dist = float(m.group(1))
             unit = m.group(2) or op_config.get("geo_sort_unit", "m")
+            if unit not in UNIT_M:
+                # fail fast like the reference's geo parsing — a typo'd
+                # unit ('50kn') must not silently become meters
+                raise ValueError(
+                    f"invalid geo_distance unit: {unit!r} "
+                    f"(expected one of {sorted(UNIT_M)})"
+                )
             out = geo_distance(
                 out,
                 "_glat",
                 "_glon",
                 _point_py(op_config["geo_point"]),
                 dist,
-                unit if unit in UNIT_M else "m",
+                unit,
                 op_config.get("geo_sort_order", "asc"),
             )
             if op_config.get("geo_sort_point") and sp != op_config["geo_point"]:

@@ -20,10 +20,12 @@ from __future__ import annotations
 
 from typing import Any
 
-# keyspace alphabet size bounds one slicer per leading character
+# keyspace alphabet size bounds one slicer per leading character.
+# NB: the reference bounds ONLY these three key types
+# (schema.ts:292-301) — plain 'base64' is accepted at any slicer
+# count there, so it is deliberately absent here for parity.
 _KEY_TYPE_MAX_SLICERS = {
     "base64url": 64,
-    "base64": 64,
     "hexadecimal": 16,
     "HEXADECIMAL": 16,
 }

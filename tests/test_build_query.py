@@ -65,6 +65,81 @@ def test_recurse_optimization_regexp_equals_wildcard(events):
     assert wc.count() == rx.count() > 0
 
 
+def test_exact_key_marker_wildcard_path(spark):
+    """A trailing `$` in a slice key (id_slicer conserve_exact) is an
+    exact-key slice: `ab$` matches key == 'ab', NOT startswith('ab$')
+    (which matches nothing in any reference keyspace)."""
+    df = spark.createDataFrame(
+        [("ab",), ("abc",), ("abd",), ("b1",)], "key string"
+    )
+    got = {
+        r["key"]
+        for r in df.where(reader.id_prefix_pred("key", ["ab$"])).collect()
+    }
+    assert got == {"ab"}
+    # mixed plain-prefix + exact-key slice set
+    got2 = {
+        r["key"]
+        for r in df.where(reader.id_prefix_pred("key", ["ab$", "b"])).collect()
+    }
+    assert got2 == {"ab", "b1"}
+
+
+def test_exact_key_marker_recurse_path(spark):
+    """The recurse_optimization regexp path translates `ab$` to
+    equality too — not a regex whose `$` anchors by accident."""
+    df = spark.createDataFrame(
+        [("ab",), ("abc",), ("b1",)], "key string"
+    )
+    cfg = {"date_field_name": "ts", "id_field_name": "key",
+           "recurse_optimization": True}
+    got = {
+        r["key"]
+        for r in reader.build_slice_query(
+            df, cfg, {"keys": ["ab$"], "count": 10}
+        ).collect()
+    }
+    assert got == {"ab"}
+
+
+def test_conserve_exact_slices_partition_variable_length_keyspace(spark):
+    """End-to-end conservation: slice plan over a variable-length
+    keyspace (where bare wildcard descent LOSES the exact-prefix docs),
+    fetched back through build_slice_query — the slices must partition
+    the table exactly (every doc in exactly one slice)."""
+    from elasticsearch_assets_spark.operators.id_slicer import id_slicer_plan
+
+    keys = [f"a{i:x}" for i in range(12)] + ["a"] + [f"b{i:x}" for i in range(3)]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    counts = {}
+
+    def count_fn(prefix):
+        return sum(1 for k in keys if k.startswith(prefix))
+
+    plan = id_slicer_plan(count_fn, "hexadecimal", key_set=list("ab"), size=8)
+    assert any(k.endswith("$") for k, _ in plan)  # the 'a' doc needs one
+    cfg = {"date_field_name": "ts", "id_field_name": "key"}
+    seen: list[str] = []
+    for slice_key, cnt in plan:
+        rows = reader.build_slice_query(
+            df, cfg, {"keys": [slice_key], "count": cnt}
+        ).collect()
+        assert len(rows) == cnt  # plan count == fetch count, per slice
+        seen.extend(r["key"] for r in rows)
+    assert sorted(seen) == sorted(keys)  # no loss, no double-fetch
+
+
+def test_geo_distance_invalid_unit_rejected(events):
+    cfg = {
+        **CFG,
+        "geo_field": "loc",
+        "geo_point": "10,10",
+        "geo_distance": "50kn",
+    }
+    with pytest.raises(ValueError, match="invalid geo_distance unit"):
+        reader.build_slice_query(events, cfg, {"count": 10})
+
+
 def test_keys_require_id_field_name(events):
     with pytest.raises(ValueError, match="Missing id_field_name for id slicer"):
         reader.build_slice_query(

@@ -36,7 +36,7 @@ def test_slicers_bounded_by_key_range_length():
 
 
 @pytest.mark.parametrize(
-    "key_type,bound", [("base64url", 64), ("base64", 64), ("hexadecimal", 16), ("HEXADECIMAL", 16)]
+    "key_type,bound", [("base64url", 64), ("hexadecimal", 16), ("HEXADECIMAL", 16)]
 )
 def test_slicers_bounded_by_keyspace_alphabet(key_type, bound):
     with pytest.raises(
@@ -44,6 +44,13 @@ def test_slicers_bounded_by_keyspace_alphabet(key_type, bound):
     ):
         validate_reader_api_config({"key_type": key_type}, slicers=bound + 1)
     validate_reader_api_config({"key_type": key_type}, slicers=bound)
+
+
+def test_plain_base64_is_unbounded():
+    """schema.ts:292-301 bounds ONLY base64url + the hexadecimal pair;
+    plain 'base64' passes the reference validator at any slicer count."""
+    validate_reader_api_config({"key_type": "base64"}, slicers=65)
+    validate_reader_api_config({"key_type": "base64"}, slicers=1000)
 
 
 # ---- reader op schema (elasticsearch_reader/schema.ts:20-46) ----------
