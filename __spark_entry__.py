@@ -202,6 +202,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_phrase"] = ft_phrase
 
+    def ft_phrase_slop(s, d):
+        # `"fast table"~1`: term_1 within ±1 of its expected position
+        # (two-term Lucene move-count parity; exec.phrase_query)
+        index = _docs_index(s, d)
+        out = qx.phrase_query(index, "fast table", k=2**31 - 1, slop=1)
+        return (
+            out.withColumn("score", F.round("score", 4))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(30)
+        )
+
+    q["ft_phrase_slop"] = ft_phrase_slop
+
     def ft_bool_must_not(s, d):
         index = _docs_index(s, d)
         out = qx.bool_query(index, must=["merge"], must_not=["batch"], k=2**31 - 1)
@@ -440,6 +453,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         back = s.read.parquet(p)
         return back.groupBy("lang").agg(F.count("*").alias("count"))
 
+    def wr_reject(s, d):
+        # dead-letter rejection split (processor.ts:39-45 +
+        # ElasticsearchBulkSender _bulk_sender_rejection metadata):
+        # validation rules stamp a per-record reason (first rule wins),
+        # kafka_dead_letter routes the marked records to the DLQ frame
+        # and the rest to the merge. Value-checked as the full
+        # (doc_id → reason/__accepted__) partition of the batch.
+        docs = _t(s, d, "documents").select("doc_id", "text", "lang")
+        marked = writer.mark_rejections(
+            docs,
+            {
+                "oversize doc": F.length("text") > 450,
+                "unsupported lang": ~F.col("lang").isin(
+                    "en", "es", "de", "fr"
+                ),
+            },
+        )
+        accepted, rejected = writer.split_rejections(marked)
+        return rejected.select(
+            "doc_id", F.col(writer.REJECTION_COL).alias("reason")
+        ).unionByName(
+            accepted.select("doc_id", F.lit("__accepted__").alias("reason"))
+        )
+
     q["wr_index"] = wr_index
     q["wr_create"] = wr_create
     q["wr_update"] = wr_update
@@ -448,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["wr_script"] = wr_script
     q["wr_lww"] = wr_lww
     q["wr_routed"] = wr_routed
+    q["wr_reject"] = wr_reject
 
     # ---- S4 state storage: mset/compact/mget roundtrip as a query ----
     def ss_roundtrip(s, d):
@@ -967,8 +1005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order = [
         # ft core (first entry pays the serving-index build)
         "ft_match_or", "ft_match_and", "ft_match_all_k", "ft_count",
-        "ft_wildcard_prefix", "ft_phrase", "ft_bool_must_not",
-        "ft_source_filter",
+        "ft_wildcard_prefix", "ft_phrase", "ft_phrase_slop",
+        "ft_bool_must_not", "ft_source_filter",
         # new query_string features (reuse the built index, ~1s each)
         "ft_fuzzy", "ft_boost", "ft_qs_required",
         # events family
@@ -983,7 +1021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plan_date_subslices",
         # writers
         "wr_index", "wr_create", "wr_update", "wr_update_fields",
-        "wr_delete", "wr_script", "wr_lww", "wr_routed", "ss_roundtrip",
+        "wr_delete", "wr_script", "wr_lww", "wr_routed", "wr_reject",
+        "ss_roundtrip",
         # dedup / text / multimodal
         "dd_exact", "dd_minhash_lsh", "dd_jaccard", "dd_jaccard_lsh",
         "dd_simhash", "ts_token_count", "ts_quality", "ts_lang_id",
@@ -1042,6 +1081,29 @@ WHERE c.term IN ('fast', 'table')
 GROUP BY c.doc_id
 ORDER BY round(sum(c.c), 4) DESC, c.doc_id ASC
 LIMIT 20
+"""
+
+    o["ft_phrase_slop"] = f"""{_bm25_cte()},
+toks_pos AS (
+  SELECT doc_id, unnest({_ANALYZE_TEXT_SQL}) AS term,
+         generate_subscripts({_ANALYZE_TEXT_SQL}, 1) AS pos
+  FROM documents
+),
+phrase_docs AS (
+  -- slop 1: |b.pos - (a.pos + 1)| <= 1, b may not reuse the start token
+  SELECT DISTINCT a.doc_id
+  FROM toks_pos a JOIN toks_pos b
+    ON a.doc_id = b.doc_id
+   AND b.pos BETWEEN a.pos AND a.pos + 2
+   AND b.pos <> a.pos
+  WHERE a.term = 'fast' AND b.term = 'table'
+)
+SELECT c.doc_id, round(sum(c.c), 4) AS score
+FROM contrib c JOIN phrase_docs USING (doc_id)
+WHERE c.term IN ('fast', 'table')
+GROUP BY c.doc_id
+ORDER BY round(sum(c.c), 4) DESC, c.doc_id ASC
+LIMIT 30
 """
 
     o["ft_bool_must_not"] = f"""{_bm25_cte()}
@@ -1235,6 +1297,16 @@ UNION ALL SELECT * FROM s
     o["wr_routed"] = (
         "SELECT lang, count(*) AS count FROM documents GROUP BY 1"
     )
+
+    o["wr_reject"] = """
+SELECT doc_id,
+       COALESCE(
+         CASE WHEN length(text) > 450 THEN 'oversize doc'
+              WHEN lang NOT IN ('en', 'es', 'de', 'fr')
+              THEN 'unsupported lang' END,
+         '__accepted__') AS reason
+FROM documents
+"""
 
     # S4 state storage roundtrip: three last-write-wins mset batches
     # (the middle one compacts the LSM), then mget on doc_id % 5 = 0

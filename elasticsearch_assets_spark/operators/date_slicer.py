@@ -442,13 +442,31 @@ def make_date_slicer_ranges(
     return out
 
 
-def spark_count_fn(df, date_col: str):
+PARITY_COLLECT_MAX_ROWS = 10_000_000
+
+
+def _guard_parity_collect(df, max_rows: int, declarative: str) -> None:
+    """These count oracles collect a full column to the driver — parity
+    mode ONLY. Refuse beyond max_rows so a stray call at production
+    scale fails fast instead of OOMing the driver."""
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"parity count oracle refuses to collect >{max_rows:,} rows "
+            f"to the driver; use the declarative path ({declarative}) "
+            "for production-scale slicing"
+        )
+
+
+def spark_count_fn(df, date_col: str, max_rows: int = PARITY_COLLECT_MAX_ROWS):
     """Driver-side count oracle for parity runs: collect the timestamp
     multiset once (ms), then every count is a numpy searchsorted — the
-    reference pays one ES round trip per count instead."""
+    reference pays one ES round trip per count instead. Refuses above
+    `max_rows` (reader.date_histogram is the declarative path)."""
     import numpy as np
     from pyspark.sql import functions as F
 
+    _guard_parity_collect(df, max_rows, "reader.date_histogram")
     ts = np.sort(
         np.array(
             [

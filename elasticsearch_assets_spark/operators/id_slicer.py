@@ -352,12 +352,23 @@ def class_count_fn_from_keys(all_keys: Sequence[str]):
     return count
 
 
-def spark_prefix_count_fn(df, key_col: str) -> Callable[[str], int]:
+def spark_prefix_count_fn(
+    df, key_col: str, max_rows: int | None = None
+) -> Callable[[str], int]:
     """Driver-side prefix-count oracle: collect the sorted key list once,
     then each count is two searchsorted calls (the reference pays one ES
-    wildcard count per tree node)."""
+    wildcard count per tree node). Parity mode ONLY — refuses above
+    `max_rows` (reader.id_slice_counts is the declarative path)."""
     import numpy as np
 
+    from elasticsearch_assets_spark.operators.date_slicer import (
+        PARITY_COLLECT_MAX_ROWS,
+        _guard_parity_collect,
+    )
+
+    _guard_parity_collect(
+        df, max_rows or PARITY_COLLECT_MAX_ROWS, "reader.id_slice_counts"
+    )
     keys = np.array(
         sorted(r[0] for r in df.select(key_col).collect() if r[0] is not None)
     )
@@ -370,10 +381,19 @@ def spark_prefix_count_fn(df, key_col: str) -> Callable[[str], int]:
     return count
 
 
-def spark_class_count_fn(df, key_col: str):
+def spark_class_count_fn(df, key_col: str, max_rows: int | None = None):
     """Driver-side char-class count oracle for the I3 walk: same
     collect-once strategy as spark_prefix_count_fn (parity mode only —
-    the declarative engine path is reader.id_slice_counts)."""
+    the declarative engine path is reader.id_slice_counts). Refuses
+    above `max_rows` like spark_prefix_count_fn."""
+    from elasticsearch_assets_spark.operators.date_slicer import (
+        PARITY_COLLECT_MAX_ROWS,
+        _guard_parity_collect,
+    )
+
+    _guard_parity_collect(
+        df, max_rows or PARITY_COLLECT_MAX_ROWS, "reader.id_slice_counts"
+    )
     keys = sorted(
         r[0] for r in df.select(key_col).collect() if r[0] is not None
     )

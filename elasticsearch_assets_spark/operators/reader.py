@@ -93,6 +93,86 @@ def validate_window_size(
     return size
 
 
+def index_matcher(index: str):
+    """indexMatcher (ElasticsearchReaderAPI.ts:809-815): a wildcard
+    config index glob-matches candidate index names; a plain name
+    matches by substring CONTAINMENT (indexVal.includes(index)) — not
+    equality, mirroring the reference exactly."""
+    import re as _re
+
+    if "*" in index or "?" in index:
+        out = []
+        for ch in index:
+            if ch == "*":
+                out.append(".*")
+            elif ch == "?":
+                out.append(".")
+            elif ch in ".^$+{}[]|()\\":
+                out.append("\\" + ch)
+            else:
+                out.append(ch)
+        rx = _re.compile("^" + "".join(out) + "$")
+        return lambda v: rx.match(v) is not None
+    return lambda v: index in v
+
+
+def _max_result_window_from_settings(settings) -> object:
+    """_getMaxResultWindowFromSettings (ElasticsearchReaderAPI.ts:
+    740-753): settings may be flat {'index.max_result_window': N} or
+    state-prefixed {'index': {'index.max_result_window': N}}."""
+    key = "index.max_result_window"
+    if not isinstance(settings, dict):
+        return None
+    if "index" in settings and isinstance(settings["index"], dict):
+        return settings["index"].get(key)
+    return settings.get(key)
+
+
+def get_window_size(
+    index: str, settings: dict, default_size: int
+) -> int:
+    """getWindowSize (ElasticsearchReaderAPI.ts:760-778): walk the
+    per-index settings map in order; the FIRST index name the config
+    index matches yields its max_result_window, with the explicit
+    `settings` path overriding `defaults`; no match (or no window on
+    any match) falls back to the configured slice size.
+
+    `settings` mirrors the ES get-settings response shape:
+    {index_name: {"settings": {...}, "defaults": {...}}}.
+    """
+    matcher = index_matcher(index)
+    for key, configs in settings.items():
+        if not matcher(key):
+            continue
+        config_path = _max_result_window_from_settings(
+            (configs or {}).get("settings")
+        )
+        default_path = _max_result_window_from_settings(
+            (configs or {}).get("defaults")
+        )
+        # config goes first as it overrides any defaults
+        for v in (config_path, default_path):
+            if v is not None:
+                try:
+                    return int(v)
+                except (TypeError, ValueError):
+                    # toIntegerOrThrow
+                    raise ValueError(
+                        f"Expected {v!r} to be parsed to an integer"
+                    ) from None
+    return default_size
+
+
+def validate_window_size_for_index(
+    size: int, index: str, settings: dict, default_size: int = DEFAULT_MAX_RESULT_WINDOW
+) -> int:
+    """Q16 with the reference's per-index resolution: resolve the
+    window through the wildcard/containment matcher, then apply the
+    setWindowSize guard with that index's own limit."""
+    window = get_window_size(index, settings, default_size)
+    return validate_window_size(size, window, index)
+
+
 def bounded_count(df: DataFrame, pred: Column | None, n: int) -> int:
     """Q14 track_total_hits=N: bounded-cost count — stops at n via
     limit(n), never scans past the bound."""

@@ -6,8 +6,9 @@
   path: only the query's bucket (+ optional neighbor buckets by probe)
   is scanned. Hyperplanes are fixed coordinate subsets so the bucketing
   is reproducible in SQL for the oracle.
-- near_dup_pairs: all-pairs cosine ≥ threshold (use LSH buckets first
-  at scale).
+- near_dup_pairs: cosine ≥ threshold pairs within sign buckets (the
+  default); the exact all-pairs crossJoin is gated behind
+  all_pairs=True for small-input verification only.
 
 All dot products run as JVM array expressions (zip_with + aggregate) in
 double precision, left-to-right, so DuckDB's list functions reproduce
@@ -320,6 +321,9 @@ def near_dup_pairs_banded(
     )
 
 
+DEFAULT_BUCKET_DIMS = [0, 1, 2, 3, 4, 5, 6, 7]
+
+
 def near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -327,10 +331,14 @@ def near_dup_pairs(
     vec_col: str = "embedding",
     bucket_dims: list[int] | None = None,
     max_bucket: int | None = 10_000,
+    all_pairs: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
-    With bucket_dims, pairs are only considered within a sign bucket
-    (the scale path — near-dups almost surely share sign patterns).
+    Pairs are only considered within a sign bucket (the scale path —
+    near-dups almost surely share sign patterns); bucket_dims defaults
+    to the first 8 dimensions (256 buckets). The exact all-pairs
+    crossJoin — quadratic, small-input verification ONLY — must be
+    requested explicitly with all_pairs=True.
 
     The within-bucket join is quadratic in bucket size, so buckets
     larger than `max_bucket` are dropped entirely (the same hot-bucket
@@ -338,9 +346,13 @@ def near_dup_pairs(
     near-identical vectors at 10^9 rows would otherwise explode to
     ~10^15 candidate pairs; log the drop at call sites). Use ≥8
     bucket_dims at scale: 2^bits buckets bound the expected bucket size,
-    and multi-probe (query_buckets) recovers recall."""
+    and near_dup_pairs_banded (OR-of-bands) recovers recall."""
+    if all_pairs and bucket_dims is not None:
+        raise ValueError("all_pairs=True is the exact path; drop bucket_dims")
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    if bucket_dims:
+    if not all_pairs:
+        if bucket_dims is None:
+            bucket_dims = DEFAULT_BUCKET_DIMS
         a = a.withColumn("_bk", sign_bucket(F.col("va"), bucket_dims))
         if max_bucket is not None:
             from pyspark.sql import Window
@@ -357,6 +369,7 @@ def near_dup_pairs(
         )
         joined = a.join(b, "_bk")
     else:
+        # explicit small-input exact path (recall oracles, tests)
         b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
         joined = a.crossJoin(b)
     return (

@@ -20,7 +20,7 @@ Action semantics (K1.a-K1.e):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -145,6 +145,53 @@ def apply_dual_yield(
     upserts = source.drop(delete_id_col)
     merged = merge_index(target, upserts, key)
     return merge_delete(merged, deletes, key)
+
+
+REJECTION_COL = "_bulk_sender_rejection"
+
+
+def mark_rejections(
+    source: DataFrame,
+    rules: dict[str, Column],
+    reason_col: str = REJECTION_COL,
+) -> DataFrame:
+    """Stamp the reference's `_bulk_sender_rejection` metadata
+    (set per-item by the bulk client on unretryable errors; observed by
+    asset/src/elasticsearch_bulk/processor.ts:39-45). In Spark the
+    "unretryable error" is a validation predicate evaluated before the
+    merge: `rules` maps reason text → boolean Column, first matching
+    rule wins, non-matching rows get NULL (not rejected)."""
+    expr = F.lit(None).cast("string")
+    for reason, cond in reversed(list(rules.items())):
+        expr = F.when(cond, F.lit(reason)).otherwise(expr)
+    return source.withColumn(reason_col, expr)
+
+
+def split_rejections(
+    source: DataFrame,
+    dead_letter_action: str = "kafka_dead_letter",
+    reason_col: str = REJECTION_COL,
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split (processor.ts:34-50 onBatch): records carrying
+    a non-null rejection reason are routed to the dead-letter frame —
+    but ONLY when `_dead_letter_action` is 'kafka_dead_letter'; under
+    the default 'none' the reference never calls rejectRecord and the
+    records stay in the batch, so both frames reflect that.
+
+    Returns (accepted, rejected). `accepted` drops the metadata column
+    (it was transport metadata, not document data); `rejected` keeps
+    every source column plus the reason — the dead-letter queue payload
+    is (doc, err), mirrored by the processor-spec golden
+    (test/elasticsearch_bulk/processor-spec.ts:198-241). One plan each,
+    no collect: at scale both sides are written as ordinary frames
+    (accepted → the merge, rejected → the DLQ sink)."""
+    if reason_col not in source.columns:
+        source = source.withColumn(reason_col, F.lit(None).cast("string"))
+    if dead_letter_action != "kafka_dead_letter":
+        return source.drop(reason_col), source.where(F.lit(False)).limit(0)
+    accepted = source.where(F.col(reason_col).isNull()).drop(reason_col)
+    rejected = source.where(F.col(reason_col).isNotNull())
+    return accepted, rejected
 
 
 def write_routed(df: DataFrame, path: str, route_col: str = "route") -> None:

@@ -326,13 +326,27 @@ def term_filter_count(index: IndexTables, terms: list[str]) -> int:
     return _candidates(index, sorted(set(terms))).select("doc_id").distinct().count()
 
 
-def phrase_query(index: IndexTables, phrase: str, k: int = 10) -> DataFrame:
+def phrase_query(
+    index: IndexTables, phrase: str, k: int = 10, slop: int = 0
+) -> DataFrame:
     """Match_phrase: all terms present with consecutive positions.
 
     Positions were kept in postings; consecutive-ness is checked with
     array ops (arrays_overlap on shifted positions) — JVM-side, no UDF.
     Plan: join the n term posting sets on doc_id (smallest df first via
     Catalyst join reordering), then fold position arrays.
+
+    slop > 0 (`"a b"~N`, match_phrase slop): term_i may sit anywhere
+    within ±slop of its in-order expected position start+i. For
+    two-term phrases this is EXACTLY Lucene's sloppy-phrase move count
+    (moves = |pos_b - pos_a - 1|, reversed adjacency at slop 2).
+    Documented deviation for 3+ terms: Lucene charges the SUM of moves
+    across terms against the slop budget while this engine bounds each
+    term's displacement independently (per-term window), so a doc
+    displacing two different terms by `slop` each matches here but
+    needs 2·slop in Lucene. Repeated-term phrases exclude the start
+    token itself from satisfying a later term, but two later repeats
+    may map to one token (same class of deviation).
     """
     terms = analyze_text(phrase)
     if not terms:
@@ -357,15 +371,28 @@ def phrase_query(index: IndexTables, phrase: str, k: int = 10) -> DataFrame:
         F.col("n_terms") == len(uniq)
     )
 
-    # phrase = exists start p with term_i at position p+i for all i:
-    # iteratively narrow the start set with array filter/contains —
-    # all JVM-side array expressions, no UDF.
+    # phrase = exists start p with term_i at position p+i for all i
+    # (slop widens that to |q - (p+i)| <= slop, q != p): iteratively
+    # narrow the start set with array filter/contains — all JVM-side
+    # array expressions, no UDF. Factory functions, not defaulted-arg
+    # closures: higher-order fns introspect lambda arity.
     def _step(i, nxt):
         return lambda p: F.array_contains(nxt, p + F.lit(i))
 
+    def _step_slop(i, nxt, s):
+        def pred(p):
+            def near(q):
+                return (F.abs(q - (p + F.lit(i))) <= F.lit(s)) & (q != p)
+
+            return F.exists(nxt, near)
+
+        return pred
+
     starts = F.col("pos_map").getItem(terms[0])
     for i, t in enumerate(terms[1:], start=1):
-        starts = F.filter(starts, _step(i, F.col("pos_map").getItem(t)))
+        nxt = F.col("pos_map").getItem(t)
+        step = _step(i, nxt) if slop == 0 else _step_slop(i, nxt, slop)
+        starts = F.filter(starts, step)
     matched = per_doc.where(F.size(starts) > 0)
 
     # Score: BM25 over the phrase's unique terms (ES scores the phrase

@@ -88,18 +88,29 @@ class OracleIndex:
         items.sort(key=lambda x: (-x[1], x[0]))
         return items[:k]
 
-    def phrase(self, phrase: str, k: int = 10):
+    def phrase(self, phrase: str, k: int = 10, slop: int = 0):
         terms = analyze_text(phrase)
         if not terms:
             return []
         base = self.positions.get(terms[0], {})
         matched = []
         for doc_id, pos0 in base.items():
-            # phrase = exists start p with term_i at position p+i for all i
+            # phrase = exists start p with term_i at position p+i for
+            # all i; slop widens to |q - (p+i)| <= slop, q != p (the
+            # engine's per-term-window semantics — exec.phrase_query)
             starts = set(pos0)
             for i, t in enumerate(terms[1:], start=1):
                 nxt = set(self.positions.get(t, {}).get(doc_id, []))
-                starts = {p for p in starts if p + i in nxt}
+                if slop == 0:
+                    starts = {p for p in starts if p + i in nxt}
+                else:
+                    starts = {
+                        p
+                        for p in starts
+                        if any(
+                            abs(q - (p + i)) <= slop and q != p for q in nxt
+                        )
+                    }
                 if not starts:
                     break
             if starts:

@@ -39,6 +39,8 @@ class Term:
 class Phrase:
     field: str | None
     text: str
+    # Lucene phrase slop (`"a b"~N`): 0 = exact adjacency
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -232,17 +234,20 @@ class _Parser:
     def _maybe_boost(self, node):
         """`"a phrase"^2` lexes as quoted + atom '^2' — fold the boost
         suffix token into the preceding node. Phrase slop (`"a b"~2`)
-        is rejected explicitly: Lucene's SloppyPhraseScorer move
-        semantics are not implemented, and silently parsing `~2` as a
-        term would change results."""
+        folds into Phrase.slop; `~N^B` carries both (Lucene suffix
+        order). A bare `~` is slop 0 (the query-parser default phrase
+        slop), unlike term fuzziness where bare `~` means 2 edits."""
         k, v = self.peek()
         if k == "atom" and re.fullmatch(r"\^\d+(?:\.\d+)?", v):
             self.next()
             return Boost(node, float(v[1:]))
-        if k == "atom" and re.fullmatch(r"~\d*", v):
-            raise ValueError(
-                'phrase slop ("..."~N) is not supported by this engine'
-            )
+        m = re.fullmatch(r"~(\d*)(?:\^(\d+(?:\.\d+)?))?", v) if k == "atom" else None
+        if m:
+            self.next()
+            node = Phrase(node.field, node.text, int(m.group(1) or 0))
+            if m.group(2) is not None:
+                node = Boost(node, float(m.group(2)))
+            return node
         return node
 
     def _parse_value(self, field):

@@ -153,9 +153,11 @@ class QueryPlanner:
     def _phrase(self, node: Phrase) -> DataFrame:
         f = self._field(node.field)
         if self._is_text(f):
-            return qx.phrase_query(self.index, node.text, k=2**31 - 1).select(
-                "doc_id", "score"
-            )
+            return qx.phrase_query(
+                self.index, node.text, k=2**31 - 1, slop=node.slop
+            ).select("doc_id", "score")
+        # keyword phrase: exact value match; slop is meaningless on an
+        # unanalyzed field (ES ignores it there too)
         return self._attr_filter(F.col(f).cast("string") == node.text)
 
     def _wildcard(self, node: Wildcard) -> DataFrame:

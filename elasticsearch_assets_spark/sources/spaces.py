@@ -72,6 +72,8 @@ def to_xlucene(node) -> str:
         return f"{node.field}:{node.value}" if node.field else node.value
     if isinstance(node, P.Phrase):
         q = f'"{node.text}"'
+        if node.slop:
+            q += f"~{node.slop}"
         return f"{node.field}:{q}" if node.field else q
     if isinstance(node, P.Wildcard):
         return f"{node.field}:{node.pattern}" if node.field else node.pattern

@@ -60,6 +60,48 @@ def test_phrase_parity(corpus):
     _assert_parity(got, exp)
 
 
+def test_phrase_slop_parity(corpus):
+    index, oracle = corpus
+    for slop in (1, 2):
+        got = qx.phrase_query(index, "load config", k=50, slop=slop)
+        exp = oracle.phrase("load config", k=50, slop=slop)
+        _assert_parity(got, exp)
+    # slop only widens: the slop-2 hit set contains the exact hits
+    exact = {r["doc_id"] for r in qx.phrase_query(index, "load config", k=10**6).collect()}
+    sloppy = {
+        r["doc_id"]
+        for r in qx.phrase_query(index, "load config", k=10**6, slop=2).collect()
+    }
+    assert exact <= sloppy
+
+
+def test_phrase_slop_semantics(spark):
+    """Two-term Lucene move-count parity on a hand corpus: gap-1 needs
+    slop 1; reversed adjacency needs slop 2 (moves = |pos_b-pos_a-1|)."""
+    from elasticsearch_assets_spark.indexing.build import build_index
+
+    rows = [
+        (1, "alpha beta rest"),  # exact
+        (2, "alpha gap beta"),  # one gap -> slop 1
+        (3, "beta alpha rest"),  # reversed adjacent -> slop 2
+        (4, "alpha x y z beta"),  # 3 gaps -> slop 3
+        (5, "beta only here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    idx = build_index(docs, doc_id_col="doc_id", n_buckets=4)
+
+    def hits(slop):
+        return {
+            r["doc_id"]
+            for r in qx.phrase_query(idx, "alpha beta", k=100, slop=slop).collect()
+        }
+
+    assert hits(0) == {1}
+    assert hits(1) == {1, 2}
+    assert hits(2) == {1, 2, 3}
+    assert hits(3) == {1, 2, 3, 4}
+
+
 def test_wildcard(corpus):
     index, oracle = corpus
     # "load*" matches real dictionary terms (analyzer splits loadConfig

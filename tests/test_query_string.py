@@ -105,8 +105,20 @@ def test_parse_errors():
         P.parse("(a OR b")  # unclosed paren
     with pytest.raises(ValueError):
         P.parse("x:[a TO")  # incomplete range
-    with pytest.raises(ValueError, match="phrase slop"):
-        P.parse('"load config"~2')  # explicit unsupported, never silent
+
+
+def test_parse_phrase_slop():
+    assert P.parse('"load config"~2') == P.Phrase(None, "load config", 2)
+    assert P.parse('f:"load config"~1') == P.Phrase("f", "load config", 1)
+    # bare ~ = query-parser default phrase slop 0 (NOT fuzzy's 2)
+    assert P.parse('"load config"~') == P.Phrase(None, "load config", 0)
+    # slop then boost, Lucene suffix order
+    assert P.parse('"load config"~2^3') == P.Boost(
+        P.Phrase(None, "load config", 2), 3.0
+    )
+    assert P.parse('"load config"^3') == P.Boost(
+        P.Phrase(None, "load config", 0), 3.0
+    )
 
 
 # ---- end-to-end over the corpus fixture --------------------------------

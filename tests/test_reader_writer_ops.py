@@ -187,6 +187,53 @@ def test_update_fields_subset(spark):
     assert got == {1: ("A", 10), 2: ("b", 20)}
 
 
+def test_index_matcher_goldens():
+    """indexMatcher (ElasticsearchReaderAPI.ts:809-815): wildcard
+    configs glob; plain configs match by CONTAINMENT, not equality."""
+    m = reader.index_matcher("events-*")
+    assert m("events-2024") and m("events-") and not m("logs-2024")
+    assert not m("xevents-2024")  # anchored glob
+    m = reader.index_matcher("events")
+    assert m("events") and m("my-events-v2")  # includes(), not ==
+    assert not m("evts")
+    m = reader.index_matcher("ev?nts")
+    assert m("events") and m("evants") and not m("evnts")
+
+
+def test_get_window_size_resolution():
+    """getWindowSize (:760-778): first matching index wins; explicit
+    settings override defaults; prefixed + flat shapes both resolve;
+    no match -> configured size."""
+    settings = {
+        "logs-2024": {"settings": {"index.max_result_window": 5000}},
+        "events-2024": {
+            "settings": {"index": {"index.max_result_window": 20000}},
+            "defaults": {"index.max_result_window": 10000},
+        },
+        "events-2025": {"defaults": {"index.max_result_window": 7000}},
+    }
+    assert reader.get_window_size("events-*", settings, 1000) == 20000
+    assert reader.get_window_size("events-2025", settings, 1000) == 7000
+    assert reader.get_window_size("logs", settings, 1000) == 5000
+    assert reader.get_window_size("nothing-*", settings, 1000) == 1000
+    # a matching index without any window keeps walking, then falls back
+    assert reader.get_window_size(
+        "events", {"events-x": {"settings": {}}}, 1234
+    ) == 1234
+    # toIntegerOrThrow on a malformed setting
+    with pytest.raises(ValueError, match="parsed to an integer"):
+        reader.get_window_size(
+            "ev", {"events": {"settings": {"index.max_result_window": "abc"}}}, 1
+        )
+
+
+def test_validate_window_size_per_index():
+    settings = {"small-idx": {"settings": {"index.max_result_window": 100}}}
+    assert reader.validate_window_size_for_index(100, "small-*", settings) == 100
+    with pytest.raises(ValueError, match="small-\\*"):
+        reader.validate_window_size_for_index(101, "small-*", settings)
+
+
 def test_max_result_window_guard():
     # Q16 (ElasticsearchReaderAPI.ts:287-295): size above the window is
     # refused with the reference's error shape
@@ -237,6 +284,72 @@ def test_write_routed_partitions_by_route(spark, tmp_path):
     ) == ["route=eu", "route=us"]
     back = spark.read.parquet(out).where(F.col("route") == "eu")
     assert {r["doc_id"] for r in back.collect()} == {1, 3}
+
+
+def test_dead_letter_rejection_golden(spark):
+    """processor-spec.ts:198-241 golden: docs pre-marked with rejection
+    metadata 'unretryable error' reach the dead-letter queue ONLY when
+    _dead_letter_action is 'kafka_dead_letter'; under 'none' (the
+    default the spec's opConfig starts with) no record is rejected."""
+    rows = [
+        (1, 2, "unretryable error"),
+        (2, 4, "unretryable error"),
+        (3, 6, None),
+    ]
+    src = spark.createDataFrame(
+        rows, f"_key long, test_field long, {writer.REJECTION_COL} string"
+    )
+
+    # action 'none': rejectRecord never fires, batch passes through whole
+    accepted, rejected = writer.split_rejections(src, dead_letter_action="none")
+    assert rejected.count() == 0
+    assert accepted.count() == 3
+    assert writer.REJECTION_COL not in accepted.columns
+
+    # kafka_dead_letter: (doc, err) pairs for exactly the marked records
+    accepted, rejected = writer.split_rejections(src)
+    assert sorted(r["_key"] for r in accepted.collect()) == [3]
+    got = sorted(
+        (r["_key"], r["test_field"], r[writer.REJECTION_COL])
+        for r in rejected.collect()
+    )
+    assert got == [
+        (1, 2, "unretryable error"),
+        (2, 4, "unretryable error"),
+    ]
+
+
+def test_mark_rejections_first_rule_wins(spark):
+    src = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "x" * 10), (4, "ok")], "_key long, body string"
+    )
+    marked = writer.mark_rejections(
+        src,
+        {
+            "missing body": F.col("body").isNull() | (F.length("body") == 0),
+            "oversize doc": F.length("body") > 5,
+        },
+    )
+    got = {r["_key"]: r[writer.REJECTION_COL] for r in marked.collect()}
+    assert got == {1: "missing body", 2: "missing body", 3: "oversize doc", 4: None}
+    # unmarked source: split_rejections synthesizes the column, rejects 0
+    accepted, rejected = writer.split_rejections(src)
+    assert rejected.count() == 0 and accepted.count() == 4
+
+
+def test_rejection_split_composes_with_merge(spark):
+    """The accepted side feeds the merge; rejected rows must NOT reach
+    the target (the reference's bad records never land in ES)."""
+    target = spark.createDataFrame([(1, "old"), (2, "old")], "doc_id long, v string")
+    src = spark.createDataFrame(
+        [(1, "new"), (2, None), (9, "new")], "doc_id long, v string"
+    )
+    marked = writer.mark_rejections(src, {"missing v": F.col("v").isNull()})
+    accepted, rejected = writer.split_rejections(marked)
+    merged = writer.merge_index(target, accepted)
+    got = {r["doc_id"]: r["v"] for r in merged.collect()}
+    assert got == {1: "new", 2: "old", 9: "new"}
+    assert [r["doc_id"] for r in rejected.collect()] == [2]
 
 
 def test_bulk_last_write_wins(spark):
