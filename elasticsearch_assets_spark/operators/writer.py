@@ -16,6 +16,16 @@ Action semantics (K1.a-K1.e):
 - dual-yield _delete_id: one pass that inserts the new key and deletes
   the old key (ElasticsearchBulkSender.ts:55-62)
 - routing : `route` column → partitionBy on write (createRoute :37-47)
+
+Deployment note (100 TB): these merges rewrite the whole target frame
+per batch — correct and fine for the sandbox's snapshot tables, where
+StateStorage amortizes it LSM-style (delta writes + periodic
+compaction). On a production lakehouse, map each merge_* 1:1 onto the
+transactional table format's keyed merge (Iceberg/Delta `MERGE INTO
+target USING batch ON target.key = batch.key WHEN MATCHED ... WHEN NOT
+MATCHED INSERT`), which applies the identical per-key semantics with
+file-level rewrites only. The semantics contract tested here is
+format-independent.
 """
 
 from __future__ import annotations

@@ -304,3 +304,101 @@ class QueryPlanner:
         base = self.attrs.select("doc_id").withColumn("score", F.lit(0.0))
         ex = self.plan(node.child).select("doc_id")
         return base.join(ex, "doc_id", "left_anti")
+
+    # -- filter-context compilation (the spaces fast path) -----------------
+    def compile_filter(self, node: Node) -> "F.Column":
+        """Compile an attrs-only AST to ONE boolean Column — the
+        spaces_reader fast path: a pure filter query needs no
+        synthesized doc_id, no join, no shuffle; the predicate lands in
+        the scan via ordinary pushdown.
+
+        Match-set parity with plan(): combinator semantics mirror
+        _combine exactly (Must gates an OR; NOT inside either
+        combinator is a bool-level exclusion), and every negation is
+        null-safe (`~coalesce(cond, false)`) because the join path's
+        anti-join keeps null-attribute docs that a raw three-valued
+        `NOT col = x` would drop. Raises on text-field clauses — those
+        need the scored index plan."""
+        if isinstance(node, (Term, Phrase, Wildcard, Regexp, Range, Fuzzy)):
+            f = self._field(getattr(node, "field", None))
+            if self._is_text(f):
+                raise ValueError(
+                    f"compile_filter: {f!r} is a scored text field; "
+                    "use plan() for scoring clauses"
+                )
+        if isinstance(node, Term):
+            return F.col(self._field(node.field)).cast("string") == node.value
+        if isinstance(node, Phrase):
+            return F.col(self._field(node.field)).cast("string") == node.text
+        if isinstance(node, Wildcard):
+            pat = qx._glob_to_regex(node.pattern)
+            return F.col(self._field(node.field)).cast("string").rlike(f"^{pat}$")
+        if isinstance(node, Regexp):
+            return (
+                F.col(self._field(node.field))
+                .cast("string")
+                .rlike(f"^{node.pattern}$")
+            )
+        if isinstance(node, Fuzzy):
+            return (
+                F.levenshtein(
+                    F.col(self._field(node.field)).cast("string"),
+                    F.lit(node.value),
+                    node.max_edits,
+                )
+                >= 0
+            )
+        if isinstance(node, Range):
+            # same bound typing as _range
+            col = F.col(self._field(node.field))
+
+            def bound(v):
+                try:
+                    float(v)
+                    return F.lit(float(v))
+                except (TypeError, ValueError):
+                    return F.lit(v)
+
+            cond = F.lit(True)
+            if node.lo is not None:
+                b = bound(node.lo)
+                cond = cond & (col >= b if node.incl_lo else col > b)
+            if node.hi is not None:
+                b = bound(node.hi)
+                cond = cond & (col <= b if node.incl_hi else col < b)
+            return cond
+        if isinstance(node, Exists):
+            return F.col(node.field).isNotNull()
+        if isinstance(node, Boost):
+            return self.compile_filter(node.child)  # boost is score-only
+        if isinstance(node, Must):
+            return self.compile_filter(node.child)
+        if isinstance(node, Not):
+            return ~F.coalesce(self.compile_filter(node.child), F.lit(False))
+        if isinstance(node, (And, Or)):
+            positives, musts, negatives = [], [], []
+            for child in node.children:
+                if isinstance(child, Not):
+                    negatives.append(self.compile_filter(child.child))
+                elif isinstance(child, Must):
+                    musts.append(self.compile_filter(child.child))
+                else:
+                    positives.append(self.compile_filter(child))
+            if isinstance(node, And):
+                musts = musts + positives
+                positives = []
+            if musts:
+                # required clauses gate; bare siblings only add score
+                cond = musts[0]
+                for c in musts[1:]:
+                    cond = cond & c
+            elif positives:
+                cond = positives[0]
+                for c in positives[1:]:
+                    cond = cond | c
+            else:
+                cond = F.lit(True)  # pure-negative: all docs minus exclusions
+            for n in negatives:
+                cond = cond & ~F.coalesce(n, F.lit(False))
+            return cond
+        raise TypeError(f"unknown AST node {node!r}")

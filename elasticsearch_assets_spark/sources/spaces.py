@@ -26,24 +26,20 @@ def spaces_filter(
     """Filter `df` by an xLucene query string (filter context only —
     spaces queries select rows; scoring stays in the index engine).
 
-    Works on any table: a synthetic row id joins the planner's
-    (doc_id, score) result back to the full rows. Bare (field-less)
-    terms match against `default_field`; without one they are a clear
-    error rather than a TypeError deep in the planner.
+    Works on any table, as ONE boolean predicate in the WHERE clause
+    (QueryPlanner.compile_filter): no synthesized row id, no semi-join,
+    no shuffle — simple clauses reach the parquet scan as pushed
+    filters. Bare (field-less) terms match against `default_field`;
+    without one they are a clear error rather than a TypeError deep in
+    the planner.
     """
     ast = P.parse(query, default_field=default_field)
     if default_field is None:
         _reject_fieldless(ast, query)
-    tagged = df.withColumn(
-        "doc_id", F.xxhash64(*[F.col(c) for c in df.columns])
-    )
     qp = QueryPlanner(
-        None, attrs=tagged, config=PlannerConfig(default_field=default_field)
+        None, attrs=df, config=PlannerConfig(default_field=default_field)
     )
-    matched = qp.plan(ast)
-    return (
-        tagged.join(matched.select("doc_id"), "doc_id", "left_semi").drop("doc_id")
-    )
+    return df.where(qp.compile_filter(ast))
 
 
 def _reject_fieldless(node, query: str) -> None:

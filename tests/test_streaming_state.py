@@ -159,6 +159,83 @@ def test_state_storage_compaction(spark, tmp_path):
     assert len(state["deltas"]) < 3
 
 
+def test_commit_cas_single_winner_per_version(tmp_path):
+    """The CAS primitive (hard-link claim): N threads race every
+    version for 100 rounds — exactly one winner per version, and the
+    committed file always carries the winner's fully-written state."""
+    import threading
+
+    from elasticsearch_assets_spark.sources.state_storage import StateStorage
+
+    st = StateStorage.__new__(StateStorage)  # pointer layer only
+    st.path = str(tmp_path / "cas")
+    import os
+
+    os.makedirs(st.path)
+    for version in range(1, 101):
+        wins = []
+        lock = threading.Lock()
+
+        def attempt(writer_id, version=version):
+            ok = st._try_commit(version, {"base": f"w{writer_id}", "deltas": []})
+            if ok:
+                with lock:
+                    wins.append(writer_id)
+
+        threads = [
+            threading.Thread(target=attempt, args=(w,)) for w in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(wins) == 1, f"version {version}: winners {wins}"
+        state, ver = st._versioned_state()
+        assert ver == version
+        assert state == {"base": f"w{wins[0]}", "deltas": []}
+    # no temp litter
+    assert not [f for f in os.listdir(st.path) if f.startswith("_tmp-")]
+
+
+def test_concurrent_writers_lose_no_delta(spark, tmp_path):
+    """K1.i retry-on-conflict: two writers mset interleaved batches
+    through their OWN storage handles over the same path — every key
+    from both writers must survive (the old last-pointer-write-wins
+    commit dropped the loser's delta)."""
+    import threading
+
+    from elasticsearch_assets_spark.sources.state_storage import StateStorage
+
+    path = str(tmp_path / "race")
+    errs = []
+
+    def writer(wid):
+        try:
+            st = StateStorage(spark, path, key="doc_id", compact_every=3)
+            for b in range(4):
+                st.mset(
+                    spark.createDataFrame(
+                        [(wid * 1000 + b * 10 + i, f"w{wid}b{b}") for i in range(3)],
+                        "doc_id long, v string",
+                    )
+                )
+        except Exception as e:  # surface in main thread
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    st = StateStorage(spark, path, key="doc_id")
+    got = {r["doc_id"] for r in st.table().collect()}
+    want = {
+        w * 1000 + b * 10 + i for w in (1, 2) for b in range(4) for i in range(3)
+    }
+    assert got == want  # 24 keys, none lost to the commit race
+
+
 # ---- multimodal plumbing ----------------------------------------------------
 def test_multimodal_features(spark):
     from elasticsearch_assets_spark.operators import multimodal as MM
