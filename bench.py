@@ -15,8 +15,9 @@ identical deterministic corpus; efficiency =
 Env knobs:
   SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     high parallelism level (default 32)
-  BENCH_DOCS           corpus size for the build benchmark (default 120000)
+  BENCH_DOCS           corpus size for the build benchmark (default 240000)
   BENCH_SCALING        "0" to skip the two-level scaling run (default on)
+  BENCH_XL_DOCS        5x single-run build probe size (0 disables)
 """
 
 from __future__ import annotations
@@ -60,6 +61,12 @@ SCALE_HI = int(os.environ.get("BENCH_SCALE_HI", "8"))
 # 3 keeps it ~8 min) — raise BENCH_SCALE_PAIRS when wall time is free.
 SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", str(BENCH_DOCS)))
 SCALE_PAIRS = int(os.environ.get("BENCH_SCALE_PAIRS", "3"))
+# Off-the-tiny-end evidence (VERDICT r3 #8): ONE timed build at 2.5x
+# the bench corpus (single run, no median — this block exists to show
+# docs/sec holds as the corpus grows, not to be the primary artifact;
+# BASELINE.md §e records builder-run 5x and 10x invocations). Sized to
+# stay inside the driver's per-round wall budget; 0 disables.
+XL_DOCS = int(os.environ.get("BENCH_XL_DOCS", "600000"))
 
 # headline queries: the ES-DSL-equivalent surface + pipeline operators
 HEADLINE = [
@@ -173,6 +180,24 @@ def main() -> None:
                 "p95_sec": round(lat_sorted[max(0, int(len(lat_sorted) * 0.95) - 1)], 3),
                 "max_sec": round(lat_sorted[-1], 3),
             }
+
+        # ---- XL build: one timed run at 5x the bench corpus — shows
+        # throughput holds off the tiny end (generation not timed) ----
+        if XL_DOCS:
+            spark = _fresh_spark(CPUS_HI, build_conf=True)
+            xl_corpus = os.path.join(tmp, "xl_corpus")
+            generate_corpus(spark, XL_DOCS, seed=42).repartition(
+                256
+            ).write.mode("overwrite").parquet(xl_corpus)
+            xl_sec = index_build_job(spark, xl_corpus, os.path.join(tmp, "idx_xl"))
+            result["xl_build"] = {
+                "docs": XL_DOCS,
+                "cpus": CPUS_HI,
+                "build_sec": round(xl_sec, 2),
+                "docs_per_sec": round(XL_DOCS / xl_sec, 1),
+            }
+            shutil.rmtree(os.path.join(tmp, "idx_xl"), ignore_errors=True)
+            shutil.rmtree(xl_corpus, ignore_errors=True)
 
         # ---- scaling: identical job + identical input at N and 4N
         # cores, both JIT-warm (the JVM gateway persists across

@@ -192,14 +192,40 @@ def build_index(
     )
 
 
+# The bucketed tables shuffle into n_buckets * WRITE_FANOUT partitions
+# keyed (bucket, sub-hash(term)) before the partitionBy(bucket) write.
+# Why not plain repartition(n_buckets, "bucket"): (a) 32 keys hashed
+# into 32 partitions collide (Poisson: ~1/e partitions empty, others
+# carry 2-3 buckets), and (b) bucket sizes are skewed ~2.6x by the Zipf
+# term mass, so the one hot bucket gates the whole write stage. The
+# sub-key is a DIFFERENT hash of term (seeded by a literal — pmod of
+# the same xxhash64 would be fully determined by the bucket and split
+# nothing), so each bucket splits into `fanout` term-disjoint chunks:
+# measured 1.9x faster and run-to-run stable at 5x bench scale. Each
+# chunk keeps whole terms and stays (term, doc_id)-sorted, so per-file
+# row-group pruning and sequential posting reads are unchanged; a
+# bucket directory just holds `fanout` files instead of one.
+WRITE_FANOUT = 4
+
+
+def _bucketed_sorted(df: DataFrame, n_buckets: int, fanout: int = WRITE_FANOUT):
+    if fanout <= 1:
+        part = df.repartition(n_buckets, "bucket")
+    else:
+        sub = F.pmod(
+            F.xxhash64(F.lit("fanout"), F.col("term")), F.lit(fanout)
+        ).cast("int")
+        part = df.repartition(n_buckets * fanout, F.col("bucket"), sub)
+    return part.sortWithinPartitions("term", "doc_id")
+
+
 def write_index(tables: IndexTables, path: str) -> None:
     """Persist the index. postings partitioned by term bucket so query-
     time term lookups prune to single directories; rows sorted by
     (term, doc_id) within files for row-group min/max pruning and for
     sequential posting-list reads."""
     (
-        tables.postings.repartition(tables.n_buckets, "bucket")
-        .sortWithinPartitions("term", "doc_id")
+        _bucketed_sorted(tables.postings, tables.n_buckets)
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(os.path.join(path, "postings"))
@@ -210,8 +236,7 @@ def write_index(tables: IndexTables, path: str) -> None:
     tables.doc_norms.write.mode("overwrite").parquet(os.path.join(path, "doc_norms"))
     if tables.positions is not None:
         (
-            tables.positions.repartition(tables.n_buckets, "bucket")
-            .sortWithinPartitions("term", "doc_id")
+            _bucketed_sorted(tables.positions, tables.n_buckets)
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(os.path.join(path, "positions"))
@@ -302,10 +327,10 @@ def build_and_write_index(
         )
     )
 
-    # pass 1 (the only heavy one): postings straight to disk
+    # pass 1 (the only heavy one): postings straight to disk, hot
+    # buckets split by the term-sub-hash fanout (see _bucketed_sorted)
     (
-        tfd.repartition(n_buckets, "bucket")
-        .sortWithinPartitions("term", "doc_id")
+        _bucketed_sorted(tfd, n_buckets)
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(os.path.join(path, "postings"))

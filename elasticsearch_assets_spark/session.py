@@ -57,7 +57,13 @@ def get_spark(
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # Local mode runs every task inside the driver JVM, so this IS
+        # the executor heap. 16g was enough for the sf0.1 bench corpus
+        # but GC-thrashed (2x slower, high run-to-run variance) on the
+        # 5x build probe; 48g restores stable, better-than-linear
+        # throughput. Cluster equivalent: spark.executor.memory sized so
+        # a shuffle partition's sort buffer fits (~per-core share here).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -25,7 +25,12 @@ _word = st.text(
 def _leaf():
     return st.one_of(
         st.builds(P.Term, _field, _word),
-        st.builds(P.Phrase, _field, st.lists(_word, min_size=1, max_size=3).map(" ".join)),
+        st.builds(
+            P.Phrase,
+            _field,
+            st.lists(_word, min_size=1, max_size=3).map(" ".join),
+            st.integers(min_value=0, max_value=4),  # slop prints as ~N
+        ),
         st.builds(P.Wildcard, _field, _word.map(lambda w: w + "*")),
         st.builds(
             P.Range,
@@ -94,6 +99,65 @@ def test_analyzer_spark_agrees_on_fuzz_batch(spark):
     df = spark.createDataFrame([(t,) for t in texts], ["txt"])
     got = [r[0] for r in df.select(analyze_col("txt")).collect()]
     assert got == [analyze_text(t) for t in texts]
+
+
+def test_compile_filter_matches_plan_on_fuzz_batch(spark):
+    """Random attrs-only ASTs: the joinless predicate compilation and
+    the join-based plan() must produce identical match sets — incl.
+    null attributes under negation (three-valued logic hazard)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from elasticsearch_assets_spark.query.planner import (
+        PlannerConfig,
+        QueryPlanner,
+    )
+
+    rng = random.Random(1234)
+    rows = [
+        (
+            i,
+            rng.choice(["alpha", "beta", "gamma", None]),
+            rng.choice([None, rng.randrange(100)]),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tag string, num int")
+
+    def leaf():
+        k = rng.randrange(5)
+        if k == 0:
+            return P.Term("tag", rng.choice(["alpha", "beta", "zeta"]))
+        if k == 1:
+            return P.Wildcard("tag", rng.choice(["a*", "*a", "b?ta"]))
+        if k == 2:
+            lo, hi = sorted(rng.sample(range(100), 2))
+            return P.Range("num", str(lo), str(hi), rng.random() < 0.5, rng.random() < 0.5)
+        if k == 3:
+            return P.Exists(rng.choice(["tag", "num"]))
+        return P.Fuzzy("tag", "alpa", 1)
+
+    def ast(depth=0):
+        if depth >= 2 or rng.random() < 0.4:
+            return leaf()
+        k = rng.randrange(4)
+        if k == 0:
+            return P.And(tuple(ast(depth + 1) for _ in range(rng.randint(2, 3))))
+        if k == 1:
+            return P.Or(tuple(ast(depth + 1) for _ in range(rng.randint(2, 3))))
+        if k == 2:
+            return P.Not(ast(depth + 1))
+        return P.Must(ast(depth + 1))
+
+    qp = QueryPlanner(None, attrs=df, config=PlannerConfig())
+    for _case in range(25):
+        node = ast()
+        via_join = {r["doc_id"] for r in qp.plan(node).collect()}
+        via_pred = {
+            r["doc_id"] for r in df.where(qp.compile_filter(node)).collect()
+        }
+        assert via_pred == via_join, node
 
 
 # ---- slicer conservation invariants under fuzzing ----------------------------
