@@ -586,6 +586,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dd_simhash"] = lambda s, d: dedup.simhash(
         _t(s, d, "documents"), "text", "doc_id", bits=16
     )
+    # pair graph -> duplicate clusters (min reachable id per component):
+    # the step that turns pair lists into a deduplicated corpus
+    q["dd_dup_clusters"] = lambda s, d: dedup.connected_components(
+        dedup.minhash_lsh_candidates(
+            _t(s, d, "documents"), "text", "doc_id", n=3, k=8, bands=4
+        )
+    )
     q["ts_token_count"] = lambda s, d: textstats.token_count(
         _t(s, d, "documents"), "text", "doc_id"
     )
@@ -1024,8 +1031,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wr_delete", "wr_script", "wr_lww", "wr_routed", "wr_reject",
         "ss_roundtrip",
         # dedup / text / multimodal
-        "dd_exact", "dd_minhash_lsh", "dd_jaccard", "dd_jaccard_lsh",
-        "dd_simhash", "ts_token_count", "ts_quality", "ts_lang_id",
+        "dd_exact", "dd_minhash_lsh", "dd_dup_clusters", "dd_jaccard",
+        "dd_jaccard_lsh", "dd_simhash", "ts_token_count", "ts_quality",
+        "ts_lang_id",
         "ts_fingerprint", "mm_features",
         # similarity core
         "sim_near_dup_banded", "sim_cosine_topk", "sim_near_dup",
@@ -1362,8 +1370,7 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.2
         f"SELECT doc_id, {b} AS band, mh_{2*b} || '|' || mh_{2*b+1} AS band_sig FROM sig"
         for b in range(4)
     )
-    o["dd_minhash_lsh"] = f"""
-WITH toks AS (
+    _mh_ctes = f"""toks AS (
   SELECT doc_id, {_ANALYZE_TEXT_SQL} AS arr FROM documents
 ),
 sh AS (
@@ -1383,10 +1390,32 @@ bands AS (
   -- mirror the engine's max_bucket=1000 hot-bucket drop
   SELECT * FROM bands0
   QUALIFY count(*) OVER (PARTITION BY band, band_sig) <= 1000
-)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+)"""
+    _mh_pairs_select = """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
-  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id"""
+    o["dd_minhash_lsh"] = f"""
+WITH {_mh_ctes}
+{_mh_pairs_select}
+"""
+
+    # duplicate-cluster resolution: min-reachable-id per component over
+    # the SAME pair graph, as a DuckDB recursive CTE (transitive
+    # min-label closure == the engine's propagation fixpoint)
+    o["dd_dup_clusters"] = f"""
+WITH RECURSIVE {_mh_ctes},
+pairs AS ({_mh_pairs_select}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
 """
 
     _bit_sums = ",\n  ".join(

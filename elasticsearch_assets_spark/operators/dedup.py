@@ -296,3 +296,112 @@ def simhash_near_dups(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster resolution: the step every dedup pipeline needs
+    AFTER pair generation (minhash/simhash/embedding pairs are edges;
+    deduplication keeps one doc per CONNECTED COMPONENT, not per pair).
+
+    Returns (node, cluster_id) for every node appearing in `pairs`,
+    where cluster_id = the minimum node id reachable through the pair
+    graph — the component's canonical representative. Docs in no pair
+    are their own cluster and are simply absent (dedup_apply treats
+    absence as keep).
+
+    Shape: iterative min-label propagation — per round, each node takes
+    min(its label, neighbors' labels); converges in O(component
+    diameter) rounds and stops at the first unchanged round. Near-dup
+    components are shallow (dense blobs of mutual similarity), so the
+    round count stays small at 10^12 docs; every round is two keyed
+    shuffles (join + groupBy), no driver-side graph. For adversarial
+    long-chain graphs swap in large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce") — same
+    declarative loop, fewer rounds. Raises if max_iter rounds pass
+    without convergence rather than returning a wrong clustering.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    # localCheckpoint (NOT just persist) each round: an iterative plan
+    # that only persists still deepens the LOGICAL plan every round, and
+    # Catalyst re-analysis of the nested join lineage grows super-
+    # linearly — by ~15 rounds planning dominates and the loop appears
+    # hung. Checkpointing truncates lineage so every round plans against
+    # a flat scan. (On a cluster prefer sc.setCheckpointDir +
+    # .checkpoint() for executor-loss resilience; localCheckpoint is the
+    # single-process form.)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    try:
+        for _round in range(max_iter):
+            nbr_min = (
+                edges.join(
+                    labels.select(
+                        F.col("node").alias("dst"),
+                        F.col("label").alias("dst_label"),
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("dst_label").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(
+                    nbr_min.select(F.col("src").alias("node"), "nbr_min"),
+                    "node",
+                    "left",
+                )
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels.select(
+                    F.col("node"), F.col("label").alias("cluster_id")
+                )
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter or use "
+            "star-contraction for long-chain graphs"
+        )
+    finally:
+        edges.unpersist()
+
+
+def dedup_apply(
+    df: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Apply a clustering: keep each component's canonical doc (the one
+    whose id IS its cluster_id) plus every unpaired doc. One anti-join
+    against the non-canonical members — no full-table shuffle."""
+    losers = clusters.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -76,3 +76,81 @@ def test_simhash_near_dups_hot_bucket_cap(spark):
     assert all(a >= 100 for a, _ in got), got
     # …but the distinct-pair bucket (size 2 per band) survives
     assert (100, 101) in got
+
+
+def test_connected_components_hand_graph(spark):
+    from elasticsearch_assets_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (5, 6), (9, 8), (9, 10)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random pair graph vs a driver-side union-find oracle."""
+    import random
+
+    from elasticsearch_assets_spark.operators import dedup
+
+    rng = random.Random(7)
+    nodes = list(range(100))
+    pairs = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(80)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in dedup.connected_components(df).collect()
+    }
+    assert got == want
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from elasticsearch_assets_spark.operators import dedup
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=3)
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in dedup.connected_components(chain, max_iter=15).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 11
+
+
+def test_dedup_apply_keeps_canonical_and_unpaired(spark):
+    from elasticsearch_assets_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(7)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 5)], "id_a long, id_b long")
+    clusters = dedup.connected_components(pairs)
+    kept = {r["doc_id"] for r in dedup.dedup_apply(docs, clusters).collect()}
+    # component {1,2,5} -> keep 1; docs 0,3,4,6 unpaired -> keep
+    assert kept == {0, 1, 3, 4, 6}
