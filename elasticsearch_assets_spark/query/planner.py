@@ -277,18 +277,25 @@ class QueryPlanner:
         u = tagged[0]
         for t in tagged[1:]:
             u = u.unionByName(t)
-        agg = (
-            u.groupBy("doc_id")
-            .agg(
-                F.sort_array(F.collect_list(F.struct("_c", "score"))).alias("_cs"),
-                F.count(F.lit(1)).alias("_n"),
-                F.sum("_m").alias("_nm"),
-            )
-            .withColumn(
-                "score",
-                F.aggregate("_cs", F.lit(0.0), lambda a, x: a + x["score"]),
-            )
+        # deterministic clause-order fold as a chain of conditional
+        # sums — each (doc, clause) contributes exactly one row, so
+        # sum(when(_c = i)) is that clause's score and the chain
+        # reproduces the sorted fold bit-for-bit in whole-stage codegen
+        # (same rewrite as exec.scored_terms, ~2x on big unions)
+        aggs = [
+            F.sum(F.when(F.col("_c") == i, F.col("score"))).alias(f"_s{i}")
+            for i in range(len(positives))
+        ]
+        agg = u.groupBy("doc_id").agg(
+            *aggs,
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_m").alias("_nm"),
         )
+        score = F.lit(0.0)
+        for i in range(len(positives)):
+            c = F.col(f"_s{i}")
+            score = F.when(c.isNotNull(), score + c).otherwise(score)
+        agg = agg.withColumn("score", score)
         if require_all:
             agg = agg.where(F.col("_n") == len(positives))
         elif n_must:
