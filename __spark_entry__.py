@@ -593,6 +593,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents"), "text", "doc_id", n=3, k=8, bands=4
         )
     )
+
+    def dd_dedup_apply(s, d):
+        # the full dedup pipeline end-to-end: pairs -> components ->
+        # keep each component's canonical doc + every unpaired doc
+        docs = _t(s, d, "documents")
+        clusters = dedup.connected_components(
+            dedup.minhash_lsh_candidates(docs, "text", "doc_id", n=3, k=8, bands=4)
+        )
+        return dedup.dedup_apply(docs, clusters).select("doc_id")
+
+    q["dd_dedup_apply"] = dd_dedup_apply
     q["ts_token_count"] = lambda s, d: textstats.token_count(
         _t(s, d, "documents"), "text", "doc_id"
     )
@@ -1031,9 +1042,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wr_delete", "wr_script", "wr_lww", "wr_routed", "wr_reject",
         "ss_roundtrip",
         # dedup / text / multimodal
-        "dd_exact", "dd_minhash_lsh", "dd_dup_clusters", "dd_jaccard",
-        "dd_jaccard_lsh", "dd_simhash", "ts_token_count", "ts_quality",
-        "ts_lang_id",
+        "dd_exact", "dd_minhash_lsh", "dd_dup_clusters", "dd_dedup_apply",
+        "dd_jaccard", "dd_jaccard_lsh", "dd_simhash", "ts_token_count",
+        "ts_quality", "ts_lang_id",
         "ts_fingerprint", "mm_features",
         # similarity core
         "sim_near_dup_banded", "sim_cosine_topk", "sim_near_dup",
@@ -1416,6 +1427,24 @@ reach(node, lab) AS (
   SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node
 )
 SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
+"""
+
+    o["dd_dedup_apply"] = f"""
+WITH RECURSIVE {_mh_ctes},
+pairs AS ({_mh_pairs_select}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node
+),
+clusters AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM clusters WHERE node <> cluster_id)
 """
 
     _bit_sums = ",\n  ".join(
