@@ -216,7 +216,15 @@ def _bucketed_sorted(df: DataFrame, n_buckets: int, fanout: int = WRITE_FANOUT):
             F.xxhash64(F.lit("fanout"), F.col("term")), F.lit(fanout)
         ).cast("int")
         part = df.repartition(n_buckets * fanout, F.col("bucket"), sub)
-    return part.sortWithinPartitions("term", "doc_id")
+    # bucket FIRST: FileFormatWriter requires task rows ordered by the
+    # partition columns and inserts its own sort-by-(bucket) when the
+    # ordering doesn't already lead with them — and that inserted sort
+    # is NOT stable, silently scrambling the (term, doc_id) order the
+    # row-group pruning claim rests on (caught by
+    # tests/test_build_paths.py::test_fanout_write_layout_invariants).
+    # Leading with bucket satisfies the requirement, so the writer adds
+    # nothing and files keep exact (term, doc_id) order per bucket.
+    return part.sortWithinPartitions("bucket", "term", "doc_id")
 
 
 def write_index(tables: IndexTables, path: str) -> None:

@@ -39,6 +39,39 @@ def _build(docs, tmp_path, name, cache_tokens):
     return stats, norms
 
 
+def test_fanout_write_layout_invariants(spark, tmp_path):
+    """The skew-splitting write (bucket, reseeded-hash(term)) must keep
+    the layout contracts consumers rely on: every row of a term in ONE
+    bucket directory, at most WRITE_FANOUT files per bucket, each file
+    internally (term, doc_id)-sorted, and no term split across files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from elasticsearch_assets_spark.corpus import generate_corpus
+    from elasticsearch_assets_spark.indexing.build import (
+        WRITE_FANOUT,
+        build_and_write_index,
+    )
+
+    docs = generate_corpus(spark, 3000, seed=11)
+    path = str(tmp_path / "fan")
+    build_and_write_index(docs, path, n_buckets=4)
+    buckets = sorted(glob.glob(f"{path}/postings/bucket=*"))
+    assert len(buckets) == 4
+    term_home: dict[str, str] = {}
+    for b in buckets:
+        files = glob.glob(f"{b}/*.parquet")
+        assert 1 <= len(files) <= WRITE_FANOUT, (b, len(files))
+        for f in files:
+            t = pq.read_table(f, columns=["term", "doc_id"])
+            rows = list(zip(t["term"].to_pylist(), t["doc_id"].to_pylist()))
+            assert rows == sorted(rows), f  # within-file sort
+            for term, _ in rows:
+                home = term_home.setdefault(term, f)
+                assert home == f, (term, home, f)  # whole terms per file
+
+
 def test_cached_and_fallback_doc_norms_identical(spark, null_text_docs, tmp_path):
     s_cached, n_cached = _build(null_text_docs, tmp_path, "cached", True)
     s_fallback, n_fallback = _build(null_text_docs, tmp_path, "fallback", False)
