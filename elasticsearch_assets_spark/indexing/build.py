@@ -208,7 +208,12 @@ def build_index(
 WRITE_FANOUT = 4
 
 
-def _bucketed_sorted(df: DataFrame, n_buckets: int, fanout: int = WRITE_FANOUT):
+def _bucketed_sorted(
+    df: DataFrame,
+    n_buckets: int,
+    fanout: int = WRITE_FANOUT,
+    sort_cols: tuple[str, ...] = ("term", "doc_id"),
+):
     if fanout <= 1:
         part = df.repartition(n_buckets, "bucket")
     else:
@@ -224,7 +229,7 @@ def _bucketed_sorted(df: DataFrame, n_buckets: int, fanout: int = WRITE_FANOUT):
     # tests/test_build_paths.py::test_fanout_write_layout_invariants).
     # Leading with bucket satisfies the requirement, so the writer adds
     # nothing and files keep exact (term, doc_id) order per bucket.
-    return part.sortWithinPartitions("bucket", "term", "doc_id")
+    return part.sortWithinPartitions("bucket", *sort_cols)
 
 
 def write_index(tables: IndexTables, path: str) -> None:

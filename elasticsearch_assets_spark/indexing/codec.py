@@ -28,12 +28,14 @@ def zigzag_decode(u: np.ndarray) -> np.ndarray:
     )
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Encode an array of non-negative uint64 as varbyte."""
+def varbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode an array of non-negative uint64 as varbyte; also return the
+    per-value encoded byte length so callers can slice the flat stream
+    into arbitrary segments (the stream is exactly the concatenation of
+    each value's varbytes in value order)."""
     if len(values) == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     v = values.astype(np.uint64)
-    out = bytearray()
     # vectorized-ish: process per 7-bit chunk layer
     pending = v.copy()
     bufs = []
@@ -53,7 +55,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     for j in range(1, n_layers):
         used[:, j] = (mat[:, j - 1] & 0x80) != 0
     flat = mat[used]
-    return flat.tobytes()
+    return flat.tobytes(), used.sum(axis=1).astype(np.int64)
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode an array of non-negative uint64 as varbyte."""
+    return varbyte_encode_with_lengths(values)[0]
 
 
 def varbyte_decode(buf: bytes, n: int) -> np.ndarray:

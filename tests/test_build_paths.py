@@ -83,3 +83,110 @@ def test_cached_and_fallback_doc_norms_identical(spark, null_text_docs, tmp_path
     assert s_cached["n_docs"] == 5
     # avg over ALL docs incl. the zero-length ones: (3+0+3+0+1)/5
     assert abs(s_cached["avg_dl"] - 7 / 5) < 1e-9
+
+
+def test_blocks_write_layout_invariants(spark, tmp_path):
+    """write_blocks must honor the SAME contracts as the postings write
+    (VERDICT r4 defect 1): ≤ WRITE_FANOUT files per bucket directory,
+    file-internal (term, block) order preserved (no unstable
+    writer-inserted sort), and whole terms per file. Checked for BOTH
+    the two-step pack→write_blocks path and the single-shuffle
+    pack_and_write_blocks path."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from elasticsearch_assets_spark.corpus import generate_corpus
+    from elasticsearch_assets_spark.indexing.blockpack import (
+        pack_and_write_blocks,
+        pack_blocks,
+        read_blocks,
+        write_blocks,
+    )
+    from elasticsearch_assets_spark.indexing.build import WRITE_FANOUT, build_index
+
+    docs = generate_corpus(spark, 2000, seed=13)
+    index = build_index(docs, n_buckets=4, keep_positions=False)
+
+    paths = {}
+    p1 = str(tmp_path / "two_step")
+    write_blocks(pack_blocks(index, block_size=8), p1, n_buckets=4)
+    paths["two_step"] = p1
+    p2 = str(tmp_path / "one_shuffle")
+    pack_and_write_blocks(index, p2, block_size=8)
+    paths["one_shuffle"] = p2
+
+    contents = {}
+    for name, p in paths.items():
+        buckets = sorted(glob.glob(f"{p}/blocks/bucket=*"))
+        assert len(buckets) == 4, (name, buckets)
+        term_home: dict[str, str] = {}
+        rows_all = []
+        for b in buckets:
+            files = glob.glob(f"{b}/*.parquet")
+            assert 1 <= len(files) <= WRITE_FANOUT, (name, b, len(files))
+            for f in files:
+                t = pq.read_table(f, columns=["term", "block"])
+                rows = list(zip(t["term"].to_pylist(), t["block"].to_pylist()))
+                assert rows == sorted(rows), (name, f)  # file-internal order
+                for term, _ in rows:
+                    home = term_home.setdefault(term, f)
+                    assert home == f, (name, term, home, f)  # whole terms/file
+            rows_all.append(b)
+        # decoded content identical between the two write paths
+        blk = read_blocks(spark, p)
+        contents[name] = sorted(
+            (r["term"], r["block"], r["n"], bytes(r["docs_vb"]))
+            for r in blk.select("term", "block", "n", "docs_vb").collect()
+        )
+    assert contents["two_step"] == contents["one_shuffle"]
+    index.unpersist()
+
+
+def test_pack_gen_group_spans_batches():
+    """A (term, block) group split across Arrow batch boundaries must be
+    re-assembled by the carry-over, producing the same blocks as a
+    single-batch encode."""
+    import numpy as np
+    import pandas as pd
+
+    from elasticsearch_assets_spark.indexing import codec
+    from elasticsearch_assets_spark.indexing.blockpack import _pack_gen
+
+    rows = []
+    for term, block, ids in [
+        ("alpha", 0, [3, 9, 27]),
+        ("alpha", 1, [5, 6, 7, 8]),
+        ("beta", 0, [1, 2]),
+        ("gamma", 2, [100, 200, 300, 400, 500]),
+    ]:
+        for d in ids:
+            rows.append((term, 1, block, d, d % 5 + 1, d % 9 + 1))
+    pdf = pd.DataFrame(
+        rows, columns=["term", "bucket", "block", "doc_id", "tf", "dl"]
+    )
+    gen = _pack_gen(avg_dl=4.0, k1=1.2, b=0.75)
+
+    def run(chunks):
+        out = list(gen_iter(chunks))
+        return sorted(
+            (r.term, r.block, r.n, bytes(r.docs_vb), bytes(r.tfs_vb))
+            for df in out
+            for r in df.itertuples()
+        )
+
+    def gen_iter(chunks):
+        g = _pack_gen(avg_dl=4.0, k1=1.2, b=0.75)
+        return g(iter(chunks))
+
+    whole = run([pdf])
+    # split mid-group at every possible boundary
+    for cut in range(1, len(pdf)):
+        split = run([pdf.iloc[:cut].copy(), pdf.iloc[cut:].copy()])
+        assert split == whole, cut
+    # and a 3-way ragged split
+    assert run([pdf.iloc[:2], pdf.iloc[2:3], pdf.iloc[3:]]) == whole
+    # decode roundtrip on one block
+    term, block, n, docs_vb, tfs_vb = whole[0]
+    d = np.cumsum(codec.zigzag_decode(codec.varbyte_decode(docs_vb, n)))
+    assert list(d) == [3, 9, 27]
