@@ -120,13 +120,18 @@ def minhash_lsh_candidates(
     k: int = 8,
     bands: int = 4,
     max_bucket: int = 1000,
+    drop_obs=None,
 ) -> DataFrame:
     """LSH candidate pairs: split the k minhashes into `bands` bands of
     k/bands rows; docs sharing any full band signature are candidates.
 
     Buckets larger than max_bucket are dropped (degenerate near-
-    constant content — the quadratic blowup guard; log the drop at call
-    sites). Returns distinct (id_a, id_b) with id_a < id_b.
+    constant content — the quadratic blowup guard). Pass an
+    operators.caps.drop_observation() as drop_obs to COUNT the drops —
+    a silent drop of the hottest (most duplicated) buckets reads as a
+    clean dedup while missing exactly the docs that most need it; read
+    the counts with caps.drop_stats(obs) after any action. Returns
+    distinct (id_a, id_b) with id_a < id_b.
     """
     assert k % bands == 0
     rows = k // bands
@@ -150,11 +155,9 @@ def minhash_lsh_candidates(
     # k short hashes per doc)
     allb = allb.persist()
     # bucket-size cap via window count: the hot-bucket defense, no join
-    from pyspark.sql import Window
+    from elasticsearch_assets_spark.operators.caps import cap_buckets
 
-    sized = allb.withColumn(
-        "_bs", F.count("*").over(Window.partitionBy("band", "band_sig"))
-    ).where(F.col("_bs") <= max_bucket)
+    sized = cap_buckets(allb, ["band", "band_sig"], max_bucket, drop_obs)
     l = sized.select("band", "band_sig", F.col(id_col).alias("id_a"))
     r = sized.select("band", "band_sig", F.col(id_col).alias("id_b"))
     return (
@@ -174,6 +177,7 @@ def jaccard_pairs_verified(
     k: int = 8,
     bands: int = 4,
     max_bucket: int = 1000,
+    drop_obs=None,
 ) -> DataFrame:
     """The scale path for near-dup detection: MinHash+LSH candidate
     generation followed by EXACT n-gram Jaccard verification of only the
@@ -183,7 +187,9 @@ def jaccard_pairs_verified(
     is the LSH family's: P(candidate) = 1-(1-s^rows)^bands, ≈0.96 at
     s=0.8 with k=8/bands=4. Raise k/bands for higher recall.
     """
-    cand = minhash_lsh_candidates(df, text_col, id_col, n, k, bands, max_bucket)
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, n, k, bands, max_bucket, drop_obs
+    )
     sh = shingles(df, text_col, id_col, n).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -239,6 +245,7 @@ def simhash_near_dups(
     bits: int = 16,
     max_hamming: int = 2,
     max_bucket: int = 1000,
+    drop_obs=None,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
 
@@ -247,7 +254,8 @@ def simhash_near_dups(
     all-pairs. Band buckets larger than `max_bucket` are dropped (a
     degenerate band over near-constant docs makes the band join
     quadratic — same window-count hot-bucket defense as
-    minhash_lsh_candidates; log the drop at call sites)."""
+    minhash_lsh_candidates; drop_obs observes the drop counts, see
+    operators.caps)."""
     s = simhash(df, text_col, id_col, bits)
     n_bands = max_hamming + 1
     w = bits // n_bands
@@ -267,11 +275,9 @@ def simhash_near_dups(
     for p in per[1:]:
         allb = allb.unionByName(p)
     # hot-bucket cap via window count — no join, one extra shuffle key
-    from pyspark.sql import Window
+    from elasticsearch_assets_spark.operators.caps import cap_buckets
 
-    allb = allb.withColumn(
-        "_bs", F.count("*").over(Window.partitionBy("band", "band_bits"))
-    ).where(F.col("_bs") <= max_bucket)
+    allb = cap_buckets(allb, ["band", "band_bits"], max_bucket, drop_obs)
     l = allb.select("band", "band_bits", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
     r = allb.select("band", "band_bits", F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
     cand = (
@@ -341,6 +347,19 @@ def connected_components(
     # a flat scan. (On a cluster prefer sc.setCheckpointDir +
     # .checkpoint() for executor-loss resilience; localCheckpoint is the
     # single-process form.)
+    def _free_checkpoint(df: DataFrame) -> None:
+        # A localCheckpoint's block-manager storage is only reclaimed by
+        # the ContextCleaner after JVM GC notices the DataFrame is
+        # unreachable — on a long-lived session the per-round
+        # checkpoints pile up linearly. Release the backing RDD
+        # deterministically once the round's convergence compare is
+        # done (the analyzed plan of a checkpointed frame is a
+        # LogicalRDD; best-effort — a miss just defers to the cleaner).
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -381,6 +400,7 @@ def connected_components(
                 .limit(1)
                 .count()
             )
+            _free_checkpoint(labels)
             labels = new_labels
             if changed == 0:
                 return labels.select(

@@ -273,6 +273,7 @@ def near_dup_pairs_banded(
     vec_col: str = "embedding",
     band_dims: list[list[int]] | None = None,
     max_bucket: int | None = 10_000,
+    drop_obs=None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs with BANDED sign buckets: a pair
     is a candidate if it shares the full sign pattern of ANY band (the
@@ -296,14 +297,10 @@ def near_dup_pairs_banded(
         )
         bands = part if bands is None else bands.unionByName(part)
     if max_bucket is not None:
-        from pyspark.sql import Window
+        from elasticsearch_assets_spark.operators.caps import cap_buckets
 
-        bands = (
-            bands.withColumn(
-                "_bs", F.count("*").over(Window.partitionBy("_band", "_bk"))
-            )
-            .where(F.col("_bs") <= max_bucket)
-            .drop("_bs")
+        bands = cap_buckets(bands, ["_band", "_bk"], max_bucket, drop_obs).drop(
+            "_bs"
         )
     other = bands.select(
         F.col("id_a").alias("id_b"), F.col("va").alias("vb"), "_band", "_bk"
@@ -332,6 +329,7 @@ def near_dup_pairs(
     bucket_dims: list[int] | None = None,
     max_bucket: int | None = 10_000,
     all_pairs: bool = False,
+    drop_obs=None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
     Pairs are only considered within a sign bucket (the scale path —
@@ -344,7 +342,8 @@ def near_dup_pairs(
     larger than `max_bucket` are dropped entirely (the same hot-bucket
     defense as dedup.minhash_lsh_candidates — a degenerate bucket of
     near-identical vectors at 10^9 rows would otherwise explode to
-    ~10^15 candidate pairs; log the drop at call sites). Use ≥8
+    ~10^15 candidate pairs; drop_obs observes the drop counts, see
+    operators.caps). Use ≥8
     bucket_dims at scale: 2^bits buckets bound the expected bucket size,
     and near_dup_pairs_banded (OR-of-bands) recovers recall."""
     if all_pairs and bucket_dims is not None:
@@ -355,15 +354,9 @@ def near_dup_pairs(
             bucket_dims = DEFAULT_BUCKET_DIMS
         a = a.withColumn("_bk", sign_bucket(F.col("va"), bucket_dims))
         if max_bucket is not None:
-            from pyspark.sql import Window
+            from elasticsearch_assets_spark.operators.caps import cap_buckets
 
-            a = (
-                a.withColumn(
-                    "_bs", F.count("*").over(Window.partitionBy("_bk"))
-                )
-                .where(F.col("_bs") <= max_bucket)
-                .drop("_bs")
-            )
+            a = cap_buckets(a, ["_bk"], max_bucket, drop_obs).drop("_bs")
         b = a.select(
             F.col("id_a").alias("id_b"), F.col("va").alias("vb"), "_bk"
         )

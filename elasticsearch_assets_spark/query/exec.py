@@ -351,6 +351,27 @@ def term_filter_count(index: IndexTables, terms: list[str]) -> int:
     return _candidates(index, sorted(set(terms))).select("doc_id").distinct().count()
 
 
+def _conjunction_docset(index: IndexTables, terms: list[str]) -> DataFrame:
+    """Doc ids containing ALL of `terms` — a rarest-term-first left_semi
+    chain over the POSTINGS table (the same candidate-restriction trick
+    MaxScore uses in query/wand.py): the rarest term's doc set is small,
+    so every later step is a semi-join of a hot posting scan against a
+    small (AQE-broadcastable) doc set — position arrays never enter the
+    plan. The df lookup is an O(#query-terms) dictionary probe."""
+    uniq = sorted(set(terms))
+    dfs = {r["term"]: int(r["df"]) for r in _df_map(index, uniq).collect()}
+    if len(dfs) < len(uniq):
+        # dictionary-missing term: the conjunction is provably empty
+        return index.postings.select("doc_id").where(F.lit(False))
+    order = sorted(uniq, key=lambda t: (dfs[t], t))
+    docset = _candidates(index, [order[0]]).select("doc_id")
+    for t in order[1:]:
+        docset = docset.join(
+            _candidates(index, [t]).select("doc_id"), "doc_id", "left_semi"
+        )
+    return docset
+
+
 def phrase_query(
     index: IndexTables, phrase: str, k: int = 10, slop: int = 0
 ) -> DataFrame:
@@ -380,6 +401,12 @@ def phrase_query(
         raise ValueError("index was built with keep_positions=False")
     uniq = sorted(set(terms))
     pos = _pos_candidates(index, uniq)
+    if len(uniq) > 1:
+        # restrict the positions scan to the conjunction doc set BEFORE
+        # the collect_list pivot: position arrays of docs that cannot
+        # match (missing ≥1 term) never shuffle — the dominant cost on
+        # common-term phrases (4-8 s at 1.2M docs before this).
+        pos = pos.join(_conjunction_docset(index, uniq), "doc_id", "left_semi")
     has_dl = "dl" in index.positions.columns
     # pivot positions per term into a map for each doc; tf/dl ride along
     # so scoring needs NO second scan of the postings table (dl is

@@ -144,11 +144,47 @@ def _lex(q: str):
     return out
 
 
+_VAR_RE = re.compile(r"\$([A-Za-z_][\w.]*)")
+
+
 class _Parser:
-    def __init__(self, tokens, default_field: str | None):
+    def __init__(self, tokens, default_field: str | None, variables=None):
         self.toks = tokens
         self.i = 0
         self.default_field = default_field
+        self.variables = variables
+
+    def _resolve_var(self, v: str):
+        """xLucene variables (S3: the spaces config carries
+        `variables?: xLuceneVariables`, reference interfaces.ts:364, and
+        SpacesReaderClient.ts:57 POSTs them with every query; resolution
+        semantics follow terascope's public xlucene-parser): a value
+        token `$name` substitutes variables[name]. Returns the resolved
+        value, or None when `v` is not a variable reference. Substitution
+        is active only when a variables dict was passed to parse() —
+        plain queries keep treating `$` as a literal character (code
+        identifiers like `$scope` stay searchable). A `\\$name` escape
+        is always literal. Missing variables raise (the reference
+        server rejects unresolved variables rather than matching the
+        literal `$name`)."""
+        if self.variables is None:
+            return None
+        m = _VAR_RE.fullmatch(v)
+        if not m:
+            return None
+        name = m.group(1)
+        if name not in self.variables:
+            raise ValueError(
+                f"unresolved xLucene variable ${name} "
+                f"(provided: {sorted(self.variables)})"
+            )
+        return self.variables[name]
+
+    @staticmethod
+    def _var_str(x) -> str:
+        if isinstance(x, bool):
+            return "true" if x else "false"
+        return str(x)
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -310,9 +346,32 @@ class _Parser:
             parts.append(self.next()[1])
         if not parts:
             return None
-        return "".join(parts)
+        joined = "".join(parts)
+        resolved = self._resolve_var(joined)
+        if resolved is not None:
+            if isinstance(resolved, (list, tuple)):
+                raise ValueError(
+                    f"list-valued variable {joined} in a range bound"
+                )
+            return self._var_str(resolved)
+        return joined
 
     def _leaf(self, field, v):
+        # escaped variable sigil: `\$name` is the literal term "$name"
+        if v.startswith("\\$"):
+            return Term(field, v[1:])
+        resolved = self._resolve_var(v)
+        if resolved is not None:
+            # substituted values are LITERALS — never re-parsed as
+            # wildcard/fuzzy/regex (the xlucene injection guard); a
+            # list value is the term-list form: match ANY element
+            if isinstance(resolved, (list, tuple)):
+                if not resolved:
+                    # an empty Or would compile to match-all — refuse
+                    # rather than silently inverting the filter
+                    raise ValueError(f"empty list for variable {v}")
+                return Or(tuple(Term(field, self._var_str(x)) for x in resolved))
+            return Term(field, self._var_str(resolved))
         # suffix operators, outermost first: boost (`term^2`), then
         # fuzzy (`term~` / `term~1`); `term~1^2` carries both
         boost = None
@@ -335,12 +394,18 @@ def _unquote(s: str) -> str:
     return re.sub(r"\\(.)", r"\1", s[1:-1])
 
 
-def parse(query: str, default_field: str | None = None) -> Node:
-    """Parse a Lucene-syntax query string into an AST."""
+def parse(query: str, default_field: str | None = None, variables=None) -> Node:
+    """Parse a Lucene-syntax query string into an AST.
+
+    `variables` enables xLucene variable substitution (`field:$name`):
+    scalars substitute as literal terms, lists as an OR term-list,
+    missing names raise. Quoted phrases and escaped `\\$` stay literal;
+    with variables=None (the default) `$` has no special meaning.
+    """
     toks = _lex(query)
     if not toks:
         return Or(())
-    p = _Parser(toks, default_field)
+    p = _Parser(toks, default_field, variables)
     node = p.parse_or()
     if p.i != len(p.toks):
         raise ValueError(f"trailing tokens: {p.toks[p.i:]}")

@@ -21,7 +21,10 @@ from elasticsearch_assets_spark.query.planner import PlannerConfig, QueryPlanner
 
 
 def spaces_filter(
-    df: DataFrame, query: str, default_field: str | None = None
+    df: DataFrame,
+    query: str,
+    default_field: str | None = None,
+    variables: dict | None = None,
 ) -> DataFrame:
     """Filter `df` by an xLucene query string (filter context only —
     spaces queries select rows; scoring stays in the index engine).
@@ -32,8 +35,14 @@ def spaces_filter(
     filters. Bare (field-less) terms match against `default_field`;
     without one they are a clear error rather than a TypeError deep in
     the planner.
+
+    `variables` mirrors the spaces config's `variables?:
+    xLuceneVariables` (reference interfaces.ts:364; the client POSTs
+    them with every query, SpacesReaderClient.ts:57): `field:$name`
+    resolves from the dict — scalar → literal term, list → OR
+    term-list, missing name → error.
     """
-    ast = P.parse(query, default_field=default_field)
+    ast = P.parse(query, default_field=default_field, variables=variables)
     if default_field is None:
         _reject_fieldless(ast, query)
     qp = QueryPlanner(

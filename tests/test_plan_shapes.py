@@ -259,3 +259,18 @@ def test_build_is_jvm_only_with_partial_agg(spark, corpus):
     plan = _plan(index.postings)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan, plan
+
+
+def test_phrase_positions_scan_semi_join_restricted(disk_index):
+    """The positions scan must be left_semi-restricted by the postings
+    conjunction doc set BEFORE the collect_list pivot: position arrays
+    of docs missing >= 1 phrase term never shuffle (VERDICT r5 item 1)."""
+    plan = _plan(qx.phrase_query(disk_index, "merge batch", k=5))
+    assert "LeftSemi" in plan, plan
+    # the pivot (ObjectHashAggregate over collect_list) must sit ABOVE
+    # the semi join in the tree: the join appears later in the printed
+    # plan (deeper = later lines)
+    agg_at = plan.find("collect_list")
+    semi_at = plan.find("LeftSemi")
+    assert agg_at != -1 and semi_at != -1
+    assert semi_at > agg_at, (agg_at, semi_at)

@@ -164,3 +164,72 @@ def test_printer_roundtrip(q):
     ast = P.parse(q)
     printed = to_xlucene(ast)
     assert P.parse(printed) == ast
+
+
+# ---- xLucene variables (S3 gap closed in r5: interfaces.ts:364,
+# SpacesReaderClient.ts:57 — `$var` resolution per the public
+# xlucene-parser semantics) -------------------------------------------
+def test_parse_variable_scalar():
+    ast = P.parse("event_type:$et", variables={"et": "click"})
+    assert ast == P.Term("event_type", "click")
+
+
+def test_parse_variable_list_is_or():
+    ast = P.parse("event_type:$types", variables={"types": ["click", "view"]})
+    assert ast == P.Or((P.Term("event_type", "click"), P.Term("event_type", "view")))
+
+
+def test_parse_variable_typing():
+    assert P.parse("n:$v", variables={"v": 5}) == P.Term("n", "5")
+    assert P.parse("b:$v", variables={"v": True}) == P.Term("b", "true")
+
+
+def test_parse_variable_missing_raises():
+    with pytest.raises(ValueError, match=r"unresolved xLucene variable \$et"):
+        P.parse("event_type:$et", variables={"other": 1})
+
+
+def test_parse_variable_inactive_without_dict():
+    # `$` keeps no special meaning unless variables are provided: code
+    # identifiers like `$scope` stay searchable
+    assert P.parse("name:$scope") == P.Term("name", "$scope")
+
+
+def test_parse_variable_escaped_literal():
+    ast = P.parse(r"name:\$et", variables={"et": "click"})
+    assert ast == P.Term("name", "$et")
+
+
+def test_parse_variable_not_reinterpreted():
+    # substituted values are literals — a `*` in the value must NOT
+    # become a wildcard (injection guard)
+    ast = P.parse("name:$v", variables={"v": "cl*"})
+    assert ast == P.Term("name", "cl*")
+
+
+def test_parse_variable_in_range_bounds():
+    ast = P.parse("value:[$lo TO $hi}", variables={"lo": 10, "hi": 20})
+    assert ast == P.Range("value", "10", "20", True, False)
+
+
+def test_parse_variable_empty_list_raises():
+    with pytest.raises(ValueError, match="empty list"):
+        P.parse("event_type:$types", variables={"types": []})
+
+
+def test_parse_variable_quoted_stays_literal():
+    ast = P.parse('name:"$et"', variables={"et": "click"})
+    assert ast == P.Phrase("name", "$et")
+
+
+def test_spaces_filter_variables(spark, events):
+    got = spaces_filter(
+        events,
+        "event_type:$types AND value:>=$min",
+        variables={"types": ["click", "view"], "min": 10},
+    )
+    exp = events.where(
+        F.col("event_type").isin("click", "view") & (F.col("value") >= 10)
+    )
+    assert got.count() == exp.count()
+    assert got.count() > 0
