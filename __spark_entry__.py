@@ -215,6 +215,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_phrase_slop"] = ft_phrase_slop
 
+    def ft_phrase_slop3(s, d):
+        # `"key agg row"~2`: 3-term sloppy phrase under Lucene's SHARED
+        # slop budget (spread of adjusted positions ≤ 2 —
+        # exec._spread_slop_pred; r5 closed the per-term-window
+        # deviation documented in r≤4)
+        index = _docs_index(s, d)
+        out = qx.phrase_query(index, "key agg row", k=2**31 - 1, slop=2)
+        return (
+            out.withColumn("score", F.round("score", 4))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(30)
+        )
+
+    q["ft_phrase_slop3"] = ft_phrase_slop3
+
     def ft_bool_must_not(s, d):
         index = _docs_index(s, d)
         out = qx.bool_query(index, must=["merge"], must_not=["batch"], k=2**31 - 1)
@@ -1021,15 +1036,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # slowest (streaming / packed-index / ANN-index builds), all still
     # covered by tools/check_entry.py either way.
     order = [
-        # ft core (first entry pays the serving-index build)
-        "ft_match_or", "ft_match_and", "ft_match_all_k", "ft_count",
+        # ft core (first entry pays the serving-index build);
+        # ft_phrase_slop3 is NEW in r5 (3-term Lucene spread slop)
+        "ft_match_or", "ft_match_and",
         "ft_wildcard_prefix", "ft_phrase", "ft_phrase_slop",
-        "ft_bool_must_not", "ft_source_filter",
-        # new query_string features (reuse the built index, ~1s each)
+        "ft_phrase_slop3", "ft_bool_must_not", "ft_source_filter",
+        # query_string features (reuse the built index, ~1s each)
         "ft_fuzzy", "ft_boost", "ft_qs_required",
         # events family
-        "ev_range_scan", "ev_count", "ev_minmax", "ev_sort_limit",
-        "ev_id_prefix_counts", "ev_date_histogram", "ev_track_total",
+        "ev_range_scan", "ev_sort_limit",
+        "ev_id_prefix_counts", "ev_date_histogram",
         "ev_subslice_flag", "ev_geo_box", "ev_geo_distance",
         "ev_geo_sorted", "ev_delayed_window", "ev_json_extract",
         "ev_slice_query",
@@ -1045,13 +1061,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_exact", "dd_minhash_lsh", "dd_dup_clusters", "dd_dedup_apply",
         "dd_jaccard", "dd_jaccard_lsh", "dd_simhash", "ts_token_count",
         "ts_quality", "ts_lang_id",
-        "ts_fingerprint", "mm_features",
+        # rotated INTO the 50-slot artifact window for r5 (VERDICT r4
+        # next-round #6: replica-proven every round but never recorded
+        # by a driver artifact)
+        "ts_fingerprint", "mm_features", "sim_ivf_topk", "stream_sessions",
+        # ---- 50-slot cut falls here ----
+        # long-driver-proven cheap entries rotated to the tail (green in
+        # r02-r04 artifacts; still value-checked by tools/check_entry.py)
+        "ft_match_all_k", "ft_count", "ev_count", "ev_minmax",
+        "ev_track_total",
         # similarity core
         "sim_near_dup_banded", "sim_cosine_topk", "sim_near_dup",
         # r02-proven tail + the slow builders/streamers
         "sp_filter", "ft_querystring", "ft_regexp", "wr_dual_yield",
         "dd_simhash_pairs", "sim_lsh_topk", "sim_ann_indexed",
-        "sim_ivf_topk", "ft_match_packed", "stream_sessions",
+        "ft_match_packed",
         "stream_windows",
     ]
     assert set(order) == set(q), (
@@ -1120,6 +1144,39 @@ phrase_docs AS (
 SELECT c.doc_id, round(sum(c.c), 4) AS score
 FROM contrib c JOIN phrase_docs USING (doc_id)
 WHERE c.term IN ('fast', 'table')
+GROUP BY c.doc_id
+ORDER BY round(sum(c.c), 4) DESC, c.doc_id ASC
+LIMIT 30
+"""
+
+    o["ft_phrase_slop3"] = f"""{_bm25_cte()},
+toks_pos AS (
+  SELECT doc_id, unnest({_ANALYZE_TEXT_SQL}) AS term,
+         generate_subscripts({_ANALYZE_TEXT_SQL}, 1) AS pos
+  FROM documents
+),
+adj AS (
+  -- adjusted position = raw - slot offset (Lucene sloppy-phrase space)
+  SELECT doc_id, pos - 1 AS apos, 0 AS slot FROM toks_pos WHERE term = 'key'
+  UNION ALL
+  SELECT doc_id, pos - 2 AS apos, 1 AS slot FROM toks_pos WHERE term = 'agg'
+  UNION ALL
+  SELECT doc_id, pos - 3 AS apos, 2 AS slot FROM toks_pos WHERE term = 'row'
+),
+phrase_docs AS (
+  -- spread semantics: EXISTS anchor w with every slot's adjusted
+  -- positions intersecting [w, w+2]
+  SELECT DISTINCT a.doc_id FROM adj a
+  JOIN adj s0 ON s0.doc_id = a.doc_id AND s0.slot = 0
+             AND s0.apos BETWEEN a.apos AND a.apos + 2
+  JOIN adj s1 ON s1.doc_id = a.doc_id AND s1.slot = 1
+             AND s1.apos BETWEEN a.apos AND a.apos + 2
+  JOIN adj s2 ON s2.doc_id = a.doc_id AND s2.slot = 2
+             AND s2.apos BETWEEN a.apos AND a.apos + 2
+)
+SELECT c.doc_id, round(sum(c.c), 4) AS score
+FROM contrib c JOIN phrase_docs USING (doc_id)
+WHERE c.term IN ('agg', 'key', 'row')
 GROUP BY c.doc_id
 ORDER BY round(sum(c.c), 4) DESC, c.doc_id ASC
 LIMIT 30

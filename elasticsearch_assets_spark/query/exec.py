@@ -351,7 +351,9 @@ def term_filter_count(index: IndexTables, terms: list[str]) -> int:
     return _candidates(index, sorted(set(terms))).select("doc_id").distinct().count()
 
 
-def _conjunction_docset(index: IndexTables, terms: list[str]) -> DataFrame:
+def _conjunction_docset(
+    index: IndexTables, terms: list[str], dfs: dict[str, int] | None = None
+) -> DataFrame:
     """Doc ids containing ALL of `terms` — a rarest-term-first left_semi
     chain over the POSTINGS table (the same candidate-restriction trick
     MaxScore uses in query/wand.py): the rarest term's doc set is small,
@@ -359,7 +361,8 @@ def _conjunction_docset(index: IndexTables, terms: list[str]) -> DataFrame:
     small (AQE-broadcastable) doc set — position arrays never enter the
     plan. The df lookup is an O(#query-terms) dictionary probe."""
     uniq = sorted(set(terms))
-    dfs = {r["term"]: int(r["df"]) for r in _df_map(index, uniq).collect()}
+    if dfs is None:
+        dfs = {r["term"]: int(r["df"]) for r in _df_map(index, uniq).collect()}
     if len(dfs) < len(uniq):
         # dictionary-missing term: the conjunction is provably empty
         return index.postings.select("doc_id").where(F.lit(False))
@@ -372,6 +375,70 @@ def _conjunction_docset(index: IndexTables, terms: list[str]) -> DataFrame:
     return docset
 
 
+def _spread_slop_pred(terms: list[str], slop: int):
+    """Boolean Column over a `pos_map` row: Lucene sloppy-phrase match
+    for 3+-term phrases — EXISTS an anchor w (in adjusted-position
+    space) whose window [w, w+slop] intersects every slot's adjusted
+    positions (adjusted = raw - slot offset). Anchor candidates are
+    exactly the union of adjusted positions: the optimal window starts
+    at some slot's element. All JVM array expressions (nested
+    higher-order functions) — no UDF. Factory functions throughout:
+    PySpark introspects lambda arity, so no defaulted-arg closures."""
+
+    def _shift(i):
+        return lambda x: x - F.lit(i)
+
+    adj = [
+        F.transform(F.col("pos_map").getItem(t), _shift(i))
+        for i, t in enumerate(terms)
+    ]
+    anchors = F.array_distinct(F.flatten(F.array(*adj)))
+
+    # slots of each distinct term (repeated-term phrases share one
+    # positions array across several slots)
+    slots: dict[str, list[int]] = {}
+    for i, t in enumerate(terms):
+        slots.setdefault(t, []).append(i)
+
+    def _in_window(w):
+        def pred(q):
+            return (q >= w) & (q <= w + F.lit(slop))
+
+        return pred
+
+    def _raw_in_any_slot_window(w, term_slots):
+        def pred(p):
+            c = None
+            for i in term_slots:
+                this = (p >= w + F.lit(i)) & (p <= w + F.lit(slop + i))
+                c = this if c is None else (c | this)
+            return c
+
+        return pred
+
+    def _anchor_pred(w):
+        cond = None
+        for a in adj:
+            c = F.exists(a, _in_window(w))
+            cond = c if cond is None else (cond & c)
+        for t, term_slots in slots.items():
+            if len(term_slots) >= 2:
+                # distinct-token requirement for repeated terms:
+                # at least |slots| usable tokens across the term's
+                # slot windows (Hall relaxation, see phrase_query doc)
+                raw = F.col("pos_map").getItem(t)
+                enough = (
+                    F.size(
+                        F.filter(raw, _raw_in_any_slot_window(w, term_slots))
+                    )
+                    >= len(term_slots)
+                )
+                cond = cond & enough
+        return cond
+
+    return F.exists(anchors, _anchor_pred)
+
+
 def phrase_query(
     index: IndexTables, phrase: str, k: int = 10, slop: int = 0
 ) -> DataFrame:
@@ -382,17 +449,23 @@ def phrase_query(
     Plan: join the n term posting sets on doc_id (smallest df first via
     Catalyst join reordering), then fold position arrays.
 
-    slop > 0 (`"a b"~N`, match_phrase slop): term_i may sit anywhere
-    within ±slop of its in-order expected position start+i. For
-    two-term phrases this is EXACTLY Lucene's sloppy-phrase move count
-    (moves = |pos_b - pos_a - 1|, reversed adjacency at slop 2).
-    Documented deviation for 3+ terms: Lucene charges the SUM of moves
-    across terms against the slop budget while this engine bounds each
-    term's displacement independently (per-term window), so a doc
-    displacing two different terms by `slop` each matches here but
-    needs 2·slop in Lucene. Repeated-term phrases exclude the start
-    token itself from satisfying a later term, but two later repeats
-    may map to one token (same class of deviation).
+    slop > 0 (`"a b"~N`, match_phrase slop): Lucene's sloppy-phrase
+    semantics — a doc matches iff some choice of one position per
+    phrase slot has adjusted-position SPREAD ≤ slop, where the adjusted
+    position of slot i is pos - i (Lucene's SloppyPhraseMatcher keeps a
+    queue of PhrasePositions at position-offset and tests
+    matchLength = end - start ≤ slop; the shared budget the per-term
+    window approximation in rounds ≤4 overshot). Equivalently: some
+    length-(slop+1) window in adjusted space intersects every slot's
+    positions. Two-term phrases keep the direct form (moves =
+    |pos_b - pos_a - 1|, reversed adjacency at slop 2 — identical to
+    the window form for distinct terms). Repeated-term phrases:
+    distinct slots of the same term must use distinct tokens; enforced
+    exactly for 2-term, and for 3+ terms by per-slot existence plus a
+    ≥|slots| distinct-token count over the term's slot windows (a
+    Hall's-condition relaxation — can over-match only on adversarial
+    repeated-term phrases; Lucene's own advanceRpts is approximate
+    there too).
     """
     terms = analyze_text(phrase)
     if not terms:
@@ -400,13 +473,27 @@ def phrase_query(
     if index.positions is None:
         raise ValueError("index was built with keep_positions=False")
     uniq = sorted(set(terms))
+    dfs = {r["term"]: int(r["df"]) for r in _df_map(index, uniq).collect()}
+    if len(dfs) < len(uniq):
+        # a dictionary-missing term can never form the phrase
+        return phrase_empty(index)
     pos = _pos_candidates(index, uniq)
     if len(uniq) > 1:
-        # restrict the positions scan to the conjunction doc set BEFORE
-        # the collect_list pivot: position arrays of docs that cannot
-        # match (missing ≥1 term) never shuffle — the dominant cost on
-        # common-term phrases (4-8 s at 1.2M docs before this).
-        pos = pos.join(_conjunction_docset(index, uniq), "doc_id", "left_semi")
+        # Restrict the positions scan to the postings conjunction doc
+        # set BEFORE the collect_list pivot: position arrays of docs
+        # that cannot match (missing ≥1 term) never shuffle — the
+        # dominant cost on selective phrases. ADAPTIVE: the conjunction
+        # has at most min(df) docs, so the pivot input shrinks from
+        # Σdf to ≤ |terms|·min(df); when that bound shows nothing to
+        # prune (every term near-ubiquitous — the synthetic-corpus
+        # worst case), the semi-join is pure overhead and is skipped.
+        # The dfs are already on the driver (idf needs them anyway).
+        sum_df = sum(dfs.values())
+        min_df = min(dfs.values())
+        if sum_df > 1.5 * len(dfs) * min_df:
+            pos = pos.join(
+                _conjunction_docset(index, uniq, dfs), "doc_id", "left_semi"
+            )
     has_dl = "dl" in index.positions.columns
     # pivot positions per term into a map for each doc; tf/dl ride along
     # so scoring needs NO second scan of the postings table (dl is
@@ -440,12 +527,19 @@ def phrase_query(
 
         return pred
 
-    starts = F.col("pos_map").getItem(terms[0])
-    for i, t in enumerate(terms[1:], start=1):
-        nxt = F.col("pos_map").getItem(t)
-        step = _step(i, nxt) if slop == 0 else _step_slop(i, nxt, slop)
-        starts = F.filter(starts, step)
-    matched = per_doc.where(F.size(starts) > 0)
+    if slop == 0 or len(terms) == 2:
+        # exact chain (slop 0) and the 2-term direct form (already
+        # exactly Lucene's move count for distinct terms; q != p keeps
+        # "a a"-style repeats on distinct tokens)
+        starts = F.col("pos_map").getItem(terms[0])
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = F.col("pos_map").getItem(t)
+            step = _step(i, nxt) if slop == 0 else _step_slop(i, nxt, slop)
+            starts = F.filter(starts, step)
+        match_pred = F.size(starts) > 0
+    else:
+        match_pred = _spread_slop_pred(terms, slop)
+    matched = per_doc.where(match_pred)
 
     # Score: BM25 over the phrase's unique terms (ES scores the phrase
     # clause with term statistics of its members).

@@ -95,25 +95,59 @@ class OracleIndex:
         base = self.positions.get(terms[0], {})
         matched = []
         for doc_id, pos0 in base.items():
-            # phrase = exists start p with term_i at position p+i for
-            # all i; slop widens to |q - (p+i)| <= slop, q != p (the
-            # engine's per-term-window semantics — exec.phrase_query)
-            starts = set(pos0)
-            for i, t in enumerate(terms[1:], start=1):
-                nxt = set(self.positions.get(t, {}).get(doc_id, []))
-                if slop == 0:
-                    starts = {p for p in starts if p + i in nxt}
-                else:
-                    starts = {
-                        p
-                        for p in starts
-                        if any(
-                            abs(q - (p + i)) <= slop and q != p for q in nxt
+            if slop == 0 or len(terms) == 2:
+                # exact chain / 2-term direct move count (q != p keeps
+                # repeated-term 2-phrases on distinct tokens) — mirrors
+                # exec.phrase_query's fast path
+                starts = set(pos0)
+                for i, t in enumerate(terms[1:], start=1):
+                    nxt = set(self.positions.get(t, {}).get(doc_id, []))
+                    if slop == 0:
+                        starts = {p for p in starts if p + i in nxt}
+                    else:
+                        starts = {
+                            p
+                            for p in starts
+                            if any(
+                                abs(q - (p + i)) <= slop and q != p
+                                for q in nxt
+                            )
+                        }
+                    if not starts:
+                        break
+                if starts:
+                    matched.append(doc_id)
+                continue
+            # 3+ terms: Lucene spread semantics (exec._spread_slop_pred)
+            adj = [
+                {p - i for p in self.positions.get(t, {}).get(doc_id, [])}
+                for i, t in enumerate(terms)
+            ]
+            if any(not a for a in adj):
+                continue
+            slot_map: dict[str, list[int]] = {}
+            for i, t in enumerate(terms):
+                slot_map.setdefault(t, []).append(i)
+            anchors = set().union(*adj)
+
+            def ok(w):
+                if not all(
+                    any(w <= q <= w + slop for q in a) for a in adj
+                ):
+                    return False
+                for t, ss in slot_map.items():
+                    if len(ss) >= 2:
+                        raw = self.positions.get(t, {}).get(doc_id, [])
+                        usable = sum(
+                            1
+                            for p in raw
+                            if any(w + i <= p <= w + slop + i for i in ss)
                         )
-                    }
-                if not starts:
-                    break
-            if starts:
+                        if usable < len(ss):
+                            return False
+                return True
+
+            if any(ok(w) for w in anchors):
                 matched.append(doc_id)
         scored = self.score_terms(sorted(set(terms)))
         items = [(d, scored[d][0]) for d in matched]

@@ -170,3 +170,66 @@ def test_sha_invariant(corpus, spark):
     assert len(stored) == len(raw) == N_DOCS
     for d, t in raw.items():
         assert stored[d] == hashlib.sha256(t.encode()).hexdigest()
+
+
+def test_phrase_slop_spread_semantics_3term(spark):
+    """3+-term sloppy phrases use Lucene's SHARED slop budget (spread of
+    adjusted positions), not independent per-term windows (the r≤4
+    documented deviation, closed in r5). Key divergence: 'alpha gamma
+    beta' vs phrase 'alpha beta gamma' displaces beta +1 and gamma -1 —
+    per-term windows matched it at slop 1; Lucene's spread is 2."""
+    from elasticsearch_assets_spark.indexing.build import build_index
+    from elasticsearch_assets_spark.query.oracle import OracleIndex
+
+    rows = [
+        (1, "alpha beta gamma end"),      # exact: spread 0
+        (2, "alpha x beta gamma"),        # beta,gamma displaced +1: spread 1
+        (3, "alpha gamma beta end"),      # swap: adj a=0 b=+1 g=-1 -> spread 2
+        (4, "gamma beta alpha end"),      # full reverse: adj 2,0,-2 -> spread 4
+        (5, "alpha x x beta x x gamma"),  # adj 0,2,4 -> spread 4
+        (6, "beta alpha gamma end"),      # adj a=1 b=-1 g=0 -> spread 2
+        (7, "alpha beta x end"),          # gamma missing: never
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    idx = build_index(docs, doc_id_col="doc_id", n_buckets=4)
+    oracle = OracleIndex({r[0]: r[1] for r in rows})
+
+    expected = {0: {1}, 1: {1, 2}, 2: {1, 2, 3, 6}, 3: {1, 2, 3, 6},
+                4: {1, 2, 3, 4, 5, 6}}
+    for slop, exp in expected.items():
+        got = {
+            r["doc_id"]
+            for r in qx.phrase_query(
+                idx, "alpha beta gamma", k=100, slop=slop
+            ).collect()
+        }
+        assert got == exp, (slop, got, exp)
+        ogot = {d for d, _ in oracle.phrase("alpha beta gamma", k=100, slop=slop)}
+        assert ogot == exp, (slop, ogot, exp)
+
+
+def test_phrase_slop_repeated_terms_distinct_tokens(spark):
+    """Repeated phrase terms need DISTINCT tokens: 'alpha beta alpha'
+    against a doc with only one alpha never matches; with two alphas
+    spanning beta it does."""
+    from elasticsearch_assets_spark.indexing.build import build_index
+
+    rows = [
+        (1, "alpha beta alpha end"),   # exact
+        (2, "alpha beta gap end"),     # single alpha: never matches
+        (3, "alpha beta x alpha end"), # second alpha displaced +1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    idx = build_index(docs, doc_id_col="doc_id", n_buckets=4)
+
+    def hits(slop):
+        return {
+            r["doc_id"]
+            for r in qx.phrase_query(
+                idx, "alpha beta alpha", k=100, slop=slop
+            ).collect()
+        }
+
+    assert hits(0) == {1}
+    assert hits(1) == {1, 3}
+    assert hits(4) == {1, 3}  # doc 2 stays out at any slop

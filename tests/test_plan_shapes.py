@@ -262,10 +262,12 @@ def test_build_is_jvm_only_with_partial_agg(spark, corpus):
 
 
 def test_phrase_positions_scan_semi_join_restricted(disk_index):
-    """The positions scan must be left_semi-restricted by the postings
-    conjunction doc set BEFORE the collect_list pivot: position arrays
-    of docs missing >= 1 phrase term never shuffle (VERDICT r5 item 1)."""
-    plan = _plan(qx.phrase_query(disk_index, "merge batch", k=5))
+    """A SELECTIVE phrase (rare term present) must left_semi-restrict
+    the positions scan by the postings conjunction doc set BEFORE the
+    collect_list pivot: position arrays of docs missing >= 1 phrase
+    term never shuffle (VERDICT r5 item 1)."""
+    # uniq_7 is a rare term -> min(df) << sum(df)/n: the gate applies
+    plan = _plan(qx.phrase_query(disk_index, "uniq_7 merge", k=5))
     assert "LeftSemi" in plan, plan
     # the pivot (ObjectHashAggregate over collect_list) must sit ABOVE
     # the semi join in the tree: the join appears later in the printed
@@ -274,3 +276,12 @@ def test_phrase_positions_scan_semi_join_restricted(disk_index):
     semi_at = plan.find("LeftSemi")
     assert agg_at != -1 and semi_at != -1
     assert semi_at > agg_at, (agg_at, semi_at)
+
+
+def test_phrase_dense_terms_skip_semi_join(disk_index):
+    """When every phrase term is near-ubiquitous the conjunction cannot
+    prune (|conjunction| <= min(df) ~ n_docs) — the semi-join is pure
+    overhead and must be SKIPPED (adaptive gate on the driver-side
+    dfs)."""
+    plan = _plan(qx.phrase_query(disk_index, "merge batch", k=5))
+    assert "LeftSemi" not in plan, plan
