@@ -97,7 +97,13 @@ def index_matcher(index: str):
     """indexMatcher (ElasticsearchReaderAPI.ts:809-815): a wildcard
     config index glob-matches candidate index names; a plain name
     matches by substring CONTAINMENT (indexVal.includes(index)) — not
-    equality, mirroring the reference exactly."""
+    equality, mirroring the reference exactly.
+
+    '?' maps to an OPTIONAL single character (`.?`), matching
+    @terascope/utils' wildCardToRegex (ADVICE r4; the package is not
+    vendored here, but its glob treats '?' as zero-or-one, unlike
+    ES/Lucene wildcards where '?' is exactly one — query-side wildcard
+    in query/exec.py keeps the Lucene semantics)."""
     import re as _re
 
     if "*" in index or "?" in index:
@@ -106,7 +112,7 @@ def index_matcher(index: str):
             if ch == "*":
                 out.append(".*")
             elif ch == "?":
-                out.append(".")
+                out.append(".?")
             elif ch in ".^$+{}[]|()\\":
                 out.append("\\" + ch)
             else:
@@ -150,9 +156,13 @@ def get_window_size(
         default_path = _max_result_window_from_settings(
             (configs or {}).get("defaults")
         )
-        # config goes first as it overrides any defaults
+        # config goes first as it overrides any defaults. JS truthiness
+        # (`if (configPath) return ...`): an explicit 0 or '' is FALSY
+        # and falls through to the defaults path / next index, exactly
+        # like the reference (ADVICE r4) — Python truthiness mirrors JS
+        # for every value this path can see (0, 0.0, '', None, False)
         for v in (config_path, default_path):
-            if v is not None:
+            if v:
                 try:
                     return int(v)
                 except (TypeError, ValueError):

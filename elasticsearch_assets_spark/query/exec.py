@@ -88,7 +88,10 @@ def scored_terms(
     # collect_list + sort_array + aggregate() shape on a 1.2M-doc
     # index (bit-identical over a full-corpus compare). Wide
     # expansions fall back to the array fold (codegen width).
-    terms_sorted = sorted(terms)
+    # set(): a duplicate list entry must not add its term's conditional
+    # sum twice (the >32-term array-fold fallback counts each contrib
+    # row once — both paths must agree for ANY input list)
+    terms_sorted = sorted(set(terms))
     if len(terms_sorted) <= 32:
         aggs = [
             F.sum(F.when(F.col("term") == t, F.col("contrib"))).alias(f"_c{i}")

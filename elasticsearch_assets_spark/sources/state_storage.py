@@ -47,6 +47,10 @@ class CommitConflictError(RuntimeError):
 
 
 class StateStorage:
+    # class-level default: bare instances (tests exercise the pointer
+    # layer via __new__) still resolve versions by full listing
+    _known_version = -1
+
     def __init__(
         self,
         spark: SparkSession,
@@ -54,12 +58,26 @@ class StateStorage:
         key: str = "doc_id",
         compact_every: int = 8,
         retry_on_conflict: int = 10,
+        keep_commits: int = 8,
+        gc_grace_seconds: float = 3600.0,
     ):
         self.spark = spark
         self.path = path
         self.key = key
         self.compact_every = compact_every
         self.retry_on_conflict = retry_on_conflict
+        # GC policy (ADVICE r4: commits/deltas/snapshots were never
+        # pruned): keep the newest `keep_commits` commit files; data
+        # dirs referenced by NONE of them are deleted once older than
+        # `gc_grace_seconds` (the grace protects a concurrent writer's
+        # just-written, not-yet-committed delta dir — it has no commit
+        # reference until its CAS lands).
+        self.keep_commits = keep_commits
+        self.gc_grace_seconds = gc_grace_seconds
+        # fast-forward cache: after the first full listing, newer
+        # versions are found by probing version+1, +2, ... — O(new
+        # commits) instead of O(directory) per operation
+        self._known_version = -1
         os.makedirs(path, exist_ok=True)
 
     # -- snapshot plumbing -------------------------------------------------
@@ -70,11 +88,22 @@ class StateStorage:
         """Current (state, version). Version 0 = nothing committed yet
         (or only a legacy `_latest` pointer, absorbed read-only)."""
         best = -1
-        for name in os.listdir(self.path):
-            m = _COMMIT_RE.match(name)
-            if m:
-                best = max(best, int(m.group(1)))
+        if self._known_version >= 0 and os.path.exists(
+            self._commit_path(self._known_version)
+        ):
+            # fast-forward from the cached version (commit numbers are
+            # dense); falls through to the full listing if our cached
+            # commit file was GC'd from under us by another writer
+            best = self._known_version
+            while os.path.exists(self._commit_path(best + 1)):
+                best += 1
+        else:
+            for name in os.listdir(self.path):
+                m = _COMMIT_RE.match(name)
+                if m:
+                    best = max(best, int(m.group(1)))
         if best >= 0:
+            self._known_version = best
             with open(self._commit_path(best)) as f:
                 return json.load(f), best
         legacy = os.path.join(self.path, "_latest")
@@ -127,6 +156,60 @@ class StateStorage:
             cur = delta if cur is None else merge_index(cur, delta, self.key)
         return cur
 
+    def _gc(self) -> None:
+        """Prune storage metadata after a successful commit (ADVICE r4):
+        delete commit files older than the newest `keep_commits`, then
+        delete delta/snapshot dirs referenced by NO retained commit and
+        older than the grace window. Safe under concurrency: readers
+        resolve only the MAX version (never a pruned one barring a
+        reader stalled >keep_commits commits), a racing writer's
+        uncommitted delta dir is younger than the grace window, and a
+        lost unlink/rmtree race is ignored."""
+        import shutil
+        import time as _t
+
+        names = os.listdir(self.path)
+        commits = sorted(
+            int(m.group(1))
+            for m in (_COMMIT_RE.match(n) for n in names)
+            if m
+        )
+        if not commits:
+            return
+        cutoff = commits[-1] - self.keep_commits
+        for v in commits:
+            if v <= cutoff:
+                try:
+                    os.unlink(self._commit_path(v))
+                except FileNotFoundError:
+                    pass
+        referenced: set[str] = set()
+        for v in commits:
+            if v > cutoff:
+                try:
+                    with open(self._commit_path(v)) as f:
+                        st = json.load(f)
+                except (FileNotFoundError, json.JSONDecodeError):
+                    continue
+                if st.get("base"):
+                    referenced.add(os.path.basename(st["base"]))
+                referenced.update(
+                    os.path.basename(d) for d in st.get("deltas", [])
+                )
+        now = _t.time()
+        for n in names:
+            if not (n.startswith("delta-") or n.startswith("snapshot-")):
+                continue
+            if n in referenced:
+                continue
+            p = os.path.join(self.path, n)
+            try:
+                if now - os.path.getmtime(p) < self.gc_grace_seconds:
+                    continue
+            except OSError:
+                continue
+            shutil.rmtree(p, ignore_errors=True)
+
     # -- API (mirrors get/set/mget/mset) ------------------------------------
     def table(self) -> DataFrame | None:
         """Current state: base snapshot + ordered delta merges (lazy —
@@ -154,6 +237,8 @@ class StateStorage:
             else:
                 new_state = {"base": state["base"], "deltas": deltas}
             if self._try_commit(version + 1, new_state):
+                self._known_version = version + 1
+                self._gc()
                 return
             # lost the race: drop the orphaned snapshot (the delta is
             # still ours to re-commit against the NEW state)

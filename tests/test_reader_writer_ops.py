@@ -196,8 +196,11 @@ def test_index_matcher_goldens():
     m = reader.index_matcher("events")
     assert m("events") and m("my-events-v2")  # includes(), not ==
     assert not m("evts")
+    # '?' is an OPTIONAL character (@terascope/utils wildCardToRegex,
+    # ADVICE r4) — zero-or-one, unlike Lucene's exactly-one
     m = reader.index_matcher("ev?nts")
-    assert m("events") and m("evants") and not m("evnts")
+    assert m("events") and m("evants") and m("evnts")
+    assert not m("evaants")
 
 
 def test_get_window_size_resolution():
@@ -225,6 +228,23 @@ def test_get_window_size_resolution():
         reader.get_window_size(
             "ev", {"events": {"settings": {"index.max_result_window": "abc"}}}, 1
         )
+    # JS truthiness (ADVICE r4): an explicit 0 / '' is falsy — falls
+    # through settings -> defaults -> next index -> configured size
+    assert reader.get_window_size(
+        "events",
+        {
+            "events-a": {
+                "settings": {"index.max_result_window": 0},
+                "defaults": {"index.max_result_window": 6000},
+            }
+        },
+        1000,
+    ) == 6000
+    assert reader.get_window_size(
+        "events",
+        {"events-a": {"settings": {"index.max_result_window": ""}}},
+        1000,
+    ) == 1000
 
 
 def test_validate_window_size_per_index():

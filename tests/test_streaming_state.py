@@ -290,3 +290,48 @@ def test_window_state_barrier_unit():
     assert st.checkin(1) is True
     assert st.checkin(1) is False
     assert st.checkin(0) is True
+
+
+def test_state_storage_gc_prunes_metadata(spark, tmp_path):
+    """ADVICE r4: commits, retired deltas, and superseded snapshots must
+    not grow unboundedly. With keep_commits=2 and no grace window, after
+    many msets only the retained commits and the dirs they reference
+    remain; the surviving state stays correct."""
+    import glob
+    import os
+
+    from elasticsearch_assets_spark.sources.state_storage import StateStorage
+
+    path = str(tmp_path / "gc")
+    st = StateStorage(
+        spark, path, key="doc_id", compact_every=3,
+        keep_commits=2, gc_grace_seconds=0.0,
+    )
+    for i in range(10):
+        st.mset(
+            spark.createDataFrame([(i % 4, f"v{i}")], "doc_id long, v string")
+        )
+    commits = glob.glob(os.path.join(path, "_commit-*.json"))
+    assert len(commits) <= 3, commits  # newest + keep_commits
+    # every surviving data dir is referenced by a retained commit
+    import json as _json
+
+    referenced = set()
+    for c in commits:
+        with open(c) as f:
+            s = _json.load(f)
+        if s.get("base"):
+            referenced.add(os.path.basename(s["base"]))
+        referenced.update(os.path.basename(d) for d in s.get("deltas", []))
+    data_dirs = {
+        n for n in os.listdir(path)
+        if n.startswith(("delta-", "snapshot-"))
+    }
+    assert data_dirs == referenced, (data_dirs, referenced)
+    # state is still the right last-write-wins view
+    got = {r["doc_id"]: r["v"] for r in st.table().collect()}
+    assert got == {0: "v8", 1: "v9", 2: "v6", 3: "v7"}
+    # a FRESH handle (cold cache, full listing) resolves identically
+    st2 = StateStorage(spark, path, key="doc_id")
+    got2 = {r["doc_id"]: r["v"] for r in st2.table().collect()}
+    assert got2 == got
