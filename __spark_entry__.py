@@ -732,11 +732,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_regexp"] = ft_regexp
 
     def ft_fuzzy(s, d):
-        # Lucene fuzzy: levenshtein dictionary expansion (≤1 edit of
-        # 'merg'), BM25 OR over the expansions; rounded ranking for the
-        # cross-engine-stable top-k boundary
+        # Lucene fuzzy: ≤1 edit of 'merg' via the SymSpell deletion
+        # dictionary (keyed IN(variant) candidate fetch + levenshtein
+        # verify of candidates only — the 10^9-term scale path, r5;
+        # parity-tested against the full band scan), BM25 OR over the
+        # expansions; rounded ranking for the cross-engine-stable top-k
+        # boundary
         index = _docs_index(s, d)
-        hits = qx.dict_hits_fuzzy(index, "merg", max_edits=1)
+        key = os.path.abspath(d) + "::fuzzy"
+        if key not in _INDEX_CACHE:
+            fz = qx.build_fuzzy_dictionary(index, max_edits=2).persist()
+            fz.count()
+            _INDEX_CACHE[key] = fz
+        hits = qx.dict_hits_fuzzy_indexed(
+            index, _INDEX_CACHE[key], "merg", max_edits=1
+        )
         out = qx.scored_expansion(index, hits)
         return (
             out.withColumn("score", F.round("score", 4))

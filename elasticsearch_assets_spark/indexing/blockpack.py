@@ -40,6 +40,7 @@ from pyspark.sql import types as T
 from elasticsearch_assets_spark.indexing import codec
 from elasticsearch_assets_spark.indexing.build import (
     IndexTables,
+    ROW_GROUP_BYTES,
     WRITE_FANOUT,
     _bucketed_sorted,
 )
@@ -232,6 +233,7 @@ def write_blocks(blocks: DataFrame, path: str, n_buckets: int) -> None:
     (
         _bucketed_sorted(blocks, n_buckets, sort_cols=("term", "block"))
         .write.mode("overwrite")
+        .option("parquet.block.size", ROW_GROUP_BYTES)
         .partitionBy("bucket")
         .parquet(os.path.join(path, "blocks"))
     )
@@ -250,6 +252,7 @@ def pack_and_write_blocks(
     (
         packed.sortWithinPartitions("bucket", "term", "block")
         .write.mode("overwrite")
+        .option("parquet.block.size", ROW_GROUP_BYTES)
         .partitionBy("bucket")
         .parquet(os.path.join(path, "blocks"))
     )

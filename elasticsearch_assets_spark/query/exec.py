@@ -223,6 +223,108 @@ def dict_hits_fuzzy(index: IndexTables, term: str, max_edits: int = 2) -> DataFr
     )
 
 
+# ---- fuzzy at scale: SymSpell deletion-neighborhood dictionary -------
+#
+# dict_hits_fuzzy's length-band + thresholded-levenshtein scan touches
+# every dictionary row in the band per query — fine at bench scale,
+# hours at 10^9 terms. The SymSpell construction (public algorithm,
+# Garbe) turns it into a KEYED lookup: if lev(a, b) <= d then the
+# d-deletion neighborhoods of a and b intersect, so precomputing
+# (variant -> term) for every term's deletion neighborhood lets a query
+# fetch candidates with an IN filter on `variant` (pushed to the scan /
+# pruned to bucket directories when persisted) and verify only the
+# candidates with levenshtein. Neighborhoods are generated over a
+# 7-char prefix (SymSpell's prefix indexing) to bound the blowup:
+# ~1 + L + L(L-1)/2 variants per term at d=2.
+
+FUZZY_PREFIX_LEN = 7
+_SUBSTR_REST = 1 << 30
+
+
+def _del1_col(v):
+    """Array of all single-deletion variants of a string Column —
+    pure JVM exprs (transform over 1..len with substr splicing)."""
+    seq = F.when(
+        F.length(v) > 0, F.sequence(F.lit(1), F.length(v))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+
+    def cut(i):
+        return F.concat(
+            v.substr(F.lit(1), i - F.lit(1)),
+            v.substr(i + F.lit(1), F.lit(_SUBSTR_REST)),
+        )
+
+    return F.transform(seq, cut)
+
+
+def deletion_variants_col(v, max_edits: int):
+    """Array Column: all variants of `v` with <= max_edits deletions
+    (including v itself), deduplicated."""
+    vs = F.array(v)
+    for _ in range(max_edits):
+        vs = F.array_distinct(
+            F.concat(vs, F.flatten(F.transform(vs, _del1_col)))
+        )
+    return vs
+
+
+def deletion_variants_py(s: str, max_edits: int, prefix_len: int = FUZZY_PREFIX_LEN):
+    """Driver-side mirror of deletion_variants_col over the prefix —
+    the query side of the SymSpell join key."""
+    s = s[:prefix_len]
+    out = {s}
+    frontier = {s}
+    for _ in range(max_edits):
+        frontier = {w[:i] + w[i + 1 :] for w in frontier for i in range(len(w))}
+        out |= frontier
+    return sorted(out)
+
+
+def build_fuzzy_dictionary(
+    index: IndexTables,
+    max_edits: int = 2,
+    prefix_len: int = FUZZY_PREFIX_LEN,
+) -> DataFrame:
+    """(term, variant) rows: each dictionary term exploded over the
+    deletion neighborhood of its prefix. Build once per index (persist
+    or write next to it); at 10^9 terms this is the classic SymSpell
+    space-for-time trade — ~40x rows of small strings, written once,
+    pruned to an IN-filter per query."""
+    pref = F.substring("term", 1, prefix_len)
+    return index.terms.select(
+        "term", F.explode(deletion_variants_col(pref, max_edits)).alias("variant")
+    )
+
+
+def dict_hits_fuzzy_indexed(
+    index: IndexTables,
+    fuzzy: DataFrame,
+    term: str,
+    max_edits: int = 2,
+    prefix_len: int = FUZZY_PREFIX_LEN,
+) -> DataFrame:
+    """dict_hits_fuzzy served from a prebuilt deletion dictionary: an
+    IN(variant) candidate fetch + exact levenshtein verification of the
+    candidates only — same output contract (term, df). Precision is
+    exact (every hit verified); recall matches the scan path except for
+    edits SymSpell's prefix truncation can hide past position
+    `prefix_len` under length-shifting edit combinations (parity-tested
+    against the scan on the corpus dictionary)."""
+    q = term.lower()
+    qvars = deletion_variants_py(q, max_edits, prefix_len)
+    cand = fuzzy.where(F.col("variant").isin(qvars)).select("term").distinct()
+    n = len(q)
+    lt = F.length("term")
+    return (
+        index.terms.join(cand, "term", "left_semi")
+        .where(
+            (lt >= n - max_edits)
+            & (lt <= n + max_edits)
+            & (F.levenshtein(F.col("term"), F.lit(q), max_edits) >= 0)
+        )
+    )
+
+
 def scored_expansion(index: IndexTables, hits: DataFrame) -> DataFrame:
     """BM25-scored OR over a DataFrame of dictionary hits (term, df) —
     the scored counterpart of expanded_candidates, used by fuzzy (and
@@ -378,10 +480,11 @@ def _conjunction_docset(
     return docset
 
 
-def _spread_slop_pred(terms: list[str], slop: int):
-    """Boolean Column over a `pos_map` row: Lucene sloppy-phrase match
-    for 3+-term phrases — EXISTS an anchor w (in adjusted-position
-    space) whose window [w, w+slop] intersects every slot's adjusted
+def _spread_slop_pred(terms: list[str], slop: int, pos_col):
+    """Boolean Column over per-term positions columns (`pos_col(t)`
+    resolves term → array Column): Lucene sloppy-phrase match for
+    3+-term phrases — EXISTS an anchor w (in adjusted-position space)
+    whose window [w, w+slop] intersects every slot's adjusted
     positions (adjusted = raw - slot offset). Anchor candidates are
     exactly the union of adjusted positions: the optimal window starts
     at some slot's element. All JVM array expressions (nested
@@ -392,8 +495,7 @@ def _spread_slop_pred(terms: list[str], slop: int):
         return lambda x: x - F.lit(i)
 
     adj = [
-        F.transform(F.col("pos_map").getItem(t), _shift(i))
-        for i, t in enumerate(terms)
+        F.transform(pos_col(t), _shift(i)) for i, t in enumerate(terms)
     ]
     anchors = F.array_distinct(F.flatten(F.array(*adj)))
 
@@ -429,7 +531,7 @@ def _spread_slop_pred(terms: list[str], slop: int):
                 # distinct-token requirement for repeated terms:
                 # at least |slots| usable tokens across the term's
                 # slot windows (Hall relaxation, see phrase_query doc)
-                raw = F.col("pos_map").getItem(t)
+                raw = pos_col(t)
                 enough = (
                     F.size(
                         F.filter(raw, _raw_in_any_slot_window(w, term_slots))
@@ -480,41 +582,43 @@ def phrase_query(
     if len(dfs) < len(uniq):
         # a dictionary-missing term can never form the phrase
         return phrase_empty(index)
-    pos = _pos_candidates(index, uniq)
+    has_dl = "dl" in index.positions.columns
+
+    # ADAPTIVE candidate restriction: the postings conjunction has at
+    # most min(df) docs, so when some term is selective the fat
+    # position-array scans are left_semi-trimmed BEFORE any shuffle;
+    # when every term is near-ubiquitous (min(df) ~ Σdf/n — the
+    # synthetic-corpus worst case) the semi-join provably cannot prune
+    # and is skipped. dfs are already on the driver (idf needs them).
+    docset = None
     if len(uniq) > 1:
-        # Restrict the positions scan to the postings conjunction doc
-        # set BEFORE the collect_list pivot: position arrays of docs
-        # that cannot match (missing ≥1 term) never shuffle — the
-        # dominant cost on selective phrases. ADAPTIVE: the conjunction
-        # has at most min(df) docs, so the pivot input shrinks from
-        # Σdf to ≤ |terms|·min(df); when that bound shows nothing to
-        # prune (every term near-ubiquitous — the synthetic-corpus
-        # worst case), the semi-join is pure overhead and is skipped.
-        # The dfs are already on the driver (idf needs them anyway).
         sum_df = sum(dfs.values())
         min_df = min(dfs.values())
         if sum_df > 1.5 * len(dfs) * min_df:
-            pos = pos.join(
-                _conjunction_docset(index, uniq, dfs), "doc_id", "left_semi"
-            )
-    has_dl = "dl" in index.positions.columns
-    # pivot positions per term into a map for each doc; tf/dl ride along
-    # so scoring needs NO second scan of the postings table (dl is
-    # denormalized into prox rows at build time)
-    aggs = [
-        F.map_from_entries(F.collect_list(F.struct("term", "positions"))).alias(
-            "pos_map"
-        ),
-        F.count("*").alias("n_terms"),
-    ]
-    if has_dl:
-        aggs.append(F.first("dl").alias("dl"))
-    per_doc = pos.groupBy("doc_id").agg(*aggs).where(
-        F.col("n_terms") == len(uniq)
-    )
+            docset = _conjunction_docset(index, uniq, dfs)
 
-    # phrase = exists start p with term_i at position p+i for all i
-    # (slop widens that to |q - (p+i)| <= slop, q != p): iteratively
+    # One positions column per unique term, INNER-joined on doc_id —
+    # the join chain IS the all-terms-present check, and measured 3.3x
+    # faster at 1.2M docs than the former groupBy +
+    # map_from_entries(collect_list) pivot (ObjectHashAggregate's
+    # per-row map building lost to plain shuffle joins; 'load config'
+    # dense-phrase warm 3.5s -> 1.1s). dl rides the first frame.
+    cols = {t: f"_p{i}" for i, t in enumerate(uniq)}
+    joined = None
+    for t in uniq:
+        part = _pos_candidates(index, [t])
+        sel = [F.col("doc_id"), F.col("positions").alias(cols[t])]
+        if has_dl and joined is None:
+            sel.append(F.col("dl"))
+        part = part.select(*sel)
+        if docset is not None:
+            part = part.join(docset, "doc_id", "left_semi")
+        joined = part if joined is None else joined.join(part, "doc_id")
+
+    def _pos_col(t):
+        return F.col(cols[t])
+
+    # phrase = exists start p with term_i at position p+i for all i:
     # narrow the start set with array filter/contains — all JVM-side
     # array expressions, no UDF. Factory functions, not defaulted-arg
     # closures: higher-order fns introspect lambda arity.
@@ -534,48 +638,34 @@ def phrase_query(
         # exact chain (slop 0) and the 2-term direct form (already
         # exactly Lucene's move count for distinct terms; q != p keeps
         # "a a"-style repeats on distinct tokens)
-        starts = F.col("pos_map").getItem(terms[0])
+        starts = _pos_col(terms[0])
         for i, t in enumerate(terms[1:], start=1):
-            nxt = F.col("pos_map").getItem(t)
+            nxt = _pos_col(t)
             step = _step(i, nxt) if slop == 0 else _step_slop(i, nxt, slop)
             starts = F.filter(starts, step)
         match_pred = F.size(starts) > 0
     else:
-        match_pred = _spread_slop_pred(terms, slop)
-    matched = per_doc.where(match_pred)
+        match_pred = _spread_slop_pred(terms, slop, _pos_col)
+    matched = joined.where(match_pred)
 
     # Score: BM25 over the phrase's unique terms (ES scores the phrase
     # clause with term statistics of its members).
     if has_dl:
-        # single-scan path: tf = |positions|, dl carried in prox rows;
-        # deterministic term-sorted fold (idf via broadcast df map)
-        dfm = _df_map(index, uniq)
-        exploded = matched.select(
-            "doc_id", "dl", F.explode("pos_map").alias("term", "_ps")
-        ).withColumn("tf", F.size("_ps"))
-        contrib = exploded.join(F.broadcast(dfm), "term").withColumn(
-            "contrib",
-            score_contrib_col(
-                F.col("tf").cast("double"),
+        # zero-shuffle scoring: tf = |positions| per column, dl carried
+        # in prox rows, df as driver-side literals; contributions chain
+        # left-to-right in term-sorted order from 0.0 — the exact float
+        # association of the oracle's sorted fold (no explode, no
+        # groupBy, pure whole-stage codegen)
+        score = F.lit(0.0)
+        for t in uniq:
+            score = score + score_contrib_col(
+                F.size(_pos_col(t)).cast("double"),
                 F.col("dl").cast("double"),
-                F.col("df").cast("double"),
+                F.lit(float(dfs[t])),
                 index.n_docs,
                 index.avg_dl,
-            ),
-        )
-        out = (
-            contrib.groupBy("doc_id")
-            .agg(
-                F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias(
-                    "_cs"
-                )
             )
-            .withColumn(
-                "score",
-                F.aggregate("_cs", F.lit(0.0), lambda a, x: a + x["contrib"]),
-            )
-            .select("doc_id", "score")
-        )
+        out = matched.select("doc_id", score.alias("score"))
         return top_k(out, k)
     s = scored_terms(index, uniq)
     out = matched.select("doc_id").join(s.select("doc_id", "score"), "doc_id")

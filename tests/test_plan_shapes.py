@@ -269,13 +269,9 @@ def test_phrase_positions_scan_semi_join_restricted(disk_index):
     # uniq_7 is a rare term -> min(df) << sum(df)/n: the gate applies
     plan = _plan(qx.phrase_query(disk_index, "uniq_7 merge", k=5))
     assert "LeftSemi" in plan, plan
-    # the pivot (ObjectHashAggregate over collect_list) must sit ABOVE
-    # the semi join in the tree: the join appears later in the printed
-    # plan (deeper = later lines)
-    agg_at = plan.find("collect_list")
-    semi_at = plan.find("LeftSemi")
-    assert agg_at != -1 and semi_at != -1
-    assert semi_at > agg_at, (agg_at, semi_at)
+    # and scoring is shuffle-free above the join chain: no aggregate
+    # (the r5 join-chain rewrite removed the collect_list pivot)
+    assert "collect_list" not in plan, plan
 
 
 def test_phrase_dense_terms_skip_semi_join(disk_index):
@@ -285,3 +281,51 @@ def test_phrase_dense_terms_skip_semi_join(disk_index):
     dfs)."""
     plan = _plan(qx.phrase_query(disk_index, "merge batch", k=5))
     assert "LeftSemi" not in plan, plan
+
+
+def test_fuzzy_indexed_parity_and_plan(corpus):
+    """SymSpell deletion-dictionary fuzzy (VERDICT r5 item 8): the
+    indexed path must return the SAME (term, df) hits as the full
+    length-band levenshtein scan, and its plan must fetch candidates
+    with an IN filter on `variant` (keyed lookup) instead of scanning
+    the dictionary with levenshtein."""
+    index, _ = corpus
+    fuzzy = qx.build_fuzzy_dictionary(index, max_edits=2).persist()
+    fuzzy.count()
+    try:
+        for q, d in [("merg", 1), ("merg", 2), ("retur", 1), ("confg", 2),
+                     ("zzzz", 2), ("a", 1)]:
+            scan = {
+                (r["term"], r["df"])
+                for r in qx.dict_hits_fuzzy(index, q, max_edits=d).collect()
+            }
+            idx = {
+                (r["term"], r["df"])
+                for r in qx.dict_hits_fuzzy_indexed(
+                    index, fuzzy, q, max_edits=d
+                ).collect()
+            }
+            assert idx == scan, (q, d, idx ^ scan)
+        plan = qx.dict_hits_fuzzy_indexed(index, fuzzy, "merg", 1)
+        s = plan._jdf.queryExecution().executedPlan().toString()
+        assert "variant" in s and (" IN " in s or "isin" in s or "IN (" in s), s
+    finally:
+        fuzzy.unpersist()
+
+
+def test_deletion_variants_col_matches_py(spark):
+    """JVM and driver-side neighborhood generators must agree (they are
+    the two halves of the SymSpell join key)."""
+    words = ["merge", "a", "", "abcdefghij", "xx"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    for d in (1, 2):
+        rows = df.select(
+            "w",
+            qx.deletion_variants_col(
+                qx.F.substring("w", 1, qx.FUZZY_PREFIX_LEN), d
+            ).alias("vs"),
+        ).collect()
+        for r in rows:
+            assert sorted(set(r["vs"])) == qx.deletion_variants_py(
+                r["w"], d
+            ), (r["w"], d)
