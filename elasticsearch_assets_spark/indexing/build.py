@@ -132,23 +132,16 @@ def build_index(
         "doc_id", "dl", F.posexplode("_toks").alias("pos", "term")
     )
 
-    # tf per (term, doc): keys are near-unique → no skew; partial agg
-    # (map-side combine) handles the Zipf head. Positions are NOT
-    # aggregated here — they'd defeat column pruning for every consumer
-    # that only needs counts.
-    tfd = (
-        tokens.groupBy("term", "doc_id")
-        .agg(F.count("*").cast("int").alias("tf"), F.first("dl").alias("dl"))
-        .withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
-        )
-    )
-
+    # ONE token-level groupBy whichever streams are kept (keys are
+    # near-unique per doc → no skew; partial agg handles the Zipf head):
+    # with positions, tf = size(positions) derives map-side from the
+    # SAME aggregation — the former separate count groupBy re-shuffled
+    # every token row a second time (r5: the with-positions build now
+    # shuffles tokens once). dl denormalized into prox rows too: phrase
+    # queries score from a single positions scan without touching the
+    # postings table.
     positions = None
     if keep_positions:
-        # dl denormalized into prox rows too: phrase queries then score
-        # from a single positions scan (tf = size(positions)) without
-        # touching the postings table
         positions = (
             tokens.groupBy("term", "doc_id")
             .agg(
@@ -159,13 +152,35 @@ def build_index(
                 "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
             )
         )
+    else:
+        tfd = (
+            tokens.groupBy("term", "doc_id")
+            .agg(F.count("*").cast("int").alias("tf"), F.first("dl").alias("dl"))
+            .withColumn(
+                "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+            )
+        )
 
     cached: tuple = ()
     if cache:
         from pyspark import StorageLevel
 
-        tfd = tfd.persist(StorageLevel.MEMORY_AND_DISK)
-        cached = (tfd,)
+        if keep_positions:
+            positions = positions.persist(StorageLevel.MEMORY_AND_DISK)
+            cached = (positions,)
+        else:
+            tfd = tfd.persist(StorageLevel.MEMORY_AND_DISK)
+            cached = (tfd,)
+    if keep_positions:
+        # postings project off the cached prox aggregation — column
+        # pruning drops the arrays for every counts-only consumer
+        tfd = positions.select(
+            "term",
+            "doc_id",
+            F.size("positions").cast("int").alias("tf"),
+            "dl",
+            "bucket",
+        )
 
     # doc_norms from the CACHED tf (not from toks: that would re-run the
     # analyzer over the whole corpus on every doc_norms action)
