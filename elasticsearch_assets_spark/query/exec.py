@@ -528,17 +528,31 @@ def _spread_slop_pred(terms: list[str], slop: int, pos_col):
             cond = c if cond is None else (cond & c)
         for t, term_slots in slots.items():
             if len(term_slots) >= 2:
-                # distinct-token requirement for repeated terms:
-                # at least |slots| usable tokens across the term's
-                # slot windows (Hall relaxation, see phrase_query doc)
+                # EXACT distinct-token requirement for repeated terms:
+                # slot i's usable tokens form the interval
+                # [w+i, w+slop+i] of the sorted position list, and both
+                # endpoints are nondecreasing in i (a staircase interval
+                # bipartite graph) — for those, Hall's condition
+                # restricted to CONTIGUOUS slot ranges is necessary and
+                # sufficient for a distinct assignment (greedy
+                # smallest-feasible-position argument), and each range's
+                # neighborhood union is counted exactly by the
+                # OR-of-windows filter. O(c^2) range checks for c slots
+                # of the same term (c is tiny).
                 raw = pos_col(t)
-                enough = (
-                    F.size(
-                        F.filter(raw, _raw_in_any_slot_window(w, term_slots))
-                    )
-                    >= len(term_slots)
-                )
-                cond = cond & enough
+                ss = sorted(term_slots)
+                for a in range(len(ss)):
+                    for b in range(a + 1, len(ss)):
+                        rng = ss[a : b + 1]
+                        enough = (
+                            F.size(
+                                F.filter(
+                                    raw, _raw_in_any_slot_window(w, rng)
+                                )
+                            )
+                            >= len(rng)
+                        )
+                        cond = cond & enough
         return cond
 
     return F.exists(anchors, _anchor_pred)
@@ -565,12 +579,12 @@ def phrase_query(
     positions. Two-term phrases keep the direct form (moves =
     |pos_b - pos_a - 1|, reversed adjacency at slop 2 — identical to
     the window form for distinct terms). Repeated-term phrases:
-    distinct slots of the same term must use distinct tokens; enforced
-    exactly for 2-term, and for 3+ terms by per-slot existence plus a
-    ≥|slots| distinct-token count over the term's slot windows (a
-    Hall's-condition relaxation — can over-match only on adversarial
-    repeated-term phrases; Lucene's own advanceRpts is approximate
-    there too).
+    distinct slots of the same term must use distinct tokens, enforced
+    EXACTLY — slot windows are staircase intervals over the sorted
+    position list, so Hall's condition over contiguous slot ranges is
+    necessary and sufficient (_spread_slop_pred; oracle mirrors with
+    the equivalent greedy assignment, brute-force-pinned in
+    tests/test_property_fuzz.py).
     """
     terms = analyze_text(phrase)
     if not terms:

@@ -137,14 +137,28 @@ class OracleIndex:
                     return False
                 for t, ss in slot_map.items():
                     if len(ss) >= 2:
-                        raw = self.positions.get(t, {}).get(doc_id, [])
-                        usable = sum(
-                            1
-                            for p in raw
-                            if any(w + i <= p <= w + slop + i for i in ss)
+                        # exact distinct assignment: slot windows are
+                        # staircase intervals, so greedy
+                        # smallest-feasible-unused-position is exact
+                        # (mirrors exec._spread_slop_pred's contiguous-
+                        # range Hall checks)
+                        raw = sorted(
+                            self.positions.get(t, {}).get(doc_id, [])
                         )
-                        if usable < len(ss):
-                            return False
+                        used: set[int] = set()
+                        for i in sorted(ss):
+                            pick = next(
+                                (
+                                    p
+                                    for p in raw
+                                    if p not in used
+                                    and w + i <= p <= w + slop + i
+                                ),
+                                None,
+                            )
+                            if pick is None:
+                                return False
+                            used.add(pick)
                 return True
 
             if any(ok(w) for w in anchors):

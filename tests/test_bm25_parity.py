@@ -233,3 +233,29 @@ def test_phrase_slop_repeated_terms_distinct_tokens(spark):
     assert hits(0) == {1}
     assert hits(1) == {1, 3}
     assert hits(4) == {1, 3}  # doc 2 stays out at any slop
+
+
+def test_phrase_slop_repeated_terms_engine_oracle_parity(spark):
+    """Engine vs oracle on adversarial repeated-term sloppy phrases
+    (the exact staircase-assignment semantics must agree doc-for-doc;
+    the oracle itself is brute-force-pinned in test_property_fuzz)."""
+    from elasticsearch_assets_spark.indexing.build import build_index
+    from elasticsearch_assets_spark.query.oracle import OracleIndex
+
+    texts = [
+        "a a a b", "a b a a", "a a b a a", "b a b a b", "a b b a",
+        "a x a x a", "x a a x", "a a a a", "b a a b a", "a b a b a b",
+    ]
+    rows = [(i + 1, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    idx = build_index(docs, doc_id_col="doc_id", n_buckets=4)
+    oracle = OracleIndex(dict(rows))
+    for phrase in ["a a a", "a b a", "a a b a"]:
+        for slop in (0, 1, 2, 3):
+            got = {
+                r["doc_id"]
+                for r in qx.phrase_query(idx, phrase, k=100, slop=slop).collect()
+            }
+            want = {d for d, _ in oracle.phrase(phrase, k=100, slop=slop)}
+            assert got == want, (phrase, slop, got, want)
+    idx.unpersist()

@@ -258,3 +258,47 @@ def test_multi_slicer_ranges_cover_even_fixture(spark):
         total += sum(p.count for p in plan)
     assert total == 1000
     df.unpersist()
+
+
+# ---- sloppy-phrase exactness (r5: spread semantics + exact repeated-
+# term assignment) ------------------------------------------------------
+def _brute_phrase_match(tokens, phrase_terms, slop):
+    """Ground truth: EXISTS one position per slot, all positions
+    distinct (same-term slots may not share a token; distinct terms
+    never can), with adjusted-position spread <= slop."""
+    from itertools import product
+
+    pos = {
+        t: [i for i, x in enumerate(tokens) if x == t]
+        for t in set(phrase_terms)
+    }
+    if any(not pos[t] for t in phrase_terms):
+        return False
+    for sel in product(*[pos[t] for t in phrase_terms]):
+        if len(set(sel)) < len(sel):
+            continue
+        adjusted = [p - i for i, p in enumerate(sel)]
+        if max(adjusted) - min(adjusted) <= slop:
+            return True
+    return False
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.sampled_from("ab"), min_size=1, max_size=9),
+    st.lists(st.sampled_from("ab"), min_size=2, max_size=4),
+    st.integers(min_value=0, max_value=3),
+)
+def test_oracle_sloppy_phrase_matches_brute_force(doc, phrase, slop):
+    """The oracle's phrase matcher (which exec.phrase_query is
+    parity-pinned against) must agree with brute-force assignment
+    search on every doc/phrase/slop — including repeated-term phrases,
+    where the greedy staircase assignment must be EXACT (the r4 Hall
+    relaxation could over-match)."""
+    from elasticsearch_assets_spark.query.oracle import OracleIndex
+
+    text = " ".join(doc)
+    oracle = OracleIndex({1: text})
+    got = bool(oracle.phrase(" ".join(phrase), k=10, slop=slop))
+    want = _brute_phrase_match(doc, phrase, slop)
+    assert got == want, (doc, phrase, slop, got, want)
