@@ -20,6 +20,8 @@ index touches only the directories owning the query's terms.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -296,12 +298,57 @@ def build_fuzzy_dictionary(
     )
 
 
+def write_fuzzy_dictionary(
+    index: IndexTables,
+    path: str,
+    max_edits: int = 2,
+    prefix_len: int = FUZZY_PREFIX_LEN,
+    n_buckets: int = 64,
+) -> None:
+    """Persist the deletion dictionary partitioned by
+    vbucket = pmod(xxhash64(variant), n_buckets): a query computes its
+    variants' buckets DRIVER-SIDE (the parity-pinned pure-Python XXH64)
+    and prunes to <= |variants| directories before the IN(variant)
+    filter even runs — the same directory-pruning shape as the postings
+    bucket layout. Parameters ride in fuzzy_meta.json."""
+    import json as _json
+
+    fz = build_fuzzy_dictionary(index, max_edits, prefix_len).withColumn(
+        "vbucket", F.pmod(F.xxhash64("variant"), F.lit(n_buckets)).cast("int")
+    )
+    (
+        fz.repartition(n_buckets, "vbucket")
+        .sortWithinPartitions("vbucket", "variant", "term")
+        .write.mode("overwrite")
+        .partitionBy("vbucket")
+        .parquet(os.path.join(path, "fuzzy"))
+    )
+    with open(os.path.join(path, "fuzzy_meta.json"), "w") as f:
+        _json.dump(
+            {
+                "max_edits": max_edits,
+                "prefix_len": prefix_len,
+                "n_buckets": n_buckets,
+            },
+            f,
+        )
+
+
+def read_fuzzy_dictionary(spark, path: str) -> tuple[DataFrame, dict]:
+    import json as _json
+
+    with open(os.path.join(path, "fuzzy_meta.json")) as f:
+        meta = _json.load(f)
+    return spark.read.parquet(os.path.join(path, "fuzzy")), meta
+
+
 def dict_hits_fuzzy_indexed(
     index: IndexTables,
     fuzzy: DataFrame,
     term: str,
     max_edits: int = 2,
     prefix_len: int = FUZZY_PREFIX_LEN,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """dict_hits_fuzzy served from a prebuilt deletion dictionary: an
     IN(variant) candidate fetch + exact levenshtein verification of the
@@ -312,7 +359,12 @@ def dict_hits_fuzzy_indexed(
     against the scan on the corpus dictionary)."""
     q = term.lower()
     qvars = deletion_variants_py(q, max_edits, prefix_len)
-    cand = fuzzy.where(F.col("variant").isin(qvars)).select("term").distinct()
+    pred = F.col("variant").isin(qvars)
+    if n_buckets is not None and "vbucket" in fuzzy.columns:
+        # persisted layout: driver-side bucket math prunes directories
+        buckets = sorted({term_bucket(v, n_buckets) for v in qvars})
+        pred = F.col("vbucket").isin(buckets) & pred
+    cand = fuzzy.where(pred).select("term").distinct()
     n = len(q)
     lt = F.length("term")
     return (

@@ -254,11 +254,13 @@ def test_ivf_index_prunes_centroid_directories(spark, sf_dir, tmp_path_factory):
 
 def test_build_is_jvm_only_with_partial_agg(spark, corpus):
     # the tokenize+tf hot path: no Python eval nodes (pure JVM codegen
-    # operators) and map-side combine (partial_count) before the shuffle
+    # operators) and map-side combine (a partial_* aggregate) before the
+    # shuffle; with keep_positions the single token groupBy is the
+    # collect_list prox agg (r5: tf derives from it map-side)
     index, _ = corpus
     plan = _plan(index.postings)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "partial_count" in plan, plan
+    assert "partial_count" in plan or "partial_collect_list" in plan, plan
 
 
 def test_phrase_positions_scan_semi_join_restricted(disk_index):
@@ -329,3 +331,34 @@ def test_deletion_variants_col_matches_py(spark):
             assert sorted(set(r["vs"])) == qx.deletion_variants_py(
                 r["w"], d
             ), (r["w"], d)
+
+
+def test_fuzzy_persisted_bucket_pruning(spark, corpus, tmp_path):
+    """Persisted deletion dictionary: vbucket partitionBy + driver-side
+    parity bucket math prune the scan to the query variants' bucket
+    DIRECTORIES (PartitionFilters), with the IN(variant) predicate
+    pushed; results identical to the in-memory indexed path and the
+    band scan."""
+    index, _ = corpus
+    p = str(tmp_path / "fz")
+    qx.write_fuzzy_dictionary(index, p, max_edits=2, n_buckets=8)
+    fz, meta = qx.read_fuzzy_dictionary(spark, p)
+    assert meta == {"max_edits": 2, "prefix_len": 7, "n_buckets": 8}
+    for q, d in [("merg", 1), ("confg", 2)]:
+        scan = {
+            (r["term"], r["df"])
+            for r in qx.dict_hits_fuzzy(index, q, max_edits=d).collect()
+        }
+        got = {
+            (r["term"], r["df"])
+            for r in qx.dict_hits_fuzzy_indexed(
+                index, fz, q, max_edits=d, n_buckets=meta["n_buckets"]
+            ).collect()
+        }
+        assert got == scan, (q, d, got ^ scan)
+    out = qx.dict_hits_fuzzy_indexed(index, fz, "merg", 1, n_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    fscan = [l for l in plan.splitlines() if "FileScan" in l and "fuzzy" in l]
+    assert fscan, plan
+    s = fscan[0]
+    assert "PartitionFilters" in s and "vbucket" in s.split("PartitionFilters")[1].split("]")[0], s
