@@ -708,6 +708,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sp_filter"] = sp_filter
 
+    def sp_filter_vars(s, d):
+        # xLucene variables (S3 gap closed in r5): $types binds an OR
+        # term-list, $min a scalar — resolution per the public
+        # xlucene-parser semantics (reference POSTs variables with every
+        # spaces query, SpacesReaderClient.ts:57)
+        from elasticsearch_assets_spark.sources.spaces import spaces_filter
+
+        ev = _t(s, d, "events")
+        return spaces_filter(
+            ev,
+            "event_type:$types AND value:[$min TO $max}",
+            variables={"types": ["click", "view"], "min": 10, "max": 60},
+        ).select("event_id")
+
+    q["sp_filter_vars"] = sp_filter_vars
+
     # ---- query_string via the full planner (Q6): text + keyword mix ----
     def ft_querystring(s, d):
         from elasticsearch_assets_spark.query.planner import (
@@ -1057,8 +1073,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_range_scan", "ev_sort_limit",
         "ev_id_prefix_counts", "ev_date_histogram",
         "ev_subslice_flag", "ev_geo_box", "ev_geo_distance",
-        "ev_geo_sorted", "ev_delayed_window", "ev_json_extract",
+        "ev_geo_sorted", "ev_delayed_window",
         "ev_slice_query",
+        # xLucene variables entry (NEW r5)
+        "sp_filter_vars",
         # slicer plans (fast; plan_id_slices_optimized must land in the
         # artifact — VERDICT r2 #1)
         "plan_id_slices", "plan_id_slices_optimized", "plan_date_slices",
@@ -1079,7 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # long-driver-proven cheap entries rotated to the tail (green in
         # r02-r04 artifacts; still value-checked by tools/check_entry.py)
         "ft_match_all_k", "ft_count", "ev_count", "ev_minmax",
-        "ev_track_total",
+        "ev_track_total", "ev_json_extract",
         # similarity core
         "sim_near_dup_banded", "sim_cosine_topk", "sim_near_dup",
         # r02-proven tail + the slow builders/streamers
@@ -1674,6 +1692,11 @@ SELECT id_a, id_b, round(c, 4) AS cosine FROM scored WHERE c >= 0.35
 
     o["sp_filter"] = (
         "SELECT event_id FROM events WHERE event_type = 'click' AND value >= 10"
+    )
+
+    o["sp_filter_vars"] = (
+        "SELECT event_id FROM events WHERE event_type IN ('click', 'view') "
+        "AND value >= 10 AND value < 60"
     )
 
     o["ft_querystring"] = f"""{_bm25_cte()},
