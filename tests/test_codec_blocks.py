@@ -158,3 +158,30 @@ def test_packed_blocks_bounded(packed):
     pidx, _ = packed
     mx = pidx.blocks.agg({"n": "max"}).collect()[0][0]
     assert mx <= 64 * 4  # hash variance allowance
+
+
+def test_pack_blocks_tiny_arrow_batches_identical(spark, corpus):
+    """Force 13-row Arrow batches so (term, block) groups straddle batch
+    boundaries INSIDE a real Spark job — the carry-over must make the
+    packed output byte-identical to the default-batch pack."""
+    from elasticsearch_assets_spark.indexing.blockpack import pack_blocks
+
+    index, _ = corpus
+
+    def snap(blocks):
+        return sorted(
+            (r["term"], r["block"], r["n"], bytes(r["docs_vb"]),
+             bytes(r["tfs_vb"]), bytes(r["dls_vb"]), bytes(r["bloom"]),
+             round(r["max_tfn"], 12))
+            for r in blocks.collect()
+        )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    default = spark.conf.get(key)
+    want = snap(pack_blocks(index, block_size=16))
+    try:
+        spark.conf.set(key, "13")
+        got = snap(pack_blocks(index, block_size=16))
+    finally:
+        spark.conf.set(key, default)
+    assert got == want
