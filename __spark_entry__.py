@@ -1459,8 +1459,12 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE i / (sa.sz + sb.sz - i) >= 0.2
 """
 
+    # mirror of dedup.minhash_signatures' slice scheme: 32-bit hex
+    # slices of 2 md5 digests (k/4 md5 calls per shingle, not k)
     _mh_cols = ",\n  ".join(
-        f"min(md5(shingle || ':{i}')) AS mh_{i}" for i in range(8)
+        f"min(substr(md5(shingle || ':{i // 4}'), {(i % 4) * 8 + 1}, 8)) "
+        f"AS mh_{i}"
+        for i in range(8)
     )
     _band_exprs = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, mh_{2*b} || '|' || mh_{2*b+1} AS band_sig FROM sig"

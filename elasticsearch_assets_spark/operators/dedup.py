@@ -101,12 +101,24 @@ def jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 8
 ) -> DataFrame:
-    """MinHash: for each of k hash functions, min(md5(shingle || ':' || i))
-    over the doc's shingles. md5-based so DuckDB reproduces it exactly.
-    Returns (<id>, mh_0..mh_{k-1})."""
+    """MinHash: k hash functions realized as 32-bit SLICES of
+    ceil(k/4) md5 digests — mh_i = min over shingles of
+    substr(md5(shingle || ':' || i//4), (i%4)*8+1, 8). One md5 per
+    shingle per digest (k/4 calls, not k — md5 is the CPU-dominant
+    term of LSH dedup at corpus scale; the 4 slices of one digest are
+    independent 32-bit keys, and fixed-length lowercase hex compares
+    lexicographically == numerically in both engines). md5-based so
+    DuckDB reproduces it exactly. 32-bit mins are collision-safe to
+    ~2^16 shingles/doc. Returns (<id>, mh_0..mh_{k-1})."""
     sh = shingles(df, text_col, id_col, n)
     aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}")))).alias(f"mh_{i}")
+        F.min(
+            F.substring(
+                F.md5(F.concat(F.col("shingle"), F.lit(f":{i // 4}"))),
+                (i % 4) * 8 + 1,
+                8,
+            )
+        ).alias(f"mh_{i}")
         for i in range(k)
     ]
     return sh.groupBy(id_col).agg(*aggs)
