@@ -28,7 +28,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from elasticsearch_assets_spark.functions.analyzer import analyze_col
@@ -44,6 +44,10 @@ _FP_MOD = 1_000_003
 
 def _part_dir(path: str, part: int) -> str:
     return os.path.join(path, "postings", f"part={part}")
+
+
+def _pos_part_dir(path: str, part: int) -> str:
+    return os.path.join(path, "positions", f"part={part}")
 
 
 def _manifest_dir(path: str) -> str:
@@ -75,19 +79,55 @@ def _fresh_fingerprints(base: DataFrame) -> dict[int, str]:
 
 def _build_part(
     base: DataFrame, path: str, part: int, n_buckets: int, text_col: str,
-    run_id: str,
+    run_id: str, keep_positions: bool = False,
 ) -> None:
-    """Build one partition's postings + commit its manifest row."""
+    """Build one partition's postings (+ optional prox stream) and
+    commit its manifest row LAST (the row is the atomic commit point,
+    so a crash between data and manifest writes just rebuilds the
+    part). Same single-token-groupBy shape as indexing/build: dl is
+    computed MAP-SIDE as size(analyzed tokens) — the former
+    sum(tf)-over-doc window cost an extra per-part exchange — and with
+    keep_positions the postings derive from the prox aggregation
+    (tf = size(positions)), so tokens shuffle once either way."""
     spark = base.sparkSession
     t0 = time.time()
     sub = base.where(F.col("_part") == part)
-    tokens = sub.select(
-        "doc_id", F.posexplode(analyze_col(text_col)).alias("pos", "term")
+    toks = sub.withColumn("_toks", analyze_col(text_col)).withColumn(
+        "dl", F.coalesce(F.size("_toks"), F.lit(0)).cast("int")
     )
-    tf = tokens.groupBy("term", "doc_id").agg(F.count("*").cast("int").alias("tf"))
-    tfd = tf.withColumn(
-        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("int")
-    ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    tokens = toks.select(
+        "doc_id", "dl", F.posexplode("_toks").alias("pos", "term")
+    )
+    bucket = F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    if keep_positions:
+        prox = (
+            tokens.groupBy("term", "doc_id")
+            .agg(
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+                F.first("dl").alias("dl"),
+            )
+            .withColumn("bucket", bucket)
+        )
+        prox.write.mode("overwrite").parquet(_pos_part_dir(path, part))
+        prox = spark.read.parquet(_pos_part_dir(path, part))
+        tfd = prox.select(
+            "term",
+            "doc_id",
+            F.size("positions").cast("int").alias("tf"),
+            "dl",
+            "bucket",
+        )
+    else:
+        tfd = (
+            tokens.groupBy("term", "doc_id")
+            .agg(F.count("*").cast("int").alias("tf"), F.first("dl").alias("dl"))
+            .withColumn("bucket", bucket)
+        )
+        # a positions-less rebuild of a part previously built WITH
+        # positions must not leave a stale prox dir behind
+        import shutil
+
+        shutil.rmtree(_pos_part_dir(path, part), ignore_errors=True)
     tfd.write.mode("overwrite").parquet(_part_dir(path, part))
 
     stats = sub.agg(
@@ -145,11 +185,15 @@ def build_index_resumable(
     id_cols: tuple[str, ...] = ("repo", "path", "commit"),
     run_id: str = "run",
     fail_after_parts: int | None = None,
+    keep_positions: bool = False,
 ) -> None:
     """Build (or resume) the partitioned index at `path`.
 
     fail_after_parts injects a crash after N newly-built parts — the
-    kill/resume test hook.
+    kill/resume test hook. keep_positions also writes the prox stream
+    per part (positions/part=N) so a resumable/incremental index can
+    serve phrase queries; the manifest row stays the single commit
+    point for both streams.
     """
     spark = docs.sparkSession
     base = _with_parts(docs, id_cols, text_col, n_parts)
@@ -158,7 +202,9 @@ def build_index_resumable(
     for part in range(n_parts):
         if part in done:
             continue
-        _build_part(base, path, part, n_buckets, text_col, run_id)
+        _build_part(
+            base, path, part, n_buckets, text_col, run_id, keep_positions
+        )
         built += 1
         if fail_after_parts is not None and built >= fail_after_parts:
             raise RuntimeError(f"injected failure after {built} parts")
@@ -172,6 +218,7 @@ def refresh_index(
     text_col: str = "content",
     id_cols: tuple[str, ...] = ("repo", "path", "commit"),
     run_id: str = "refresh",
+    keep_positions: bool = False,
 ) -> list[int]:
     """Incremental maintenance (SURVEY.md §7.8): rebuild ONLY partitions
     whose input fingerprint drifted (adds/deletes/content edits).
@@ -187,7 +234,9 @@ def refresh_index(
         if current.get(part) != fresh.get(part, "0")
     ]
     for part in stale:
-        _build_part(base, path, part, n_buckets, text_col, run_id)
+        _build_part(
+            base, path, part, n_buckets, text_col, run_id, keep_positions
+        )
     return stale
 
 
@@ -195,6 +244,14 @@ def read_resumable_postings(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("basePath", os.path.join(path, "postings")).parquet(
         os.path.join(path, "postings")
     )
+
+
+def read_resumable_positions(spark: SparkSession, path: str) -> DataFrame:
+    """Prox stream of a keep_positions resumable index — read through
+    the manifest the same way postings are (only committed parts)."""
+    return spark.read.option(
+        "basePath", os.path.join(path, "positions")
+    ).parquet(os.path.join(path, "positions"))
 
 
 def verify_fingerprints(

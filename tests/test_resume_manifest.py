@@ -120,3 +120,43 @@ def test_resume_noop_when_complete(spark, docs, tmp_path):
     # no new rows: every part was already done
     assert m.count() == N_PARTS
     assert _postings_fingerprint(spark, p) == before
+
+
+def test_resumable_build_with_positions_kill_resume(spark, tmp_path):
+    """keep_positions resumable build: kill mid-run, resume, and the
+    prox stream must be complete and phrase-consistent — identical
+    (term, doc_id, positions) multiset to an uninterrupted build."""
+    from elasticsearch_assets_spark.corpus import generate_corpus
+    from elasticsearch_assets_spark.plans.manifest import (
+        build_index_resumable,
+        read_resumable_positions,
+        read_resumable_postings,
+    )
+
+    docs = generate_corpus(spark, 400, seed=7)
+    p1 = str(tmp_path / "killed")
+    try:
+        build_index_resumable(
+            docs, p1, n_parts=4, fail_after_parts=2, keep_positions=True
+        )
+        raise AssertionError("injected failure did not fire")
+    except RuntimeError:
+        pass
+    build_index_resumable(docs, p1, n_parts=4, keep_positions=True)
+    p2 = str(tmp_path / "clean")
+    build_index_resumable(docs, p2, n_parts=4, keep_positions=True)
+
+    def snap_pos(path):
+        return sorted(
+            (r["term"], r["doc_id"], tuple(r["positions"]), r["dl"])
+            for r in read_resumable_positions(spark, path).collect()
+        )
+
+    assert snap_pos(p1) == snap_pos(p2)
+    # tf = size(positions) invariant between the two streams
+    post = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in read_resumable_postings(spark, p1).collect()
+    }
+    for term, doc_id, pos, _dl in snap_pos(p1):
+        assert post[(term, doc_id)] == len(pos)
