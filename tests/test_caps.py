@@ -105,3 +105,21 @@ def test_connected_components_releases_round_checkpoints(spark):
     # only the RETURNED labels checkpoint may remain (edges + all prior
     # round checkpoints released)
     assert after <= before + 1, (before, after)
+
+
+def test_near_dup_banded_drop_stats(spark):
+    # the banded variant threads drop_obs through its per-band cap
+    base = [0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2,
+            0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2]
+    rows = [(i, [v + i * 1e-4 for v in base]) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    obs = drop_observation("ndb_drops")
+    out = similarity.near_dup_pairs_banded(
+        emb, threshold=0.99, max_bucket=5, drop_obs=obs,
+    )
+    assert out.count() == 0
+    s = drop_stats(obs)
+    # 12 vectors share both 8-bit band buckets -> 2 bands x 12 rows
+    assert s["dropped_rows"] == 24, s
+    assert s["dropped_buckets"] == 2, s
+    assert s["largest_dropped_bucket"] == 12, s
