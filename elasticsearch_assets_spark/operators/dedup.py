@@ -206,12 +206,17 @@ def jaccard_pairs_verified(
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    # verify only candidate pairs: semi-restrict both join sides first
-    a = a.join(cand.select("id_a").distinct(), "id_a", "left_semi")
-    b = b.join(cand.select("id_b").distinct(), "id_b", "left_semi")
+    # PAIR-FIRST verification: expand each candidate pair by id_a's
+    # shingles, then keyed-join on (id_b, shingle) to keep only shared
+    # ones — intermediate rows = Σ_pairs |shingles(id_a)|, linear in
+    # candidate pairs × doc size. The former shingle-keyed self-join
+    # (a ⋈ b ON shingle, pair-restricted afterwards) was quadratic in a
+    # hot shingle's candidate-doc count: one stop-word trigram shared
+    # by 10^6 candidate docs would have produced 10^12 intermediate
+    # rows BEFORE the pair semi-join could drop them.
     inter = (
-        a.join(b, "shingle")
-        .join(cand, ["id_a", "id_b"], "left_semi")
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
