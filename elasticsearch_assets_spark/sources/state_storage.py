@@ -251,13 +251,23 @@ class StateStorage:
             f"times (retry_on_conflict={self.retry_on_conflict})"
         )
 
+    # broadcast mget key sets only up to this many keys (the reference
+    # chunks mget at 2500/request; a forced broadcast of an UNBOUNDED
+    # caller frame is a driver OOM at scale)
+    MGET_BROADCAST_KEYS = 100_000
+
     def mget(self, keys: DataFrame) -> DataFrame:
         """Fetch records for a keyed frame — broadcast join when the key
-        set is small (the mget analogue), plain join otherwise."""
+        set is small (the mget analogue), plain shuffle semi-join
+        otherwise (the threshold probe is a limit-bounded count, never
+        a full materialization)."""
         cur = self.table()
         if cur is None:
             return keys.limit(0)
-        return cur.join(F.broadcast(keys.select(self.key).distinct()), self.key, "left_semi")
+        ks = keys.select(self.key).distinct()
+        n = ks.limit(self.MGET_BROADCAST_KEYS + 1).count()
+        side = F.broadcast(ks) if n <= self.MGET_BROADCAST_KEYS else ks
+        return cur.join(side, self.key, "left_semi")
 
     def get(self, key_value) -> dict | None:
         cur = self.table()
