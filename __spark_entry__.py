@@ -773,6 +773,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_fuzzy"] = ft_fuzzy
 
+    def ft_fuzzy_disk(s, d):
+        # the PERSISTED deletion dictionary: vbucket partitionBy +
+        # driver-side parity bucket math prune the scan to the query
+        # variants' directories (write_fuzzy_dictionary /
+        # read_fuzzy_dictionary); same query as ft_fuzzy, same oracle
+        import tempfile
+
+        index = _docs_index(s, d)
+        key = os.path.abspath(d) + "::fuzzy_disk"
+        if key not in _INDEX_CACHE:
+            p = tempfile.mkdtemp(prefix="eas_fuzzy_")
+            qx.write_fuzzy_dictionary(index, p, max_edits=2, n_buckets=16)
+            _INDEX_CACHE[key] = qx.read_fuzzy_dictionary(s, p)
+        fz, meta = _INDEX_CACHE[key]
+        hits = qx.dict_hits_fuzzy_indexed(
+            index, fz, "merg", max_edits=1, n_buckets=meta["n_buckets"]
+        )
+        out = qx.scored_expansion(index, hits)
+        return (
+            out.withColumn("score", F.round("score", 4))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(15)
+            .select("doc_id", "score")
+        )
+
+    q["ft_fuzzy_disk"] = ft_fuzzy_disk
+
     def ft_boost(s, d):
         # Lucene boost through the full planner: merge^2 doubles that
         # clause's BM25 contribution before the OR sum
@@ -1068,9 +1095,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_wildcard_prefix", "ft_phrase", "ft_phrase_slop",
         "ft_phrase_slop3", "ft_bool_must_not", "ft_source_filter",
         # query_string features (reuse the built index, ~1s each)
-        "ft_fuzzy", "ft_boost", "ft_qs_required",
+        "ft_fuzzy", "ft_fuzzy_disk", "ft_boost", "ft_qs_required",
         # events family
-        "ev_range_scan", "ev_sort_limit",
+        "ev_range_scan",
         "ev_id_prefix_counts", "ev_date_histogram",
         "ev_subslice_flag", "ev_geo_box", "ev_geo_distance",
         "ev_geo_sorted", "ev_delayed_window",
@@ -1097,7 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # long-driver-proven cheap entries rotated to the tail (green in
         # r02-r04 artifacts; still value-checked by tools/check_entry.py)
         "ft_match_all_k", "ft_count", "ev_count", "ev_minmax",
-        "ev_track_total", "ev_json_extract",
+        "ev_track_total", "ev_json_extract", "ev_sort_limit",
         # similarity core
         "sim_near_dup_banded", "sim_cosine_topk", "sim_near_dup",
         # r02-proven tail + the slow builders/streamers
@@ -1735,6 +1762,10 @@ GROUP BY doc_id
 ORDER BY round(sum(c), 4) DESC, doc_id ASC
 LIMIT 15
 """
+
+    # same oracle as ft_fuzzy: the persisted variant-bucketed dictionary
+    # must produce the identical expansion set
+    o["ft_fuzzy_disk"] = o["ft_fuzzy"].replace("LIMIT 15", "LIMIT 15")
 
     # boost: merge clause × 2 + batch clause (≤2 values per doc, so the
     # float sum is order-independent — IEEE addition is commutative)
