@@ -1765,7 +1765,7 @@ LIMIT 15
 
     # same oracle as ft_fuzzy: the persisted variant-bucketed dictionary
     # must produce the identical expansion set
-    o["ft_fuzzy_disk"] = o["ft_fuzzy"].replace("LIMIT 15", "LIMIT 15")
+    o["ft_fuzzy_disk"] = o["ft_fuzzy"]
 
     # boost: merge clause × 2 + batch clause (≤2 values per doc, so the
     # float sum is order-independent — IEEE addition is commutative)
