@@ -192,14 +192,41 @@ WILDCARD_COLLECT_THRESHOLD = 128
 def dict_hits(index: IndexTables, pattern: str) -> DataFrame:
     """Dictionary rows matching an ES wildcard pattern (`*`/`?`).
     Prefix patterns become a dictionary range scan (term >= p AND
-    term < p+MAX) — SURVEY.md Q4. Stays a DataFrame: never assume the
-    hit set fits on the driver (a short prefix over a 10^9-term
-    dictionary does not)."""
+    term < p+MAX) — SURVEY.md Q4 — and every other single-`*` shape
+    decomposes into pushdown-friendly string predicates (parquet
+    pushes StringStartsWith/EndsWith/Contains into the scan; an rlike
+    regex never reaches it, so `*suffix` over a 10^9-term dictionary
+    would otherwise be a full decode-and-match):
+
+        prefix*        range scan (as before)
+        *suffix        endswith  (reversed-dictionary equivalent —
+                       Lucene solves this with a reversed-term field)
+        *infix*        contains
+        pre*suf        startswith AND endswith AND length guard
+                       (exact for one `*`: no overlap double-count)
+
+    `?` or multi-`*` patterns fall back to the anchored regex. Stays a
+    DataFrame: never assume the hit set fits on the driver."""
     t = index.terms
-    if pattern.endswith("*") and "*" not in pattern[:-1] and "?" not in pattern:
-        p = pattern[:-1].lower()
-        return t.where((F.col("term") >= p) & (F.col("term") < p + "￿"))
-    regex = "^" + _glob_to_regex(pattern.lower()) + "$"
+    p = pattern.lower()
+    if "?" not in p:
+        parts = p.split("*")
+        if len(parts) == 2:
+            pre, suf = parts
+            if pre and not suf:
+                return t.where((F.col("term") >= pre) & (F.col("term") < pre + "￿"))
+            if suf and not pre:
+                return t.where(F.col("term").endswith(suf))
+            if pre and suf:
+                return t.where(
+                    F.col("term").startswith(pre)
+                    & F.col("term").endswith(suf)
+                    & (F.length("term") >= len(pre) + len(suf))
+                )
+            return t  # bare "*": every term
+        if len(parts) == 3 and parts[0] == "" and parts[2] == "" and parts[1]:
+            return t.where(F.col("term").contains(parts[1]))
+    regex = "^" + _glob_to_regex(p) + "$"
     return t.where(F.col("term").rlike(regex))
 
 

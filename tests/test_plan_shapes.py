@@ -362,3 +362,28 @@ def test_fuzzy_persisted_bucket_pruning(spark, corpus, tmp_path):
     assert fscan, plan
     s = fscan[0]
     assert "PartitionFilters" in s and "vbucket" in s.split("PartitionFilters")[1].split("]")[0], s
+
+
+def test_wildcard_shapes_parity_and_pushdown(disk_index):
+    """Single-`*` wildcard shapes decompose into pushable string
+    predicates; every shape must match the anchored-regex semantics
+    exactly, and the suffix form must reach the parquet scan as
+    StringEndsWith (a regex never pushes — full dictionary decode)."""
+    import re
+
+    all_terms = [r["term"] for r in disk_index.terms.select("term").collect()]
+
+    def regex_hits(pattern):
+        rx = re.compile("^" + qx._glob_to_regex(pattern.lower()) + "$")
+        return {t for t in all_terms if rx.match(t)}
+
+    for pattern in ["merge*", "*value", "*erg*", "m*e", "par*ate", "*",
+                    "me*me", "ab*cd"]:
+        got = {r["term"] for r in qx.dict_hits(disk_index, pattern).collect()}
+        assert got == regex_hits(pattern), pattern
+    plan = _plan(qx.dict_hits(disk_index, "*value"))
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "StringEndsWith(term,value)" in scan, scan
+    plan = _plan(qx.dict_hits(disk_index, "*erg*"))
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "StringContains(term,erg)" in scan, scan
