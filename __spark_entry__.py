@@ -1584,7 +1584,10 @@ SELECT doc_id, {_bit_concat} AS simhash FROM sums
     o["ts_token_count"] = f"""
 SELECT doc_id,
        len({_ANALYZE_TEXT_SQL}) AS n_tokens,
-       len(regexp_split_to_array(trim(text), '\\s+')) AS n_words
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+       len(regexp_extract_all(text,
+           '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'
+       )) AS n_bpe
 FROM documents
 """
 

@@ -23,13 +23,31 @@ LANG_MARKERS = {
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
 
 
+# GPT-2-style pretokenizer, restricted to constructs Java regex (Spark)
+# and RE2 (DuckDB) evaluate IDENTICALLY: contractions, space-prefixed
+# letter/digit runs, space-prefixed punctuation runs, whitespace runs.
+# The real GPT-2 pattern's trailing-space lookahead (\s+(?!\S)) is
+# dropped — RE2 has no lookahead — so this is deliberately "BPE-ish":
+# a stable cross-engine token-budget estimator, not a tokenizer.
+# explicit whitespace class: Java's \s includes \x0B, RE2's does not —
+# spell the class out so both engines see the same set
+BPE_ISH_REGEX = (
+    "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+|"
+    " ?[^ \t\n\f\rA-Za-z0-9]+|[ \t\n\f\r]+"
+)
+
+
 def token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Token counts: analyzer tokens + whitespace words. (<id>,
-    n_tokens, n_words)."""
+    """Token counts: analyzer tokens + whitespace words + BPE-ish
+    pretokenizer pieces (the LLM token-budget estimate). (<id>,
+    n_tokens, n_words, n_bpe)."""
     return df.select(
         F.col(id_col),
         F.size(analyze_col(text_col)).alias("n_tokens"),
         F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_words"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_REGEX), 0)
+        ).alias("n_bpe"),
     )
 
 

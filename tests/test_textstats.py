@@ -1,0 +1,75 @@
+"""textstats unit goldens (operators are otherwise value-checked only
+through the driver entries): BPE-ish token counting must agree between
+Spark (Java regex) and DuckDB (RE2) on arbitrary text — the pattern is
+deliberately restricted to constructs both engines evaluate
+identically (no lookahead, explicit whitespace class)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from elasticsearch_assets_spark.operators import textstats
+
+
+def _spark_counts(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = textstats.token_count(df, "text", "doc_id")
+    return {r["doc_id"]: (r["n_tokens"], r["n_words"], r["n_bpe"])
+            for r in out.collect()}
+
+
+def _duck_bpe(texts):
+    con = duckdb.connect()
+    pat = textstats.BPE_ISH_REGEX.replace("'", "''")
+    out = {}
+    for i, t in enumerate(texts):
+        out[i] = con.execute(
+            f"SELECT len(regexp_extract_all(?, '{pat}'))", [t]
+        ).fetchone()[0]
+    return out
+
+
+def test_bpe_ish_goldens(spark):
+    cases = {
+        "hello world": 2,           # ' ?letters' x2
+        "it's fine": 3,             # it + 's + ' fine'
+        "a  b": 3,                  # 'a', '  ' (ws run), 'b'
+        "x1y2": 4,                  # x,1,y,2
+        "foo_bar": 3,               # 'foo', '_', 'bar'
+        "": 0,
+        "   ": 1,                   # one whitespace run
+        "we're 100% done": 5,       # we + 're + ' 100' + '%' + ' done'
+    }
+    got = _spark_counts(spark, list(cases))
+    for i, (text, want) in enumerate(cases.items()):
+        assert got[i][2] == want, (text, got[i][2], want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=st.sampled_from("ab1 .'\t\n_é-"), max_size=40))
+def test_bpe_ish_cross_engine(text):
+    # pure-driver check against DuckDB (no spark session per example)
+    import re
+
+    java_like = re.findall(textstats.BPE_ISH_REGEX, text)
+    # re.findall returns group captures when groups exist; count via finditer
+    n_py = sum(1 for _ in re.finditer(textstats.BPE_ISH_REGEX, text))
+    n_duck = _duck_bpe([text])[0]
+    assert n_py == n_duck, (text, n_py, n_duck)
+
+
+def test_bpe_ish_spark_matches_duckdb_batch(spark):
+    texts = [
+        "the quick brown fox", "it's we're you'll I've they'd",
+        "x\ty\nz", "a1b2 c3", "...!!!", "tabs\t\tand  spaces",
+        "mixed_case CamelCase snake_case", "unicode é ü ñ end",
+    ]
+    got = _spark_counts(spark, texts)
+    duck = _duck_bpe(texts)
+    for i, t in enumerate(texts):
+        assert got[i][2] == duck[i], (t, got[i][2], duck[i])
