@@ -259,3 +259,26 @@ def test_phrase_slop_repeated_terms_engine_oracle_parity(spark):
             want = {d for d, _ in oracle.phrase(phrase, k=100, slop=slop)}
             assert got == want, (phrase, slop, got, want)
     idx.unpersist()
+
+
+def test_phrase_query_legacy_positions_without_dl(spark):
+    """Indexes written before dl was denormalized into prox rows hit the
+    has_dl=False branch (scoring falls back to a scored_terms join) —
+    match set AND scores must equal the modern single-scan path."""
+    from dataclasses import replace
+
+    from elasticsearch_assets_spark.indexing.build import build_index
+
+    rows = [(i, t) for i, t in enumerate(
+        ["alpha beta gamma", "alpha x beta", "beta alpha", "alpha beta beta",
+         "gamma delta", "alpha beta gamma alpha beta"])]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    idx = build_index(docs, doc_id_col="doc_id", n_buckets=4)
+    legacy = replace(idx, positions=idx.positions.drop("dl"), _cached=())
+    for slop in (0, 1, 2):
+        new = {(r["doc_id"], round(r["score"], 9))
+               for r in qx.phrase_query(idx, "alpha beta", k=50, slop=slop).collect()}
+        old = {(r["doc_id"], round(r["score"], 9))
+               for r in qx.phrase_query(legacy, "alpha beta", k=50, slop=slop).collect()}
+        assert new == old, (slop, new, old)
+    idx.unpersist()
