@@ -178,7 +178,10 @@ def bool_query(
             m = scored_terms(index, must).where(F.col("n_matched") == len(must))
             s = s.join(m.select("doc_id"), "doc_id", "left_semi")
     if must_not:
-        ex = _candidates(index, must_not).select("doc_id").distinct()
+        # no .distinct(): an anti-join is insensitive to right-side
+        # duplicates, so deduping the exclusion set is a pure extra
+        # exchange+aggregate (the join shuffles the same rows either way)
+        ex = _candidates(index, must_not).select("doc_id")
         s = s.join(ex, "doc_id", "left_anti")
     return top_k(s.select("doc_id", "score"), k)
 
