@@ -788,7 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _INDEX_CACHE[key] = qx.read_fuzzy_dictionary(s, p)
         fz, meta = _INDEX_CACHE[key]
         hits = qx.dict_hits_fuzzy_indexed(
-            index, fz, "merg", max_edits=1, n_buckets=meta["n_buckets"]
+            index, fz, "merg", max_edits=1, meta=meta
         )
         out = qx.scored_expansion(index, hits)
         return (
@@ -1581,11 +1581,13 @@ sums AS (SELECT doc_id, {_bit_sums} FROM h GROUP BY doc_id)
 SELECT doc_id, {_bit_concat} AS simhash FROM sums
 """
 
+    # text coalesced to '' in BOTH engines (NULL rows: 0/1/0, not -1/NULL)
+    _coalesced_analyze = duckdb_analyze_sql("coalesce(text, '')")
     o["ts_token_count"] = f"""
 SELECT doc_id,
-       len({_ANALYZE_TEXT_SQL}) AS n_tokens,
-       len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
-       len(regexp_extract_all(text,
+       len({_coalesced_analyze}) AS n_tokens,
+       len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS n_words,
+       len(regexp_extract_all(coalesce(text, ''),
            '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'
        )) AS n_bpe
 FROM documents

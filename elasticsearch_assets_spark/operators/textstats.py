@@ -40,14 +40,20 @@ BPE_ISH_REGEX = (
 def token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Token counts: analyzer tokens + whitespace words + BPE-ish
     pretokenizer pieces (the LLM token-budget estimate). (<id>,
-    n_tokens, n_words, n_bpe)."""
+    n_tokens, n_words, n_bpe).
+
+    text is coalesced to '' so NULL rows count as 0/1/0 in both
+    engines (Spark's size(NULL) is -1, DuckDB's len(NULL) is NULL —
+    neither is what a pipeline wants).  n_bpe uses regexp_count
+    (Spark >=3.5): counts matches without materializing the piece
+    array — at 100 TB doc sizes the allocation matters.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
     return df.select(
         F.col(id_col),
-        F.size(analyze_col(text_col)).alias("n_tokens"),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_words"),
-        F.size(
-            F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_REGEX), 0)
-        ).alias("n_bpe"),
+        F.size(analyze_col(text)).alias("n_tokens"),
+        F.size(F.split(F.trim(text), r"\s+")).alias("n_words"),
+        F.regexp_count(text, F.lit(BPE_ISH_REGEX)).alias("n_bpe"),
     )
 
 

@@ -58,6 +58,43 @@ def _manifest_part_dir(path: str, part: int) -> str:
     return os.path.join(_manifest_dir(path), f"p{part}")
 
 
+def _build_meta_path(path: str) -> str:
+    return os.path.join(path, "build_meta.json")
+
+
+def read_build_meta(path: str) -> dict:
+    """Build-time settings of a resumable index (currently just
+    keep_positions). Empty dict for pre-meta indexes."""
+    import json as _json
+
+    p = _build_meta_path(path)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return _json.load(f)
+
+
+def _record_build_meta(path: str, keep_positions: bool) -> None:
+    """Persist keep_positions so later refresh/resume runs default to
+    the index's own setting. A conflicting explicit flag raises: a
+    resume that flips keep_positions would leave a MIXED index (some
+    parts with prox dirs, some without) that silently loses phrase
+    recall for the positions-less parts."""
+    import json as _json
+
+    meta = read_build_meta(path)
+    if "keep_positions" in meta and meta["keep_positions"] != keep_positions:
+        raise ValueError(
+            f"index at {path} was built with keep_positions="
+            f"{meta['keep_positions']}; pass keep_positions="
+            f"{meta['keep_positions']} (or rebuild from scratch) instead of "
+            f"{keep_positions} — mixing would silently drop phrase recall"
+        )
+    os.makedirs(path, exist_ok=True)
+    with open(_build_meta_path(path), "w") as f:
+        _json.dump({"keep_positions": keep_positions}, f)
+
+
 def _fp_col():
     return F.sum(F.pmod(F.xxhash64("doc_id", "content_sha"), F.lit(_FP_MOD))).alias(
         "fp"
@@ -197,6 +234,7 @@ def build_index_resumable(
     """
     spark = docs.sparkSession
     base = _with_parts(docs, id_cols, text_col, n_parts)
+    _record_build_meta(path, keep_positions)
     done = done_parts(spark, path)
     built = 0
     for part in range(n_parts):
@@ -218,13 +256,28 @@ def refresh_index(
     text_col: str = "content",
     id_cols: tuple[str, ...] = ("repo", "path", "commit"),
     run_id: str = "refresh",
-    keep_positions: bool = False,
+    keep_positions: bool | None = None,
 ) -> list[int]:
     """Incremental maintenance (SURVEY.md §7.8): rebuild ONLY partitions
     whose input fingerprint drifted (adds/deletes/content edits).
     Returns the rebuilt part ids — empty list when nothing changed.
+
+    keep_positions defaults to the index's OWN build-time setting
+    (build_meta.json) — a refresh of a keep_positions index must not
+    silently rmtree committed prox dirs for the rebuilt parts (phrase
+    queries would then miss those parts' docs with no error). An
+    explicit conflicting flag raises via _record_build_meta.
     """
     spark = docs.sparkSession
+    if keep_positions is None:
+        meta = read_build_meta(path)
+        if "keep_positions" in meta:
+            keep_positions = bool(meta["keep_positions"])
+        else:
+            # pre-meta index: infer from the layout rather than
+            # defaulting to False and deleting committed prox dirs
+            keep_positions = os.path.isdir(os.path.join(path, "positions"))
+    _record_build_meta(path, keep_positions)
     base = _with_parts(docs, id_cols, text_col, n_parts)
     fresh = _fresh_fingerprints(base)
     current = manifest_fingerprints(spark, path)
@@ -240,18 +293,34 @@ def refresh_index(
     return stale
 
 
+def _read_committed(spark: SparkSession, path: str, stream: str) -> DataFrame:
+    """Read only the part dirs whose manifest row committed: a part
+    directory written just before a crash (data landed, manifest row
+    didn't) must not leak into reads — resume will overwrite it, and
+    until then its rows are uncommitted."""
+    base = os.path.join(path, stream)
+    parts = [
+        os.path.join(base, f"part={p}")
+        for p in sorted(done_parts(spark, path))
+        if os.path.isdir(os.path.join(base, f"part={p}"))
+    ]
+    if not parts:
+        raise FileNotFoundError(
+            f"no committed {stream} parts under {path} — build the index "
+            "first (or it was built without this stream)"
+        )
+    return spark.read.option("basePath", base).parquet(*parts)
+
+
 def read_resumable_postings(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.option("basePath", os.path.join(path, "postings")).parquet(
-        os.path.join(path, "postings")
-    )
+    """Postings of a resumable index, restricted to committed parts."""
+    return _read_committed(spark, path, "postings")
 
 
 def read_resumable_positions(spark: SparkSession, path: str) -> DataFrame:
     """Prox stream of a keep_positions resumable index — read through
     the manifest the same way postings are (only committed parts)."""
-    return spark.read.option(
-        "basePath", os.path.join(path, "positions")
-    ).parquet(os.path.join(path, "positions"))
+    return _read_committed(spark, path, "positions")
 
 
 def verify_fingerprints(

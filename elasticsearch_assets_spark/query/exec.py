@@ -379,6 +379,7 @@ def dict_hits_fuzzy_indexed(
     max_edits: int = 2,
     prefix_len: int = FUZZY_PREFIX_LEN,
     n_buckets: int | None = None,
+    meta: dict | None = None,
 ) -> DataFrame:
     """dict_hits_fuzzy served from a prebuilt deletion dictionary: an
     IN(variant) candidate fetch + exact levenshtein verification of the
@@ -386,7 +387,29 @@ def dict_hits_fuzzy_indexed(
     exact (every hit verified); recall matches the scan path except for
     edits SymSpell's prefix truncation can hide past position
     `prefix_len` under length-shifting edit combinations (parity-tested
-    against the scan on the corpus dictionary)."""
+    against the scan on the corpus dictionary).
+
+    Pass the `meta` dict from read_fuzzy_dictionary to enforce the
+    dictionary's build parameters: querying with max_edits larger than
+    the dict was built with (or a different prefix_len) would silently
+    lose recall — candidates past the built deletion depth simply
+    aren't in the table — so that raises instead. meta also supplies
+    n_buckets when the caller didn't."""
+    if meta is not None:
+        if max_edits > meta["max_edits"]:
+            raise ValueError(
+                f"fuzzy dictionary built with max_edits={meta['max_edits']}; "
+                f"querying with max_edits={max_edits} would silently lose "
+                "recall — rebuild the dictionary or lower the query edits"
+            )
+        if prefix_len != meta["prefix_len"]:
+            raise ValueError(
+                f"fuzzy dictionary built with prefix_len={meta['prefix_len']} "
+                f"but query used prefix_len={prefix_len} — join keys would "
+                "not line up"
+            )
+        if n_buckets is None:
+            n_buckets = meta.get("n_buckets")
     q = term.lower()
     qvars = deletion_variants_py(q, max_edits, prefix_len)
     pred = F.col("variant").isin(qvars)

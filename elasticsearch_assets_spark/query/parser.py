@@ -146,6 +146,10 @@ def _lex(q: str):
 
 _VAR_RE = re.compile(r"\$([A-Za-z_][\w.]*)")
 
+# sentinel distinguishing "token is not a variable reference" from a
+# resolved variable value (which may legitimately be falsy, e.g. 0/"")
+_NOT_A_VAR = object()
+
 
 class _Parser:
     def __init__(self, tokens, default_field: str | None, variables=None):
@@ -166,19 +170,28 @@ class _Parser:
         identifiers like `$scope` stay searchable). A `\\$name` escape
         is always literal. Missing variables raise (the reference
         server rejects unresolved variables rather than matching the
-        literal `$name`)."""
+        literal `$name`); a variable PRESENT with value None also
+        raises — returning None here would be indistinguishable from
+        'not a variable' and `$name` would silently parse as a literal
+        term (the _NOT_A_VAR sentinel keeps the two cases apart)."""
         if self.variables is None:
-            return None
+            return _NOT_A_VAR
         m = _VAR_RE.fullmatch(v)
         if not m:
-            return None
+            return _NOT_A_VAR
         name = m.group(1)
         if name not in self.variables:
             raise ValueError(
                 f"unresolved xLucene variable ${name} "
                 f"(provided: {sorted(self.variables)})"
             )
-        return self.variables[name]
+        val = self.variables[name]
+        if val is None:
+            raise ValueError(
+                f"xLucene variable ${name} is null — provide a value "
+                "or remove the clause"
+            )
+        return val
 
     @staticmethod
     def _var_str(x) -> str:
@@ -348,7 +361,7 @@ class _Parser:
             return None
         joined = "".join(parts)
         resolved = self._resolve_var(joined)
-        if resolved is not None:
+        if resolved is not _NOT_A_VAR:
             if isinstance(resolved, (list, tuple)):
                 raise ValueError(
                     f"list-valued variable {joined} in a range bound"
@@ -361,7 +374,7 @@ class _Parser:
         if v.startswith("\\$"):
             return Term(field, v[1:])
         resolved = self._resolve_var(v)
-        if resolved is not None:
+        if resolved is not _NOT_A_VAR:
             # substituted values are LITERALS — never re-parsed as
             # wildcard/fuzzy/regex (the xlucene injection guard); a
             # list value is the term-list form: match ANY element

@@ -364,6 +364,35 @@ def test_fuzzy_persisted_bucket_pruning(spark, corpus, tmp_path):
     assert "PartitionFilters" in s and "vbucket" in s.split("PartitionFilters")[1].split("]")[0], s
 
 
+def test_fuzzy_meta_enforced(spark, corpus, tmp_path):
+    """ADVICE r5: querying past the dictionary's build parameters must
+    raise (silent recall loss otherwise); meta also supplies n_buckets."""
+    import pytest
+
+    index, _ = corpus
+    p = str(tmp_path / "fzmeta")
+    qx.write_fuzzy_dictionary(index, p, max_edits=1, n_buckets=8)
+    fz, meta = qx.read_fuzzy_dictionary(spark, p)
+    with pytest.raises(ValueError, match="max_edits=1"):
+        qx.dict_hits_fuzzy_indexed(index, fz, "merg", max_edits=2, meta=meta)
+    with pytest.raises(ValueError, match="prefix_len"):
+        qx.dict_hits_fuzzy_indexed(
+            index, fz, "merg", max_edits=1, prefix_len=5, meta=meta
+        )
+    # happy path: meta supplies n_buckets, results match the band scan
+    scan = {
+        (r["term"], r["df"])
+        for r in qx.dict_hits_fuzzy(index, "merg", max_edits=1).collect()
+    }
+    got = {
+        (r["term"], r["df"])
+        for r in qx.dict_hits_fuzzy_indexed(
+            index, fz, "merg", max_edits=1, meta=meta
+        ).collect()
+    }
+    assert got == scan
+
+
 def test_wildcard_shapes_parity_and_pushdown(disk_index):
     """Single-`*` wildcard shapes decompose into pushable string
     predicates; every shape must match the anchored-regex semantics

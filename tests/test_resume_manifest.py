@@ -160,3 +160,70 @@ def test_resumable_build_with_positions_kill_resume(spark, tmp_path):
     }
     for term, doc_id, pos, _dl in snap_pos(p1):
         assert post[(term, doc_id)] == len(pos)
+
+
+def test_refresh_preserves_positions_by_default(spark, tmp_path):
+    """ADVICE r5: refresh_index of a keep_positions index must keep
+    writing prox dirs for rebuilt parts (default = the index's own
+    build-time setting from build_meta.json), and an explicit
+    conflicting flag must raise, not silently delete them."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_assets_spark.corpus import generate_corpus
+
+    docs = generate_corpus(spark, 300, seed=11)
+    p = str(tmp_path / "posidx")
+    M.build_index_resumable(docs, p, n_parts=4, keep_positions=True)
+    assert M.read_build_meta(p) == {"keep_positions": True}
+
+    docs2 = docs.withColumn(
+        "content",
+        F.when(
+            F.xxhash64("repo", "path", "commit") % 20 == 0,
+            F.concat(F.col("content"), F.lit("\nEDITED = true")),
+        ).otherwise(F.col("content")),
+    )
+    stale = M.refresh_index(docs2, p, n_parts=4, run_id="r1")
+    assert stale  # something drifted
+    # prox stream complete and consistent with a clean keep_positions build
+    clean = str(tmp_path / "clean")
+    M.build_index_resumable(docs2, clean, n_parts=4, keep_positions=True)
+    snap = lambda path: sorted(
+        (r["term"], r["doc_id"], tuple(r["positions"]))
+        for r in M.read_resumable_positions(spark, path).collect()
+    )
+    assert snap(p) == snap(clean)
+
+    # explicit conflicting flag raises instead of deleting prox dirs
+    with pytest.raises(ValueError, match="keep_positions"):
+        M.refresh_index(docs2, p, n_parts=4, keep_positions=False)
+    with pytest.raises(ValueError, match="keep_positions"):
+        M.build_index_resumable(docs2, p, n_parts=4, keep_positions=False)
+
+
+def test_readers_skip_uncommitted_part_dirs(spark, docs, tmp_path):
+    """ADVICE r5: a part dir written just before a crash (no manifest
+    row) must not leak into read_resumable_postings/positions."""
+    import shutil
+
+    p = str(tmp_path / "uncommitted")
+    M.build_index_resumable(docs, p, n_parts=4, keep_positions=True)
+    committed_rows = M.read_resumable_postings(spark, p).count()
+    committed_pos = M.read_resumable_positions(spark, p).count()
+
+    # simulate a crash: data dir for a phantom part lands, manifest doesn't
+    for stream in ("postings", "positions"):
+        src = os.path.join(p, stream, "part=0")
+        dst = os.path.join(p, stream, "part=9")
+        shutil.copytree(src, dst)
+
+    assert M.read_resumable_postings(spark, p).count() == committed_rows
+    assert M.read_resumable_positions(spark, p).count() == committed_pos
+    parts = {
+        r["_part"]
+        for r in M.read_resumable_postings(spark, p)
+        .select(F.col("part").alias("_part"))
+        .distinct()
+        .collect()
+    }
+    assert 9 not in parts

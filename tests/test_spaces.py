@@ -217,6 +217,18 @@ def test_parse_variable_empty_list_raises():
         P.parse("event_type:$types", variables={"types": []})
 
 
+def test_parse_variable_null_value_raises():
+    # ADVICE r5: a variable PRESENT with value None must raise, not
+    # silently parse as the literal term "$et"
+    with pytest.raises(ValueError, match=r"\$et is null"):
+        P.parse("event_type:$et", variables={"et": None})
+
+
+def test_parse_variable_falsy_values_substitute():
+    # 0 / "" are legitimate values, distinct from None/missing
+    assert P.parse("n:$v", variables={"v": 0}) == P.Term("n", "0")
+
+
 def test_parse_variable_quoted_stays_literal():
     ast = P.parse('name:"$et"', variables={"et": "click"})
     assert ast == P.Phrase("name", "$et")

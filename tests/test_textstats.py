@@ -73,3 +73,18 @@ def test_bpe_ish_spark_matches_duckdb_batch(spark):
     duck = _duck_bpe(texts)
     for i, t in enumerate(texts):
         assert got[i][2] == duck[i], (t, got[i][2], duck[i])
+
+
+def test_token_count_null_text(spark):
+    # ADVICE r5: NULL text must count as 0/1/0 (coalesced to ''), not
+    # Spark's size(NULL) = -1 vs DuckDB's NULL
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "one two")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_words"], r["n_bpe"])
+        for r in textstats.token_count(df, "text", "doc_id").collect()
+    }
+    assert out[1] == (0, 1, 0)
+    assert out[1] == out[2]  # NULL behaves exactly like ''
+    assert out[3] == (2, 2, 2)
