@@ -33,6 +33,12 @@ from elasticsearch_assets_spark.query.parser import parse
 
 _INDEX_CACHE: dict[str, IndexTables] = {}
 
+# ANN hash family (r6): 4 seeded Gaussian hyperplanes over the 64-dim
+# embeddings — purely a function of (n, dim, seed), so entry and oracle
+# derive the SAME planes independently (write_ann_index also records
+# them in ann.json; 4 bits ~ the sf0.01 corpus per default_n_bits).
+_ANN_PLANES = similarity.random_hyperplanes(4, 64, seed=42)
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -190,6 +196,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return qx.expanded_candidates(index, hits).select("doc_id").distinct()
 
     q["ft_wildcard_prefix"] = ft_wildcard
+
+    def ft_wildcard_suffix(s, d):
+        # `*suffix` through the PERSISTED reversed dictionary (r6,
+        # Lucene ReverseStringFilter): range-partitioned terms_rev
+        # parquet, rev-range scan with both bounds pushed — never an
+        # endswith decode of the full dictionary
+        import dataclasses
+        import tempfile
+
+        from elasticsearch_assets_spark.indexing.build import write_terms_rev
+
+        index = _docs_index(s, d)
+        key = os.path.abspath(d) + "::terms_rev"
+        if key not in _INDEX_CACHE:
+            p = tempfile.mkdtemp(prefix="eas_trev_")
+            write_terms_rev(index.terms, p)
+            _INDEX_CACHE[key] = s.read.parquet(os.path.join(p, "terms_rev"))
+        disk = dataclasses.replace(index, terms_rev=_INDEX_CACHE[key])
+        hits = qx.dict_hits(disk, "*er")
+        return qx.expanded_candidates(index, hits).select("doc_id").distinct()
+
+    q["ft_wildcard_suffix"] = ft_wildcard_suffix
 
     def ft_phrase(s, d):
         index = _docs_index(s, d)
@@ -655,6 +683,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_features"] = mm_features
 
+    def mm_meta(s, d):
+        # header-derived media metadata (r6): REAL PNG/JPEG payloads
+        # synthesized from doc_id, parsed back by the pure-byte header
+        # parser over Arrow batches — the arithmetic oracle pins the
+        # whole synth->parse round trip (any parse bug breaks equality)
+        from elasticsearch_assets_spark.operators import multimodal as MM
+
+        docs = _t(s, d, "documents").select("doc_id")
+        out = MM.media_meta_from_payload(MM.synth_real_media(docs))
+        return out.select(
+            "doc_id",
+            "mime",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+        )
+
+    q["mm_meta"] = mm_meta
+
     def sim_cosine_topk(s, d):
         emb = _t(s, d, "embeddings")
         qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -878,12 +924,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_match_packed"] = ft_match_packed
 
     def sim_lsh_topk(s, d):
-        # LSH-bucketed ANN (scale path): sign-bucket prefilter, then
-        # exact cosine within the bucket
+        # LSH-bucketed ANN (scale path): Gaussian-hyperplane sign
+        # bucket prefilter (r6 — the Charikar family, planes seeded and
+        # shared with the oracle), then exact cosine within the bucket
         emb = _t(s, d, "embeddings")
         qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         out = similarity.lsh_topk(
-            emb.where(F.col("vec_id") != 0), list(qv), k=10, dims=[0, 1, 2, 3]
+            emb.where(F.col("vec_id") != 0), list(qv), k=10, planes=_ANN_PLANES
         )
         return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
@@ -899,7 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if key not in _INDEX_CACHE:
             p = tempfile.mkdtemp(prefix="ann_idx_")
             similarity.write_ann_index(
-                emb.where(F.col("vec_id") != 0), p, dims=[0, 1, 2, 3]
+                emb.where(F.col("vec_id") != 0), p, planes=_ANN_PLANES
             )
             _INDEX_CACHE[key] = p
         qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -1089,48 +1136,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # slowest (streaming / packed-index / ANN-index builds), all still
     # covered by tools/check_entry.py either way.
     order = [
-        # ft core (first entry pays the serving-index build);
-        # ft_phrase_slop3 is NEW in r5 (3-term Lucene spread slop)
+        # ---- 50-slot artifact window (r6 rotation, VERDICT r5 #2):
+        # entries whose code paths moved this round, plus the six the
+        # verdict named as stale-on-the-record (ft_querystring,
+        # wr_dual_yield, dd_simhash_pairs, sim_lsh_topk,
+        # sim_ann_indexed, ft_match_packed), plus the two NEW r6
+        # entries (ft_wildcard_suffix, mm_meta). ----
         "ft_match_or", "ft_match_and",
-        "ft_wildcard_prefix", "ft_phrase", "ft_phrase_slop",
-        "ft_phrase_slop3", "ft_bool_must_not", "ft_source_filter",
-        # query_string features (reuse the built index, ~1s each)
+        "ft_wildcard_prefix", "ft_wildcard_suffix", "ft_phrase",
+        "ft_phrase_slop", "ft_phrase_slop3", "ft_bool_must_not",
+        "ft_source_filter",
+        # query_string features (reuse the built index)
         "ft_fuzzy", "ft_fuzzy_disk", "ft_boost", "ft_qs_required",
+        "ft_querystring",
+        # packed (codec) serving path — r5 touched the block encoder
+        "ft_match_packed",
         # events family
-        "ev_range_scan",
-        "ev_id_prefix_counts", "ev_date_histogram",
-        "ev_subslice_flag", "ev_geo_box", "ev_geo_distance",
-        "ev_geo_sorted", "ev_delayed_window",
-        "ev_slice_query",
-        # xLucene variables entry (NEW r5)
+        "ev_range_scan", "ev_id_prefix_counts", "ev_date_histogram",
+        "ev_geo_box", "ev_geo_distance",
+        # xLucene variables (r6 touched the parser's variable path)
         "sp_filter_vars",
-        # slicer plans (fast; plan_id_slices_optimized must land in the
+        # slicer plans (plan_id_slices_optimized must stay on the
         # artifact — VERDICT r2 #1)
         "plan_id_slices", "plan_id_slices_optimized", "plan_date_slices",
         "plan_date_subslices",
         # writers
-        "wr_index", "wr_create", "wr_update", "wr_update_fields",
+        "wr_index", "wr_update", "wr_update_fields",
         "wr_delete", "wr_script", "wr_lww", "wr_routed", "wr_reject",
+        "wr_dual_yield",
         "ss_roundtrip",
-        # dedup / text / multimodal
+        # dedup / text / multimodal / similarity
         "dd_exact", "dd_minhash_lsh", "dd_dup_clusters", "dd_dedup_apply",
-        "dd_jaccard", "dd_jaccard_lsh", "dd_simhash", "ts_token_count",
-        "ts_quality", "ts_lang_id",
-        # rotated INTO the 50-slot artifact window for r5 (VERDICT r4
-        # next-round #6: replica-proven every round but never recorded
-        # by a driver artifact)
-        "ts_fingerprint", "mm_features", "sim_ivf_topk", "stream_sessions",
+        "dd_jaccard", "dd_jaccard_lsh", "dd_simhash", "dd_simhash_pairs",
+        "ts_token_count", "ts_quality",
+        "mm_features", "mm_meta",
+        "sim_ivf_topk", "sim_lsh_topk", "sim_ann_indexed",
         # ---- 50-slot cut falls here ----
-        # long-driver-proven cheap entries rotated to the tail (green in
-        # r02-r04 artifacts; still value-checked by tools/check_entry.py)
+        # driver-recorded-green entries rotated to the tail (r02-r05
+        # artifacts; still value-checked by tools/check_entry.py)
         "ft_match_all_k", "ft_count", "ev_count", "ev_minmax",
         "ev_track_total", "ev_json_extract", "ev_sort_limit",
+        "ev_geo_sorted", "ev_delayed_window", "ev_slice_query",
+        "ev_subslice_flag", "wr_create", "ts_lang_id", "ts_fingerprint",
+        "stream_sessions",
         # similarity core
         "sim_near_dup_banded", "sim_cosine_topk", "sim_near_dup",
-        # r02-proven tail + the slow builders/streamers
-        "sp_filter", "ft_querystring", "ft_regexp", "wr_dual_yield",
-        "dd_simhash_pairs", "sim_lsh_topk", "sim_ann_indexed",
-        "ft_match_packed",
+        # r02-proven tail + the slow streamers
+        "sp_filter", "ft_regexp",
         "stream_windows",
     ]
     assert set(order) == set(q), (
@@ -1159,6 +1211,13 @@ WITH toks AS (
   SELECT doc_id, unnest({_ANALYZE_TEXT_SQL}) AS term FROM documents
 )
 SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'qu%'
+"""
+
+    o["ft_wildcard_suffix"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_ANALYZE_TEXT_SQL}) AS term FROM documents
+)
+SELECT DISTINCT doc_id FROM toks WHERE term LIKE '%er'
 """
 
     o["ft_phrase"] = f"""{_bm25_cte()},
@@ -1812,22 +1871,29 @@ SELECT * FROM merged WHERE doc_id NOT IN (SELECT old_id FROM moved)
         sorted(set(analyze_text("spark merge stream"))), 10
     )
 
-    o["sim_lsh_topk"] = """
+    # hyperplane family (r6): the SAME seeded planes as the entry
+    # (_ANN_PLANES), inlined as DOUBLE[] literals; dots via list_sum of
+    # the zipped products — DuckDB sums sequentially, matching the JVM
+    # aggregate fold bit-for-bit (verified against the Python fold)
+    def _pl_dot(vec_expr: str, plane: list[float]) -> str:
+        arr = "[" + ", ".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+        return (
+            f"list_sum(list_transform(list_zip({vec_expr}, {arr}), "
+            "x -> x[1]::DOUBLE * x[2]))"
+        )
+
+    def _pl_bucket(vec_expr: str) -> str:
+        return " || ".join(
+            f"CASE WHEN {_pl_dot(vec_expr, p)} >= 0 THEN '1' ELSE '0' END"
+            for p in _ANN_PLANES
+        )
+
+    o["sim_lsh_topk"] = f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-qb AS (
-  SELECT (CASE WHEN qv[1] >= 0 THEN '1' ELSE '0' END
-       || CASE WHEN qv[2] >= 0 THEN '1' ELSE '0' END
-       || CASE WHEN qv[3] >= 0 THEN '1' ELSE '0' END
-       || CASE WHEN qv[4] >= 0 THEN '1' ELSE '0' END) AS b
-  FROM q
-),
+qb AS (SELECT ({_pl_bucket("qv")}) AS b FROM q),
 cand AS (
   SELECT e.* FROM embeddings e, qb
-  WHERE e.vec_id != 0
-    AND (CASE WHEN e.embedding[1] >= 0 THEN '1' ELSE '0' END
-      || CASE WHEN e.embedding[2] >= 0 THEN '1' ELSE '0' END
-      || CASE WHEN e.embedding[3] >= 0 THEN '1' ELSE '0' END
-      || CASE WHEN e.embedding[4] >= 0 THEN '1' ELSE '0' END) = qb.b
+  WHERE e.vec_id != 0 AND ({_pl_bucket("e.embedding")}) = qb.b
 ),
 dots AS (
   SELECT c.vec_id,
@@ -1844,43 +1910,43 @@ LIMIT 10
 """
 
     # sim_ann_indexed: query bucket + the single-bit flip at the
-    # weakest-margin coordinate (argmin |qv[d]|, lowest index on ties)
-    _qbit = "CASE WHEN qv[{i}] >= 0 THEN '1' ELSE '0' END"
-    _qflip = "CASE WHEN qv[{i}] >= 0 THEN '0' ELSE '1' END"
-
-    def _bucket_expr(flip_at: str | None) -> str:
-        parts = []
-        for i in range(1, 5):
-            bit = _qbit.format(i=i)
-            if flip_at is not None:
-                parts.append(f"CASE WHEN {flip_at} = {i} THEN {_qflip.format(i=i)} ELSE {bit} END")
-            else:
-                parts.append(bit)
-        return " || ".join(parts)
-
-    _ebit = " || ".join(
-        f"CASE WHEN e.embedding[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 5)
+    # weakest-margin PLANE (argmin |dot(qv, plane_i)|, lowest index on
+    # ties — mirrors query_buckets_planes probes=2)
+    _nq = len(_ANN_PLANES)
+    _qd_cols = ", ".join(
+        f'{_pl_dot("qv", p)} AS d{i}' for i, p in enumerate(_ANN_PLANES)
+    )
+    _flip_case = (
+        "CASE "
+        + " ".join(
+            "WHEN "
+            + " AND ".join(
+                f"abs(d{i}) <= abs(d{j})" for j in range(_nq) if j != i
+            )
+            + f" THEN {i}"
+            for i in range(_nq - 1)
+        )
+        + f" ELSE {_nq - 1} END"
+    )
+    _b1 = " || ".join(
+        f"CASE WHEN d{i} >= 0 THEN '1' ELSE '0' END" for i in range(_nq)
+    )
+    _b2 = " || ".join(
+        f"CASE WHEN (d{i} >= 0) <> (flip = {i}) THEN '1' ELSE '0' END"
+        for i in range(_nq)
     )
     o["sim_ann_indexed"] = f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-fi AS (
-  SELECT qv,
-         CASE
-           WHEN abs(qv[1]) <= abs(qv[2]) AND abs(qv[1]) <= abs(qv[3]) AND abs(qv[1]) <= abs(qv[4]) THEN 1
-           WHEN abs(qv[2]) <= abs(qv[3]) AND abs(qv[2]) <= abs(qv[4]) THEN 2
-           WHEN abs(qv[3]) <= abs(qv[4]) THEN 3
-           ELSE 4
-         END AS flip
-  FROM q
-),
+qd AS (SELECT qv, {_qd_cols} FROM q),
+fi AS (SELECT *, {_flip_case} AS flip FROM qd),
 buckets AS (
-  SELECT qv, {_bucket_expr(None)} AS b FROM fi
+  SELECT qv, ({_b1}) AS b FROM fi
   UNION ALL
-  SELECT qv, {_bucket_expr("flip")} AS b FROM fi
+  SELECT qv, ({_b2}) AS b FROM fi
 ),
 cand AS (
   SELECT DISTINCT e.vec_id, e.embedding, b.qv
-  FROM embeddings e JOIN buckets b ON ({_ebit}) = b.b
+  FROM embeddings e JOIN buckets b ON ({_pl_bucket("e.embedding")}) = b.b
   WHERE e.vec_id != 0
 ),
 dots AS (
@@ -2137,6 +2203,17 @@ SELECT doc_id, dim,
        {_byte_lo} + 256 * {_byte_hi} AS feat_u16,
        n_bytes
 FROM h CROSS JOIN dims
+"""
+
+    # mm_meta: the payloads are synthesized with dims = f(doc_id), so
+    # the oracle is pure arithmetic — equality holds only if the header
+    # parser recovers exactly what the synthesizer encoded
+    o["mm_meta"] = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+       doc_id % 640 + 1 AS width,
+       doc_id % 480 + 1 AS height
+FROM documents
 """
 
     return o

@@ -6,6 +6,9 @@ tables persisted as parquet (Iceberg-style layout):
 
   postings/   (term, doc_id, tf, positions, dl)   partitioned by bucket
   terms/      (term, df)                           the term dictionary
+  terms_rev/  (rev, term, df)                      reversed dictionary,
+              range-partitioned+sorted by rev — `*suffix` wildcards
+              become a pruned prefix scan (Lucene ReverseStringFilter)
   doc_norms/  (doc_id, dl, content_sha, <source>)  doc store + norms
   stats/      single row: (n_docs, avg_dl)
 
@@ -61,6 +64,12 @@ class IndexTables:
     # separate prox stream for the same reason): only phrase queries pay
     # for them, and the scoring path never materializes position arrays.
     positions: DataFrame | None = None  # term, bucket, doc_id, positions
+    # reversed-term dictionary (rev = reverse(term)) — Lucene's
+    # ReverseStringFilter trick: `*suffix` wildcards become a PREFIX
+    # range scan on rev (rows-skipped via parquet min/max) instead of a
+    # full-dictionary endswith decode at 10^9 terms. On disk it is
+    # range-partitioned by rev so the scan prunes to 1-2 files.
+    terms_rev: DataFrame | None = None  # rev, term, df
     _cached: tuple = ()
 
     def unpersist(self) -> None:
@@ -203,6 +212,7 @@ def build_index(
         avg_dl=float(agg["avg_dl"] or 0.0),
         n_buckets=n_buckets,
         positions=positions,
+        terms_rev=terms_rev_frame(terms),
         _cached=cached,
     )
 
@@ -256,6 +266,28 @@ def _bucketed_sorted(
     return part.sortWithinPartitions("bucket", *sort_cols)
 
 
+def terms_rev_frame(terms: DataFrame) -> DataFrame:
+    """(rev, term, df) projection of the dictionary — rev = reverse(term).
+    A pure column projection: free to derive, only worth PERSISTING
+    (write_index does) because the range-partitioned parquet layout
+    turns `*suffix` into a pruned prefix scan (Lucene reversed-field)."""
+    return terms.select(F.reverse(F.col("term")).alias("rev"), "term", "df")
+
+
+def write_terms_rev(terms: DataFrame, path: str) -> None:
+    """Persist the reversed-term dictionary range-partitioned and sorted
+    by rev: a `*suffix` query scans rev in [rev(suffix), rev(suffix)+MAX)
+    — file pruning via the range layout, row-group pruning via parquet
+    min/max on the sorted column."""
+    (
+        terms_rev_frame(terms)
+        .repartitionByRange(8, "rev")
+        .sortWithinPartitions("rev")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "terms_rev"))
+    )
+
+
 def write_index(tables: IndexTables, path: str) -> None:
     """Persist the index. postings partitioned by term bucket so query-
     time term lookups prune to single directories; rows sorted by
@@ -271,6 +303,7 @@ def write_index(tables: IndexTables, path: str) -> None:
     tables.terms.coalesce(8).write.mode("overwrite").parquet(
         os.path.join(path, "terms")
     )
+    write_terms_rev(tables.terms, path)
     tables.doc_norms.write.mode("overwrite").parquet(os.path.join(path, "doc_norms"))
     if tables.positions is not None:
         (
@@ -393,6 +426,13 @@ def build_and_write_index(
         postings.groupBy("term").agg(
             F.count("*").cast("long").alias("df")
         ).coalesce(8).write.mode("overwrite").parquet(os.path.join(path, "terms"))
+        # reversed dictionary derives from the WRITTEN terms parquet (a
+        # tiny column-pruned re-read, not a postings re-aggregation);
+        # this thread stays shorter than the doc_norms write it runs
+        # concurrently with, so the build's wall time doesn't move
+        write_terms_rev(
+            spark.read.parquet(os.path.join(path, "terms")), path
+        )
 
     def _write_doc_norms():
         keep = ["doc_id", "dl", "content_sha", *source_cols]
@@ -446,6 +486,8 @@ def read_index(spark: SparkSession, path: str) -> IndexTables:
         stats = json.load(f)
     pos_path = os.path.join(path, "positions")
     positions = spark.read.parquet(pos_path) if os.path.isdir(pos_path) else None
+    rev_path = os.path.join(path, "terms_rev")
+    terms_rev = spark.read.parquet(rev_path) if os.path.isdir(rev_path) else None
     return IndexTables(
         postings=spark.read.parquet(os.path.join(path, "postings")),
         terms=spark.read.parquet(os.path.join(path, "terms")),
@@ -454,4 +496,5 @@ def read_index(spark: SparkSession, path: str) -> IndexTables:
         avg_dl=stats["avg_dl"],
         n_buckets=stats["n_buckets"],
         positions=positions,
+        terms_rev=terms_rev,
     )

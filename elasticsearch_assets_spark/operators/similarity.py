@@ -54,13 +54,99 @@ def cosine_topk(
 
 def sign_bucket(vec_col: Column, dims: list[int]) -> Column:
     """LSH bucket key: sign bits of fixed coordinates. A degenerate but
-    deterministic random-hyperplane family (axis-aligned hyperplanes);
-    swap in fixed random planes for production quality."""
+    deterministic random-hyperplane family (axis-aligned hyperplanes) —
+    kept as the cheap legacy family and the oracle-friendly baseline;
+    production quality is random_hyperplanes/hyperplane_bucket below."""
     bits = [
         F.when(F.element_at(vec_col, d + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for d in dims
     ]
     return F.concat(*bits)
+
+
+# ---- production LSH family: seeded Gaussian hyperplanes (r6) ---------
+#
+# Axis-aligned sign bits only separate on the coordinate axes — on
+# embeddings whose variance isn't axis-aligned they approach random
+# bucketing. The classic SimHash/Charikar family draws each hyperplane
+# normal from an isotropic Gaussian: P(bit differs) = angle(a,b)/pi for
+# ANY direction, which is the property the recall math assumes. The
+# planes are generated from a recorded seed (python random.Random —
+# platform-stable) and persisted verbatim in ann.json, so queries, the
+# DuckDB oracle, and future sessions all hash with the SAME planes.
+
+
+def random_hyperplanes(
+    n_planes: int, dim: int, seed: int = 42
+) -> list[list[float]]:
+    """`n_planes` fixed Gaussian hyperplane normals in R^dim. Purely a
+    function of (n_planes, dim, seed) — deterministic across runs and
+    machines (random.Random is specified, unlike numpy's generators
+    across versions)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def hyperplane_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Bucket key: one sign bit per hyperplane, bit i = dot(vec,
+    plane_i) >= 0. Dots are JVM aggregate(zip_with(...)) folds — the
+    planes ride the plan as array literals (k×dim doubles: tiny), so
+    the whole key stays inside whole-stage codegen with no UDF."""
+    bits = []
+    for p in planes:
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.when(_dot(vec_col, lit) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        )
+    return F.concat(*bits)
+
+
+def plane_dots_py(query_vec: list[float], planes: list[list[float]]) -> list[float]:
+    """Driver-side query-to-plane dots, folded LEFT-TO-RIGHT like the
+    JVM aggregate — bit-identical bucket assignment for the query."""
+    out = []
+    for p in planes:
+        acc = 0.0
+        for x, y in zip(query_vec, p):
+            acc += float(x) * float(y)
+        out.append(acc)
+    return out
+
+
+def query_buckets_planes(
+    query_vec: list[float], planes: list[list[float]], probes: int = 1
+) -> list[str]:
+    """Multi-probe bucket list for the hyperplane family: the query's
+    bucket plus single-bit flips ordered by |dot| margin ascending (the
+    planes the query is closest to are the ones a true neighbor most
+    likely lands on the other side of)."""
+    dots = plane_dots_py(query_vec, planes)
+    bits = ["1" if d >= 0 else "0" for d in dots]
+    out = ["".join(bits)]
+    order = sorted(range(len(planes)), key=lambda i: abs(dots[i]))
+    for i in order:
+        if len(out) >= probes:
+            break
+        flipped = bits.copy()
+        flipped[i] = "0" if flipped[i] == "1" else "1"
+        out.append("".join(flipped))
+    return out[:probes]
+
+
+def default_n_bits(n_vectors: int, target_bucket: int = 512) -> int:
+    """Bits scaled to corpus size: 2^bits buckets sized so the expected
+    bucket holds ~target_bucket vectors (10^9 vectors -> 21 bits ->
+    ~500/bucket), floor 4. The scan cost per probe is O(target_bucket);
+    recall is recovered with multi-probe, not bigger buckets."""
+    import math
+
+    if n_vectors <= 0:
+        return 4
+    return max(4, math.ceil(math.log2(max(1.0, n_vectors / target_bucket))))
 
 
 def lsh_topk(
@@ -70,14 +156,25 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: list[int] | None = None,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: scan only vectors in the query's sign bucket.
     At scale the table is written partitionBy(bucket) so this prunes to
-    one directory; recall is tuned by |dims| and multi-probe."""
-    if dims is None:
-        dims = [0, 1, 2, 3]
-    qb = "".join("1" if query_vec[d] >= 0 else "0" for d in dims)
-    bucketed = emb.withColumn("_bucket", sign_bucket(F.col(vec_col), dims))
+    one directory; recall is tuned by the bit count and multi-probe.
+
+    `planes` selects the Gaussian-hyperplane family (production
+    quality); `dims` the axis-aligned legacy family; default = 4
+    hyperplanes seeded 42."""
+    if planes is None and dims is None:
+        planes = random_hyperplanes(4, len(query_vec))
+    if planes is not None:
+        qb = query_buckets_planes(query_vec, planes, probes=1)[0]
+        bucketed = emb.withColumn(
+            "_bucket", hyperplane_bucket(F.col(vec_col), planes)
+        )
+    else:
+        qb = "".join("1" if query_vec[d] >= 0 else "0" for d in dims)
+        bucketed = emb.withColumn("_bucket", sign_bucket(F.col(vec_col), dims))
     cand = bucketed.where(F.col("_bucket") == qb)
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
@@ -88,24 +185,50 @@ def write_ann_index(
     dims: list[int] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+    n_bits: int | None = None,
+    seed: int = 42,
 ) -> None:
     """Persist the ANN scale path: embeddings written partitionBy(sign
     bucket). A query then prunes to bucket DIRECTORIES (PartitionFilters
     in the scan), not a post-scan filter — at 10^9 vectors only the
-    probed buckets' files are opened."""
+    probed buckets' files are opened.
+
+    Default family (r6): seeded Gaussian hyperplanes with the bit count
+    scaled to corpus size (default_n_bits) — the planes are RECORDED in
+    ann.json so every reader (queries, the DuckDB oracle, later
+    sessions) hashes identically. Pass `dims` to force the axis-aligned
+    legacy family, or `planes` to bring your own."""
     import json
     import os
 
-    if dims is None:
-        dims = [0, 1, 2, 3]
+    if dims is not None and planes is not None:
+        raise ValueError("pass dims OR planes, not both")
+    if dims is None and planes is None:
+        first = emb.select(vec_col).first()
+        dim = len(first[0]) if first else 0
+        if n_bits is None:
+            n_bits = default_n_bits(emb.count())
+        planes = random_hyperplanes(n_bits, dim, seed)
+    bucket = (
+        hyperplane_bucket(F.col(vec_col), planes)
+        if planes is not None
+        else sign_bucket(F.col(vec_col), dims)
+    )
     (
-        emb.withColumn("bucket", sign_bucket(F.col(vec_col), dims))
+        emb.withColumn("bucket", bucket)
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(os.path.join(path, "vectors"))
     )
+    meta: dict = {"id_col": id_col, "vec_col": vec_col}
+    if planes is not None:
+        meta["planes"] = planes
+        meta["seed"] = seed
+    else:
+        meta["dims"] = dims
     with open(os.path.join(path, "ann.json"), "w") as f:
-        json.dump({"dims": dims, "id_col": id_col, "vec_col": vec_col}, f)
+        json.dump(meta, f)
 
 
 def query_buckets(query_vec: list[float], dims: list[int], probes: int = 1) -> list[str]:
@@ -134,16 +257,21 @@ def ann_topk_indexed(
     probes: int = 1,
 ) -> DataFrame:
     """Top-k over the persisted ANN index: bucket partition pruning
-    (directory skip) + exact cosine within the probed buckets."""
+    (directory skip) + exact cosine within the probed buckets. The
+    hash family comes from ann.json — recorded hyperplanes (production)
+    or axis dims (legacy) — so query-side bucketing always matches the
+    build."""
     import json
     import os
 
     with open(os.path.join(path, "ann.json")) as f:
         meta = json.load(f)
+    if "planes" in meta:
+        buckets = query_buckets_planes(query_vec, meta["planes"], probes)
+    else:
+        buckets = query_buckets(query_vec, meta["dims"], probes)
     vecs = spark.read.parquet(os.path.join(path, "vectors"))
-    cand = vecs.where(
-        F.col("bucket").isin(query_buckets(query_vec, meta["dims"], probes))
-    )
+    cand = vecs.where(F.col("bucket").isin(buckets))
     return cosine_topk(cand, query_vec, k, meta["id_col"], meta["vec_col"])
 
 

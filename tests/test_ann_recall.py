@@ -94,6 +94,107 @@ def test_lsh_multiprobe_recall_sweep(emb, queries, tmp_path_factory):
     assert mean_recall[4] >= 2 * (4 / 16) - 0.1, mean_recall
 
 
+def test_hyperplane_family_beats_axis_aligned(spark, emb, queries, tmp_path_factory):
+    """VERDICT r5 #3: the seeded Gaussian-hyperplane family at equal
+    probe budget.
+
+    (a) On the sf embeddings (near-isotropic — axis bits are as good as
+        any direction there) it must not regress vs axis-aligned.
+    (b) On data whose variance is NOT axis-aligned — clusters with pure
+        noise in the hashed coordinates, the documented failure mode of
+        sign_bucket — it must win decisively (measured 0.82 vs 0.18
+        recall@10 at probes=2)."""
+    import random
+
+    base = tmp_path_factory.mktemp("hp_recall")
+    planes = similarity.random_hyperplanes(4, 64, seed=42)
+
+    def recalls(data, data_queries, probes):
+        pax, php = str(base / f"ax{probes}{data is emb}"), str(
+            base / f"hp{probes}{data is emb}"
+        )
+        similarity.write_ann_index(data, pax, dims=[0, 1, 2, 3])
+        similarity.write_ann_index(data, php, planes=planes)
+        ra = rh = 0.0
+        for qid, qv in data_queries:
+            exact = set(_exact_topk(data, qid, qv))
+            ga = {
+                r["vec_id"]
+                for r in similarity.ann_topk_indexed(
+                    spark, pax, qv, k=K + 1, probes=probes
+                ).collect()
+                if r["vec_id"] != qid
+            }
+            gh = {
+                r["vec_id"]
+                for r in similarity.ann_topk_indexed(
+                    spark, php, qv, k=K + 1, probes=probes
+                ).collect()
+                if r["vec_id"] != qid
+            }
+            ra += len(ga & exact) / K
+            rh += len(gh & exact) / K
+        n = len(data_queries)
+        return ra / n, rh / n
+
+    # (a) isotropic: no regression at equal probes (small slack: both
+    # families are statistically equivalent here)
+    ax, hp = recalls(emb, queries, probes=2)
+    assert hp >= ax - 0.1, (ax, hp)
+
+    # (b) axis-degenerate clusters: decisive win
+    rng = random.Random(7)
+    centers = [[rng.gauss(0, 1) for _ in range(60)] for _ in range(8)]
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        v = [rng.gauss(0, 0.001) for _ in range(4)] + [
+            x + rng.gauss(0, 0.15) for x in c
+        ]
+        rows.append((i, v))
+    clustered = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).persist()
+    clustered.count()
+    try:
+        cqueries = [(i, rows[i][1]) for i in range(N_QUERIES)]
+        ax, hp = recalls(clustered, cqueries, probes=2)
+        assert hp >= ax + 0.3, (ax, hp)
+        assert hp >= 0.6, hp
+    finally:
+        clustered.unpersist()
+
+
+def test_default_n_bits_scales_with_corpus():
+    """Bit count scales so expected bucket size stays ~target."""
+    assert similarity.default_n_bits(0) == 4
+    assert similarity.default_n_bits(500) == 4
+    assert similarity.default_n_bits(10**6) == 11
+    assert similarity.default_n_bits(10**9) == 21
+    # expected bucket size at the scaled bit count stays in [256, 512]
+    for n in (10**5, 10**7, 10**9):
+        bits = similarity.default_n_bits(n)
+        assert 256 <= n / 2**bits <= 512, (n, bits)
+
+
+def test_recorded_planes_roundtrip(spark, emb, tmp_path_factory):
+    """ann.json records the planes verbatim; a fresh reader hashes
+    identically (the oracle contract: same planes everywhere)."""
+    import json
+    import os
+
+    p = str(tmp_path_factory.mktemp("meta") / "idx")
+    similarity.write_ann_index(emb, p)  # default: scaled bits + seed 42
+    with open(os.path.join(p, "ann.json")) as f:
+        meta = json.load(f)
+    assert meta["seed"] == 42
+    assert meta["planes"] == similarity.random_hyperplanes(
+        len(meta["planes"]), 64, seed=42
+    )
+    # default bit count followed the corpus size
+    assert len(meta["planes"]) == similarity.default_n_bits(emb.count())
+
+
 def test_banded_near_dup_recall_dominates_single_bucket(emb):
     """OR-of-bands candidate generation strictly contains the single-
     bucket candidates when band 0 IS the single bucket's dims — so the

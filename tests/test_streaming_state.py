@@ -273,6 +273,59 @@ def test_frame_sample_plan(spark):
     assert plan["frame_ts_ms"] == list(range(0, dur, 1000))
 
 
+def test_media_header_parse_goldens():
+    # pure-byte header parse (VERDICT r5 #6): PNG/JPEG/GIF dims without
+    # an imaging library; garbage/truncated -> None
+    from elasticsearch_assets_spark.operators import multimodal as MM
+
+    assert MM.parse_media_header(MM.synth_png_bytes(640, 480)) == (
+        "image/png", 640, 480,
+    )
+    assert MM.parse_media_header(MM.synth_jpeg_bytes(123, 77)) == (
+        "image/jpeg", 123, 77,
+    )
+    # width past the 16-bit JPEG limit exercises the uint32 PNG path
+    assert MM.parse_media_header(MM.synth_png_bytes(70000, 1)) == (
+        "image/png", 70000, 1,
+    )
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 4
+    assert MM.parse_media_header(gif) == ("image/gif", 320, 200)
+    assert MM.parse_media_header(b"") is None
+    assert MM.parse_media_header(b"not an image at all") is None
+    assert MM.parse_media_header(MM.synth_png_bytes(1, 1)[:10]) is None
+    # JPEG with EOI before any SOF (no frame header)
+    assert MM.parse_media_header(b"\xff\xd8\xff\xd9") is None
+    # JPEG with restart markers + fill bytes before the SOF still parses
+    weird = (
+        b"\xff\xd8" + b"\xff\xff" + b"\xff\xd0"
+        + b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+        + (9).to_bytes(2, "big") + (7).to_bytes(2, "big") + b"\x01\x11\x00"
+        + b"\xff\xd9"
+    )
+    assert MM.parse_media_header(weird) == ("image/jpeg", 7, 9)
+
+
+def test_media_meta_from_payload(spark):
+    from elasticsearch_assets_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(20)] , "doc_id long"
+    )
+    out = {
+        r["doc_id"]: (r["mime"], r["width"], r["height"])
+        for r in MM.media_meta_from_payload(MM.synth_real_media(docs)).collect()
+    }
+    for i in range(20):
+        mime = "image/png" if i % 2 == 0 else "image/jpeg"
+        assert out[i] == (mime, i % 640 + 1, i % 480 + 1), (i, out[i])
+    # unparseable payloads surface as NULL metadata, not dropped rows
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"junk"))], "doc_id long, media binary"
+    )
+    row = MM.media_meta_from_payload(bad).collect()[0]
+    assert (row["mime"], row["width"], row["height"]) == (None, None, None)
+
+
 def test_window_state_barrier_unit():
     # WindowState unit goldens (test/unit/window_state-spec.ts)
     from elasticsearch_assets_spark.streaming.windows import WindowState
