@@ -138,17 +138,18 @@ LIMIT {k}
 
 
 # IVF coarse quantizer recorded from the deterministic sf0.01 train
-# (ivf_train k=8 iters=3 over embeddings vec_id != 0); the entry
-# retrains live — any drift fails the value gate.
+# (ivf_train k=8 iters=3 over embeddings vec_id != 0; r6 seed = the k
+# smallest xxhash64(vec_id) — hash-ordered sample, not smallest ids);
+# the entry retrains live — any drift fails the value gate.
 _IVF_CENTROIDS = [
-    [-0.020894983599646366, -0.004500124059632071, -0.0003003965530297137, -0.03126513180541224, -0.027576677457545884, 0.024671970435520052, -0.07533225756196771, 0.008996943884994835, -0.0003164687987009529, -0.019520486497640377, -0.031498795477091335, 0.03570469249825692, 0.06864913498611713, -0.075438966639922, 0.022222672294446966, 0.018644499661149894, -0.024722649683099007, -0.004048357230203692, 0.05839390516302956, -0.03907835979771335, -0.014081535155128222, 0.048570021420346166, 0.0025170737026201095, -0.0041022781588253565, 0.05172835477424087, 0.06623104663958657, -0.00022058214744902216, -0.026080003495735582, -0.014409481536858948, 0.02633805044388282, -0.031090581891476177, 0.022168238672747975, -0.014190717706810574, 0.008533246822480578, 0.0008693301406310638, 0.009792446187930182, -0.043989817168039735, -0.006407998645954649, -0.018344806722325302, -0.09658870242128614, 0.021316451700840844, -0.04298239843774354, 0.036029918063889, 0.009439026361178549, -0.007346256432356313, 0.0391126342356074, -0.042765142978169024, 0.004600213826051913, -0.04076545389398234, -0.08058827499553445, -0.016844329180457862, 0.0033281490855188167, 0.007529567054007202, -0.019862807133904425, -0.0213578636321472, 0.03582438936791732, 0.038942596145489006, -0.027969632010353962, 0.0006460168515332043, 0.013377799161389703, -0.01776505405723583, 0.03295367445844022, -0.034768359359077294, -0.01377673250681255],
-    [-0.0044584658502697435, 0.0015577926453010276, -0.012875878292232239, 0.024580710543698935, 0.024811279799403816, -0.014205375545786629, -0.029552913660279893, -0.014555730114305585, -0.006337693471166482, -0.09536827983061687, -0.026397088293692673, -0.01551819256715605, -0.07160494408112597, 0.07251613085250498, -0.0013279171162766629, 0.01201222987106905, -0.011654848377380905, 0.04424296601290076, -0.010550831508790624, -0.017516441860011424, -0.00854886495026535, 0.010988638230503119, 0.05180010266987414, -0.019572599546116745, -0.008745321691847118, -0.045641537294080804, 0.02463602567701761, -0.013564250010451109, 0.016730224537052984, 0.026117822627039176, -0.03851739509464723, -0.07881975872837287, -0.010054164399505305, -0.008288883427479144, -0.0006356539349232254, -0.032094767361333404, 0.013197565611837239, 0.043672933127552445, 0.04943481263712626, 0.03520343403391147, -0.0018606776474967021, -0.0021506539738640703, 0.02128028835507174, 0.008336505908840176, 0.015897996383908573, -0.005899786636040643, -0.020470267310256845, -0.015127880330165398, 0.048616021582535626, 0.026324781761825854, 0.039916451297828864, -0.057019122130566695, -0.008103038987209057, -0.04975187817813251, 0.022755518748328603, 0.017811218661994768, 0.016264929195287926, -0.010763390150306553, 0.006468434495688818, 0.034410282584099935, 0.03633565034171374, 0.029026814638075, 0.031930449675640155, 0.029799280864796763],
-    [-0.036780843604708825, 0.04319228523474356, 0.0022580508679807695, -0.005073071372779933, -0.008238608239811252, -0.016209714615604644, 0.03889486797958274, -0.004381509406040564, -0.01959473824580059, 0.014569740488447926, 0.005454575263711652, 0.04237440161787989, 0.006085297363549189, 0.06504671903905657, 0.022524910710864897, -0.014852005169924461, -0.022473007154820316, -0.02516634302975779, -0.00010065596981086966, 0.029344072484298413, -0.013651847651503473, 0.0073138341434638605, -0.02641619999176879, 0.007342099459051635, -0.0054111821615758044, 0.042725099637843385, -0.026586808828693447, -0.02597683646617401, -0.05866906346195857, -0.032372462623188214, -0.009007003743935264, -0.007655635691304325, 0.0754628260972712, 0.006114741510387059, -0.02212399837144679, -0.008496456497320623, 0.025154789133618276, -0.009788681711005196, -0.02417206809861289, -0.027092972281741713, -0.01036188046793651, -0.021274819952492235, -0.06491083968924641, -0.01922761912150732, 0.009705069877037948, 0.0034362828944612183, 0.003741739016153257, -0.05145101558071363, 0.07424072391762765, -0.047569722261731374, 0.011187793708152392, -0.0009982183321633122, 0.019610385373446414, 0.029823342338204384, -0.02417454239912331, -0.03265475874032938, 0.03225950046996304, -0.011841791441177273, 0.01589736027755972, -0.048832950557081145, 0.036416634931370165, -0.004434609765942723, -0.010723651604194223, -0.06625044455568334],
-    [0.027647277501483377, -0.0005491374076182882, 0.06972905316461737, -0.020723142553693973, -0.04235135932238056, -0.08689170110469255, 0.044983954182288684, -0.0012125244516377838, 0.005627371169864021, 0.0416827208828181, 0.03889760241145268, -0.048794397741753176, 0.02194329544615287, -0.029669297818775073, 0.009987449179439304, -0.02447822187633182, 0.07225429049979609, 0.02396449846520017, 0.005707010016731846, 0.02392289642459498, -0.0047273722101146215, 0.038485466580963336, -0.0153866334786961, 0.014380782269514523, -0.01922834339179994, -0.002887963921798823, 0.027364838590773825, 0.02635639063149798, 0.021185830488460712, -0.023023557437297244, 0.033059395876569815, -0.014374435804291772, 0.015355909252181076, -0.011890382573115997, 0.01604095700671538, -0.050737826162591, -0.009187438238698702, -0.09251327303578503, -0.014171191689736308, 0.02976148713227863, 0.009337000602569718, -0.011995138134807348, -0.01222545459257582, 0.026954486640499035, -0.033299268946463526, 0.012766924641954783, -0.029598948064421374, 0.05003984704112204, -0.024874121402927604, 0.01589856223346522, -0.000976084337498133, 0.028271000697154356, 0.027979022008366883, 0.01460450914489159, 0.08545729572114606, -0.003866760017654787, 0.0029945161659270525, -0.029452108019121133, 0.025248296899147905, 0.007991350579406852, -0.05727125437428745, -0.006223189756453324, 0.0386390456607422, 0.009238119402792878],
-    [0.003973960815570676, -0.01424164637350119, 0.031186125348680295, 0.015339042973489715, 0.06070615050311272, -0.03083101865620567, -0.058599074018107225, 0.07518669117528659, -0.02640601770164302, 0.014340033924851853, 0.04189763915939973, -0.02961453692987561, 0.01902572106784926, 0.009188680191381046, -0.028467541356356096, 0.0022110479454008434, -0.009695692168651685, -0.026280024953974555, -0.039510267768771604, 0.018303550967427258, 0.013603395794948132, -0.019591543966761, 0.028804780834784303, -0.020964565242712313, 0.04642677008657931, 0.026883664197073533, -0.027058633309430802, 0.01667358286034029, 0.009657973108383325, 0.041138596320524815, 0.022799614064681988, -0.04276180872693658, 0.02581383651838853, 0.004633632167063367, 0.011234930895555478, 0.05415032484407465, 0.0006583291285026532, 0.0812934413444824, -0.0131698705882837, 0.02522224950639961, -0.042671993088263735, 0.02832683035521768, -0.01373689270649965, 0.03797627510502934, -0.08180108682897229, -0.022397144871334044, 0.019284103417661614, -0.006344477280687827, -0.018453878561894482, 0.014052751968399836, 0.044195329838504015, 0.05613818016852467, -0.012192162026006441, 0.01718855158855709, -0.02027089811789875, -0.04392711015221162, 0.017566241846921352, -0.05477776971215812, -0.021812439113944912, 0.00983081513729233, 0.020979476949343316, 0.007800420488302524, -0.032781777831797414, 0.03314201893965499],
-    [0.0070877815606460596, -0.028418763389345257, -0.004823044058866799, -0.036274435522500426, 0.007022662022306273, 0.07080593359423801, -0.0004351112986720788, -0.03789600227998259, 0.013665512863857051, 0.037779954366851595, 0.06633620475477073, 0.0052359985963751875, 0.02258484947960824, 0.04651791803383579, -0.026965226093307138, 0.01048120462122218, 0.013948030734900385, 0.08135813822445925, -0.05925145805231295, -0.025632996088825168, -0.008113939540150265, -0.008567133592441678, -0.009953478250342112, -0.06182339929509908, 0.004794970500127723, -0.026800334298362333, 0.0027928744801708188, 0.028081575247536725, 0.011340027302503585, -0.0017935485617878537, 0.027775463227105016, 0.03308072759148975, 0.001311530598710912, -0.07585246838085974, -0.044163549706960716, 0.06620911353190119, 0.02252499492606148, -0.024237423719023356, 0.001430001353098002, -0.018850720025936123, 0.05419407518541751, -0.038732594600878655, 0.00968466531485319, -0.01833695759996772, 0.011772654812860613, 0.01932400762064693, 0.049967953009763734, 0.039673941856987464, 0.014824313811307851, 0.009689110562127705, -0.020100866281427442, 0.0020051939102510613, 0.049959010668681005, -0.024366580953680265, 0.022659100444676974, 0.01777713275126492, -0.051516184967476876, 0.05895638957396538, -0.012418810836970806, -0.031108244407611587, 0.029878165388860605, -0.02196321663116881, -0.02903314969347169, 0.016409245715476573],
-    [0.08911631344888134, 0.018446500236732943, -0.030480282838018895, 0.03382003168878851, -0.01349787717812102, 0.025999647535641227, -0.004466401946653302, 0.04585616772281796, -0.011524797862600253, -0.02183265992701336, 0.007150722039637692, -0.007164487603762554, -0.07795819545131191, -0.06607760444361095, -0.0297066618575517, -0.007628797959169429, -0.008425286434816591, 0.0010953875184482472, 0.00968424832293143, 0.006356104016021797, -0.038052833013793905, -0.020163795727333338, -0.005768548796009837, 0.05685818471212053, -0.007627611036172531, -0.03621946026087795, -0.014583739756772324, 0.050756172787232295, -0.003994834888020925, 0.03916629168661805, 0.05405618202392802, 0.0504870724992846, -0.017292889110236007, 0.007586976730222391, 0.014424140381655006, 0.017281531123444438, -0.05107096085945765, -0.03950525630110254, -0.00045066008742926925, 0.03293952949796662, -0.027285032081029687, -0.011256815976759588, 0.03218459033506048, -0.021946134049027354, -0.009364063548149936, 0.03558858423705467, 0.015892974339129232, 0.040699870653704485, -0.05663707258292672, 0.0064597067812979785, 0.023100825261225866, -0.01562971968175561, -0.004479396918957884, -0.013679938156256509, -0.018458002518552046, 0.016538750332653184, 0.022843689724774748, 0.012256988461806693, -0.08389211979793441, -0.03469990270285493, -0.006313596026633273, -0.014686552030925117, 0.014444868842309172, -0.06238787001436294],
-    [-0.04340291759067708, -0.05280304093920516, -0.010769283449489568, -0.0177809294032426, 0.06422529587186598, 0.07141329389859867, -0.048216345699449235, -0.005819825659273192, 0.02453103304073653, 0.022893047002606394, -0.04166794256718062, 0.03153552790600395, -0.00539048745036673, -0.0008639816380095641, 0.02937375456959297, 0.045311443411799913, 0.02974779365981436, -0.03395390408524476, 0.026928881565040415, 0.011193824127343866, 0.04387549650581444, -0.026366712867884952, 0.006130734503077453, -0.03666048761806451, -0.0752524714991844, 0.060284137270440734, 0.0087620122174164, 0.03043325780890882, 0.015736278177321178, -0.07422996851656695, -0.013620249300455564, -0.019092045443625572, -0.008313898298451129, 0.01202341474024305, 0.06095401696203386, -0.052583473703741807, 0.0027176605962107286, 0.018995977592353216, 0.013875356834272252, 0.015947926976129085, -0.010182932887426646, 0.0033246675512226135, -0.0019289363952018047, -0.020369417934596318, 0.0012194419293390477, -0.04848180397290408, -0.006546065686801311, -0.0028678684577564985, -0.02628430531373905, -0.01443382544333444, -0.0065939403130494826, -0.02985316686852671, -0.012700358106218012, 0.012401009036693722, 0.009933988044983433, -0.03040361245546271, -0.04321570044232752, 0.039235345190664864, 0.03933603300024783, -0.011201415577328162, -0.04737914455900489, 0.01608795519774396, 0.019209759970716035, -0.0345700020698132],
+    [0.021743476299889153, 0.03251174685647129, 0.0032376357994508, 0.008467062907584477, -0.012997403580811806, 0.016898215463243105, 0.07137971661995834, 0.01844681084548938, 0.008615844104951975, -0.06178431819716934, 0.07479014885029756, -0.009468045577705198, -0.0012113637117181497, -0.018713707955612335, 0.012817977156373672, 0.034969705156981945, 0.056211591536339256, 0.03909953342281369, -0.03170650232277694, -0.030127349848044105, -0.018196778275523684, -0.018950189234601567, 0.017823891703301342, 0.0038981612233328633, -0.022676677926028788, 0.026887564912613016, -0.02621089194144588, 0.01404023585791947, 0.03946137973252917, 0.014861497704259818, 0.06202544602456328, -0.016897144701943034, 0.006745078004314564, 0.007420829746479285, -0.022996474981482606, 0.01043829718400957, -0.04151786377769895, -0.025790990974201122, 0.011454059104835324, 0.019021853073354578, -0.01135800749216287, 0.005101856935652904, -0.038596687867539003, -0.04634908335265209, -0.024972252787847538, -0.00039778473728802055, 0.02154545440498623, 0.03201062155676482, -0.0061782902375853155, -0.006075750927266199, -0.040074393346912984, 0.02445433475622849, -0.04970746389881242, -0.02880759412801126, 0.029683775937883183, 0.001744477056490723, -0.03696753362964955, -0.02055077875866118, -0.026554334919637768, -0.07779113359993062, -0.019459764640487265, -0.045047208829601004, 0.011323475664539728, -0.05154364568807068],
+    [0.011747110290646864, -0.003393890545703471, -0.014793337943653265, 0.02220660085634639, 0.05969998572642605, -0.00024050790234468876, -0.0394220745540224, -0.02099689882209835, -0.018969369936045647, -0.03837040797467731, 0.007018501792723934, -0.01889711005690818, -0.014617100743150029, 0.033667409206585334, 0.01039839934092015, -0.009871760565632333, 0.03208029143861495, 0.03309939224272966, 0.004623411628805722, -0.027305994445244626, 0.02270674849084268, 0.06204330972395837, 0.06709288202303772, -0.10415549218499412, -0.026980043346217522, -0.03122990709186221, 0.039490698049000156, 0.04604908821638674, -0.047054447625608495, -0.0066571572164927295, 0.026849546345571677, -0.03623158877853712, -0.039095354966896895, -0.020475781668210402, 0.020257550697230422, 0.01376524210985129, 0.057733372986937564, -0.009248339348899511, 0.029246180904495607, 0.07364391028410561, 0.015454183051770088, 0.025244437737759046, 0.03191934317971269, -0.024973052965166668, -0.02021101221907884, -0.027536771539598704, -0.02004627529337692, 0.013187938628834672, -0.019593613039857398, 0.036250500652628644, -0.01222444802794295, -0.025639787302740538, 0.01823025108606089, 0.019801197239333608, 0.01972227426401029, -0.004246161965420469, -0.004595382352514814, -0.030888196111967168, -0.0048348623454027495, 0.03463161123994117, -0.03203699821606278, 0.037768774894842254, 0.05403774695005268, -0.028906198445474728],
+    [0.0021686318214051425, -0.0390342449201853, 0.0372610815702501, 0.0038821185764390974, -0.003200688087963499, -0.06235485252545914, -0.018354993853245107, 0.07705521026073256, -0.029635000010603107, 0.06032035995449405, -0.002481202689523343, 0.011551542129018344, 0.05402204688289203, 0.03664512895193184, 0.005275502509903163, 0.008607893344014883, -0.03643601417124955, -0.023473305239895124, -0.03808457510676817, 0.03475893549621105, -0.005485945573309436, -0.022940614967956206, 0.018555850786651718, 0.0053303489403333515, 0.015310407675860916, 0.009700149760465137, -0.039208198548294604, 0.032366098018246706, -0.02279587033408461, 0.05410477114201058, 0.018311360909137875, -0.022674218562315218, 0.056276437868655195, 0.06662992871642928, 0.028122289560269565, 0.005693075817544013, -0.005955901750712656, 0.0211369556888485, -0.023239600664874162, 0.00219361843628576, -0.03582119987695478, -0.025045546362525782, -0.022229939937824385, 0.025805861206026747, -0.036233609629562125, -0.010540990567824338, -0.04579620088697993, 0.0019360341924766545, 0.008602760948997456, -0.02481208472745493, 0.0887168575252872, 0.039274412019585724, 0.01929742620268371, 0.020546238517272285, 0.0014401271706447004, -0.011171661034313728, -0.006282690335501684, -0.04127549260738306, -0.021693842923923512, 0.009032793808910356, 0.0008344591653440148, -0.006569539446809358, -0.008931858500000089, -0.05870698197395541],
+    [-0.06378833783621138, -0.026746223612942478, 0.04889542760158127, 0.01156097269109027, -0.015283141335980459, 0.04220657391388985, -0.019139434483473782, 0.01968056589830667, -0.014928487897850572, 0.0644809630064463, -0.06426149799424985, 0.026520715349099853, 0.015560535301285034, -0.0824220838617872, 0.030687179179354148, 0.0050351661386560985, 0.04553473518992012, -0.013056751433759927, 0.023903408462435684, 0.00266582030294971, -0.027066734289242462, -0.005710287412247536, -0.019385565662841227, -0.008770780349996957, 0.004015550279820508, 0.07775789753279903, 0.028540585173124616, -0.007182410272600298, 0.017530221788381987, -0.07084442762742665, -0.04738177814605561, 0.018128547648137264, 0.025448604238044938, -0.008973183334720405, 0.00025326762221414934, 0.04220175270668485, -0.03425964278761636, -0.0459140091594732, -0.0016570260197940198, -0.028128664345819166, 0.0485180298586122, -0.01118234877728603, 0.006682265054603869, 0.05073947756741704, -0.03485675270415165, -0.03114139573140578, 0.011057862727267836, 0.03569843672131273, -0.047728908561508764, -0.03771872067062015, -0.038446822235445405, 0.008188453706679866, 0.02612187899225815, 0.0027947837402197448, 0.006404823168519546, 0.037834945778277784, 0.029317349125366574, 0.06424206800081513, -0.027972056692339143, -0.031548227478792386, -0.05937437812205065, 0.027542098467661577, -0.051590863050130956, 0.002382731649347327],
+    [0.03312009200265992, 0.011655291722666833, -0.03376842956359108, -0.006386137199437906, 0.0077702863847896935, 0.02377802236456304, -0.06411069734848195, 0.01680352806954855, 0.03113147849404824, -0.00953299108134102, -0.02445155212415322, 0.03439432039721719, -0.031139522359045522, 0.03632319067987884, -0.0013313006469792116, -0.02338118829075322, -0.021533175424161936, -0.05511281307366106, 0.002449478832028446, -0.04035978935538761, -0.02576659495882209, 0.05728703595307325, -0.015169704171468413, 0.03389746392701542, 0.049233887445288636, 0.07546878357384083, 0.07163015929766134, -0.03308703813461527, 0.005355616931938717, -0.028388434977856494, -0.0035225458240376846, 0.04665173069318576, -0.05376154209877695, -0.01686905637653845, -0.009094374536934699, -0.02707310789640272, -0.030622633906351702, 0.0680638965643612, -0.009522142316845636, -0.028626989652102273, -0.045046356192136545, -0.04159556741820603, -0.05479496693131354, 0.009288594536032648, -0.01156643406777162, 0.026479356174898005, 0.01861050571014564, -0.007994520793398541, -0.03394425279862668, -0.0101924812301032, 0.011583366495136532, 0.01878529809783363, -0.03752238973186562, 0.006070679733379473, -0.048318670645746735, -0.0026223170345709207, 0.055738571558087584, 0.021364232565129867, 0.014201465619525181, 0.02568100399202517, 0.0206620572660599, -0.036924582339950926, -0.004361340501946548, -0.021789473392287147],
+    [0.00661168216029182, 0.01094854502104378, 0.016401516700473923, -0.023209074682866534, 0.03795992266968824, 0.009760057124852513, -0.007541801310920467, 0.0010142773428621391, 0.010012585169170052, -0.04510522667551413, 0.03629910264086599, -0.04062580754980445, 0.01705116998637095, -0.011335085012494044, -0.023416312861566743, 0.018422462069429456, -0.059836057156401994, 0.05167992328545855, 0.040775868521692855, 0.05083751936908811, 0.001686214228781561, -0.0301415323629044, -0.028727332302757227, -0.006676702065548549, -0.07180683007560826, 0.059672827301740956, -0.012373442427876096, 0.004020003787203071, 0.027192947790414715, 0.057534824226847074, -0.06072922619447733, -0.03248311881416157, 0.0104488512656341, -0.029668136408630138, 0.008434308203868568, -0.04310716032438601, -0.02581936909506718, -0.02871315737332528, -0.02083119743037969, 0.028316016062368967, 0.02966989902949232, -0.06716044412460179, 0.03166176577457615, -0.015902719223474075, 0.03703378753122403, 0.03471827338022801, -0.008947784293074317, -0.007005327738200625, 0.02665014024823904, 0.028022340740426442, 0.023728270180678617, -0.06447787513194878, 0.008368747349474384, -0.027303554627966756, -0.015332391570943097, -0.0489234796880434, 0.03757712928733478, 0.016106378581995765, 0.062401274189081354, -0.006972556724213064, 0.04841764132337024, 0.012647770521774267, -0.05392387060370917, -0.007123824267182499],
+    [0.0006497913408869256, -0.04903820855931069, -0.0016627524610764036, -0.030167052718024934, -0.032697015705828864, -0.017452559429996958, -0.008596756701202442, -0.05140562644228339, 0.002670147901517339, 0.00022149719297885894, 0.012820405606180429, -0.006727442753617652, -0.05248936257945994, -0.001959638686579031, -0.03935186862945557, -0.011775730193282168, 0.04737114557453121, 0.0027165940807511407, -0.004870443725182364, 0.04174201109757026, -0.003614562889561057, 0.0322978638636414, -0.025328381345995393, 0.06172320959934344, 0.0074002195925762255, -0.04403050784021616, -0.027942258027906064, 0.008474964516547818, -0.032912761009841536, -0.03230626772468289, -0.016580435587093233, 0.03438751800567843, 0.027351774523655573, -0.06955971407393614, 0.02860907323095792, 0.017293161270208655, 0.015318329632282256, -0.012013998965267092, 0.009071278451786687, -0.006879797102495407, 0.0013528831671768178, 0.03438551234818685, 0.05028996240580454, -0.01923562235509356, 0.02070722124578121, 0.04672697827530404, 0.03798329244600609, -0.01574168507941067, -0.021939639120197776, -0.023935924059090515, 0.01324685198875765, 0.017857423905904096, 0.09328945776602875, -0.061212470870168546, 0.013987032510340214, -0.011816100838283697, 0.0007112718420103192, -0.017344777899173398, 0.03937833229235063, -0.03798273068096023, 0.005991662146213154, 0.04858584479928443, 0.012939902402771016, 0.02625197769375518],
+    [-0.0038374096379968628, 0.03275731689264548, -0.030651815791598296, -0.023557339734718973, 0.040013415594424666, 0.0788032638374716, -0.06510998907796076, -0.009698152072438649, -0.004999260016684902, 0.014336420648634947, 0.004686109649402828, 0.03053427009907519, -0.02246534939381647, 0.007266741329282201, 0.003693743934052001, 0.024597137459907038, -0.023098626029517115, 0.018788701019667346, 0.01620946889783352, -0.033053880878563584, 0.03049134758325165, -0.04694988360178882, 0.009180911242608624, -0.05735124133984912, 0.027026547924896446, -0.0759964565031937, -0.03486350313900841, 0.014382471021361136, 0.009665783306037814, -0.013222075055417573, 0.053591708584431685, -0.03622067013980243, 0.024397377329196075, -0.002839424741727396, -0.01889834784228226, -0.007238373257709539, 0.02454392172010808, 0.007653249434450368, 0.004532311067531078, -0.07567744054992137, -0.0004989667434309577, -0.010002965934510374, 0.012889860539119048, 0.015463665783186272, -0.015613241837729282, -0.008401879435605851, -0.006511865914317554, -0.00026290093905870514, 0.057095877533168374, -0.04041395501578869, 0.0008007710245598493, -0.0511836366625583, -0.01481453086458275, 0.033782440695333586, 0.0314879762731364, 0.01668786591898393, -0.03242939575735865, 0.007127257601903944, -0.06844901532192658, 0.013509127427823842, 0.029907703969001886, 0.012640568154767669, 0.028096569362317275, 0.05908376522410404],
 ]
 
 # deterministic synthetic geo coordinates derived from events columns

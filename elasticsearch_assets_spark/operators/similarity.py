@@ -305,12 +305,19 @@ def ivf_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[list[float]]:
-    """Deterministic k-means for the coarse quantizer: init = the k
-    vectors with the smallest ids, then `iters` Lloyd steps (assign =
-    JVM column exprs; means = one groupBy per step; the k×dim centroid
-    table is the only driver-side state)."""
+    """Deterministic k-means for the coarse quantizer: init = a
+    HASH-ORDERED sample (the k vectors with the smallest
+    xxhash64(id) — r6, VERDICT r5 #7: the former k-smallest-id seed
+    degenerates when low ids are correlated, e.g. ingestion order =
+    topic order; hash order is a uniform draw that stays a pure
+    function of the ids, so retrains reproduce bit-for-bit), then
+    `iters` Lloyd steps (assign = JVM column exprs; means = one groupBy
+    per step; the k×dim centroid table is the only driver-side state)."""
     init = (
-        emb.orderBy(F.asc(id_col)).limit(k).select(vec_col).collect()
+        emb.orderBy(F.asc(F.xxhash64(id_col)), F.asc(id_col))
+        .limit(k)
+        .select(vec_col)
+        .collect()
     )
     centroids = [list(map(float, r[0])) for r in init]
     for _ in range(iters):

@@ -609,6 +609,20 @@ def _spread_slop_pred(terms: list[str], slop: int, pos_col):
     higher-order functions) — no UDF. Factory functions throughout:
     PySpark introspects lambda arity, so no defaulted-arg closures."""
 
+    # r6 measurement note (VERDICT r5 #5 / the CLAUDE.md anchor-dedup
+    # rough edge): three alternatives were interleave-A/B'd at 1.2M on
+    # the dense 'load config value'~2 probe — (a) let-binding the
+    # adjusted arrays in a lambda scope (anchors were ALREADY
+    # per-doc-distinct via array_distinct): 3.2-3.6s vs 3.2-3.3s, no
+    # change; (b) sort-merge sliding-window pass over (value, slot)
+    # structs: 7.0-8.4s, 2x WORSE (struct sort + per-step array allocs);
+    # (c) int-encoded merge with a flat primitive accumulator:
+    # 5.1-5.5s, still worse. The positions arrays are short (~2-4 per
+    # term per doc) so the anchor scan's nominal quadratic never
+    # materializes, while every merge variant pays real per-element
+    # allocation constants; the probe's wall time is the 3-column
+    # positions join pipeline, not this predicate. The r5 anchor form
+    # stands.
     def _shift(i):
         return lambda x: x - F.lit(i)
 
@@ -659,9 +673,9 @@ def _spread_slop_pred(terms: list[str], slop: int, pos_col):
                 # of the same term (c is tiny).
                 raw = pos_col(t)
                 ss = sorted(term_slots)
-                for a in range(len(ss)):
-                    for b in range(a + 1, len(ss)):
-                        rng = ss[a : b + 1]
+                for a_i in range(len(ss)):
+                    for b_i in range(a_i + 1, len(ss)):
+                        rng = ss[a_i : b_i + 1]
                         enough = (
                             F.size(
                                 F.filter(

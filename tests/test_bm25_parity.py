@@ -235,6 +235,36 @@ def test_phrase_slop_repeated_terms_distinct_tokens(spark):
     assert hits(4) == {1, 3}  # doc 2 stays out at any slop
 
 
+def test_phrase_slop_distinct_terms_merge_pred_parity(spark):
+    """Engine vs oracle across random docs for DISTINCT-term 3/4-term
+    sloppy phrases — pins the r6 merge-scan predicate
+    (_spread_slop_merge_pred) doc-for-doc against the brute-force-
+    pinned oracle on dense, repetitive token streams."""
+    import random
+
+    from elasticsearch_assets_spark.indexing.build import build_index
+    from elasticsearch_assets_spark.query.oracle import OracleIndex
+
+    rng = random.Random(13)
+    vocab = ["a", "b", "c", "d", "x"]
+    rows = [
+        (i + 1, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 18))))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    idx = build_index(docs, doc_id_col="doc_id", n_buckets=4)
+    oracle = OracleIndex(dict(rows))
+    for phrase in ["a b c", "c a d", "a b c d"]:
+        for slop in (1, 2, 4):
+            got = {
+                r["doc_id"]
+                for r in qx.phrase_query(idx, phrase, k=1000, slop=slop).collect()
+            }
+            want = {d for d, _ in oracle.phrase(phrase, k=1000, slop=slop)}
+            assert got == want, (phrase, slop, got ^ want)
+    idx.unpersist()
+
+
 def test_phrase_slop_repeated_terms_engine_oracle_parity(spark):
     """Engine vs oracle on adversarial repeated-term sloppy phrases
     (the exact staircase-assignment semantics must agree doc-for-doc;
