@@ -326,6 +326,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    method: str = "minlabel",
 ) -> DataFrame:
     """Duplicate-cluster resolution: the step every dedup pipeline needs
     AFTER pair generation (minhash/simhash/embedding pairs are edges;
@@ -342,12 +343,21 @@ def connected_components(
     diameter) rounds and stops at the first unchanged round. Near-dup
     components are shallow (dense blobs of mutual similarity), so the
     round count stays small at 10^12 docs; every round is two keyed
-    shuffles (join + groupBy), no driver-side graph. For adversarial
-    long-chain graphs swap in large-star/small-star contraction
-    (Kiveris et al., "Connected Components in MapReduce") — same
-    declarative loop, fewer rounds. Raises if max_iter rounds pass
-    without convergence rather than returning a wrong clustering.
+    shuffles (join + groupBy), no driver-side graph. Raises if max_iter
+    rounds pass without convergence rather than returning a wrong
+    clustering.
+
+    method="star" (r6): large-star/small-star contraction (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — converges in
+    O(log^2 n) rounds regardless of diameter, the right loop for
+    adversarial long-chain graphs where min-label needs O(diameter)
+    rounds. Default stays "minlabel": near-dup components are shallow
+    blobs, and min-label's two shuffles/round win there.
     """
+    if method == "star":
+        return _connected_components_star(pairs, id_a, id_b, max_iter)
+    if method != "minlabel":
+        raise ValueError(f"unknown method {method!r} (minlabel|star)")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -426,10 +436,116 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(component diameter exceeds max_iter); raise max_iter or use "
-            "star-contraction for long-chain graphs"
+            'method="star" for long-chain graphs'
         )
     finally:
         edges.unpersist()
+
+
+def _connected_components_star(
+    pairs: DataFrame, id_a: str, id_b: str, max_iter: int
+) -> DataFrame:
+    """Large-star/small-star contraction (Kiveris et al. 2014): each
+    round rewires the edge set toward per-component stars centered on
+    the minimum node —
+
+      large-star: every node u connects its STRICTLY LARGER neighbors
+        to m(u) = min(neighborhood(u) ∪ {u})
+      small-star: every node u connects its ≤ neighbors (and itself)
+        to m(u) over the smaller-directed neighborhood
+
+    Both steps preserve connectivity; alternating them converges to a
+    fixpoint where every component is a star rooted at its minimum —
+    in O(log^2 n) rounds independent of diameter (vs O(diameter) for
+    min-label). Per round: one groupBy(min) + one join per step; same
+    localCheckpoint lineage-truncation discipline as the min-label
+    loop. Output contract matches connected_components: (node,
+    cluster_id = component minimum) for every node in `pairs`."""
+    all_nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .unionByName(pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+        .persist()
+    )
+
+    def _free_checkpoint(df: DataFrame) -> None:
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
+    # undirected edge list, kept as (u, v) with u != v
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    try:
+        for _round in range(max_iter):
+            # ---- large-star ----
+            nbrs = edges.unionByName(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            mins = (
+                nbrs.groupBy("u")
+                .agg(F.min("v").alias("_mv"))
+                .select("u", F.least("_mv", "u").alias("m"))
+            )
+            ls = (
+                nbrs.join(mins, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v"))
+                .distinct()
+                .localCheckpoint()
+            )
+            # ---- small-star (neighborhood = smaller neighbors only) ----
+            down = ls.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            ).where(F.col("u") != F.col("v"))
+            smins = down.groupBy("u").agg(F.min("v").alias("m"))
+            joined = down.join(smins, "u")
+            new_edges = (
+                joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionByName(
+                    joined.select(F.col("u").alias("u"), F.col("m").alias("v"))
+                )
+                .where(F.col("u") != F.col("v"))
+                .distinct()
+                .localCheckpoint()
+            )
+            _free_checkpoint(ls)
+            # symmetric-difference fixpoint test BEFORE the old edge
+            # frame's checkpoint storage is released (a freed local
+            # checkpoint cannot be recomputed)
+            changed = (
+                new_edges.join(edges, ["u", "v"], "left_anti").limit(1).count()
+                + edges.join(new_edges, ["u", "v"], "left_anti").limit(1).count()
+                if _round > 0
+                else 1
+            )
+            _free_checkpoint(edges)
+            edges = new_edges
+            if _round > 0 and changed == 0:
+                stars = edges.select(
+                    F.greatest("u", "v").alias("node"),
+                    F.least("u", "v").alias("cluster_id"),
+                ).distinct()
+                return (
+                    all_nodes.join(stars, "node", "left")
+                    .select(
+                        "node",
+                        F.coalesce("cluster_id", F.col("node")).alias(
+                            "cluster_id"
+                        ),
+                    )
+                )
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds"
+        )
+    finally:
+        all_nodes.unpersist()
 
 
 def dedup_apply(
