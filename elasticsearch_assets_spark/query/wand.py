@@ -60,12 +60,21 @@ DECODED_SCHEMA = T.StructType(
 class PackedIndex:
     """blocks + term dictionary + stats (the compressed serving index)."""
 
-    def __init__(self, blocks: DataFrame, terms: DataFrame, n_docs: int, avg_dl: float, n_buckets: int):
+    def __init__(
+        self,
+        blocks: DataFrame,
+        terms: DataFrame,
+        n_docs: int,
+        avg_dl: float,
+        n_buckets: int,
+        block_size: int = 128,
+    ):
         self.blocks = blocks
         self.terms = terms
         self.n_docs = n_docs
         self.avg_dl = avg_dl
         self.n_buckets = n_buckets
+        self.block_size = block_size
 
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, float]]:
         """term -> (df, max_tfn over all its blocks). Tiny driver fetch."""
@@ -116,6 +125,29 @@ def bloom_skip_blocks(blocks: DataFrame, cand: DataFrame) -> DataFrame:
             yield pdf[keep]
 
     return blocks.mapInPandas(gen, schema=blocks.schema)
+
+
+# Above this many estimated blocks, the decode input is round-robin
+# repartitioned to defaultParallelism first. A term's blocks are
+# deliberately CONTIGUOUS in the bucket layout (row-group pruning and
+# sequential posting reads need that), which means a hot term's decode
+# otherwise lands entirely on the 1-2 scan/cache partitions that own it:
+# probed at 2.4M docs (r6), a 3-hot-term OR decoded ~56k blocks nearly
+# single-threaded — 17-20s warm, each stage one straggler task. One
+# shuffle of the packed bytes buys a 32-way decode; small/selective
+# queries (the common case) stay shuffle-free.
+SPREAD_BLOCK_THRESHOLD = 2048
+
+
+def _spread_for_decode(index: PackedIndex, qblocks: DataFrame, terms: list[str], stats) -> DataFrame:
+    est_blocks = sum(
+        -(-stats[t][0] // index.block_size) for t in terms if t in stats
+    )
+    if est_blocks < SPREAD_BLOCK_THRESHOLD:
+        return qblocks
+    return qblocks.repartition(
+        qblocks.sparkSession.sparkContext.defaultParallelism
+    )
 
 
 def decode_blocks(blocks: DataFrame) -> DataFrame:
@@ -203,7 +235,10 @@ def scored_terms_packed(index: PackedIndex, text: str) -> DataFrame | None:
     qterms = [t for t in qterms if t in stats]
     if not qterms:
         return None
-    decoded = decode_blocks(index.blocks.where(F.col("term").isin(qterms)))
+    qblocks = _spread_for_decode(
+        index, index.blocks.where(F.col("term").isin(qterms)), qterms, stats
+    )
+    decoded = decode_blocks(qblocks)
     return _score_decoded(decoded, stats, index.n_docs, index.avg_dl)
 
 
@@ -246,7 +281,14 @@ def match_query_packed(
     theta = 0.0
     if stats[rarest][0] >= k and min_bound <= theta_ub:
         r_scored = _score_decoded(
-            decode_blocks(qblocks.where(F.col("term") == rarest)),
+            decode_blocks(
+                _spread_for_decode(
+                    index,
+                    qblocks.where(F.col("term") == rarest),
+                    [rarest],
+                    stats,
+                )
+            ),
             {rarest: stats[rarest]},
             index.n_docs,
             index.avg_dl,
@@ -277,7 +319,12 @@ def match_query_packed(
         # decode is persisted: it feeds both the candidate set (an
         # action inside bloom_skip_blocks) and the final scoring pass.
         ess_decoded = decode_blocks(
-            qblocks.where(F.col("term").isin(essential))
+            _spread_for_decode(
+                index,
+                qblocks.where(F.col("term").isin(essential)),
+                essential,
+                stats,
+            )
         ).persist()
         cand = ess_decoded.select("doc_id").distinct()
         ne_blocks = qblocks.where(F.col("term").isin(non_essential))
@@ -286,7 +333,9 @@ def match_query_packed(
         decoded = ess_decoded.unionByName(ne_decoded)
     else:
         ess_decoded = None
-        decoded = decode_blocks(qblocks)
+        decoded = decode_blocks(
+            _spread_for_decode(index, qblocks, qterms, stats)
+        )
 
     scored = _score_decoded(decoded, stats, index.n_docs, index.avg_dl)
     if operator == "and":

@@ -104,6 +104,24 @@ def test_packed_matches_oracle(packed, text, k, op):
     _assert_parity(got, exp)
 
 
+def test_packed_spread_decode_rank_identical(packed, monkeypatch):
+    """The r6 pre-decode repartition (hot-term parallelism at scale)
+    must be rank/score-invisible: force the threshold to 0 so every
+    decode takes the shuffled path, and compare against the oracle."""
+    from elasticsearch_assets_spark.query import wand
+
+    pidx, oracle = packed
+    monkeypatch.setattr(wand, "SPREAD_BLOCK_THRESHOLD", 0)
+    for text, k, op in [
+        ("return self value merge", 15, "or"),
+        ("parse_date mergeBatch", 25, "and"),
+        ("uniq_7", 5, "or"),
+    ]:
+        got = wand.match_query_packed(pidx, text, k=k, operator=op)
+        exp = oracle.match(text, k=k, operator=op)
+        _assert_parity(got, exp)
+
+
 def test_bloom_positions_roundtrip():
     ids = np.array([1, 7, 123456789, -5, 2**62], dtype=np.int64)
     bloom = codec.bloom_build(ids)
