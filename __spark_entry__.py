@@ -637,6 +637,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents"), "text", "doc_id", n=3, k=8, bands=4
         )
     )
+    # same pair graph through the star-contraction loop (r6): clustering
+    # is method-invariant, so the SAME recursive-CTE oracle checks it
+    q["dd_dup_clusters_star"] = lambda s, d: dedup.connected_components(
+        dedup.minhash_lsh_candidates(
+            _t(s, d, "documents"), "text", "doc_id", n=3, k=8, bands=4
+        ),
+        method="star",
+    )
 
     def dd_dedup_apply(s, d):
         # the full dedup pipeline end-to-end: pairs -> components ->
@@ -1167,8 +1175,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wr_dual_yield",
         "ss_roundtrip",
         # dedup / text / multimodal / similarity
-        "dd_exact", "dd_minhash_lsh", "dd_dup_clusters", "dd_dedup_apply",
-        "dd_jaccard", "dd_jaccard_lsh", "dd_simhash", "dd_simhash_pairs",
+        "dd_exact", "dd_minhash_lsh", "dd_dup_clusters",
+        "dd_dup_clusters_star", "dd_dedup_apply",
+        "dd_jaccard_lsh", "dd_simhash", "dd_simhash_pairs",
         "ts_token_count", "ts_quality",
         "mm_features", "mm_meta",
         "sim_ivf_topk", "sim_lsh_topk", "sim_ann_indexed",
@@ -1179,7 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_track_total", "ev_json_extract", "ev_sort_limit",
         "ev_geo_sorted", "ev_delayed_window", "ev_slice_query",
         "ev_subslice_flag", "wr_create", "ts_lang_id", "ts_fingerprint",
-        "stream_sessions",
+        "stream_sessions", "dd_jaccard",
         # similarity core
         "sim_near_dup_banded", "sim_cosine_topk", "sim_near_dup",
         # r02-proven tail + the slow streamers
@@ -1604,6 +1613,8 @@ reach(node, lab) AS (
 )
 SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
 """
+
+    o["dd_dup_clusters_star"] = o["dd_dup_clusters"]
 
     o["dd_dedup_apply"] = f"""
 WITH RECURSIVE {_mh_ctes},

@@ -212,6 +212,28 @@ def _score_decoded(
         )
         * F.lit(K1 + 1.0),
     )
+    # Same deterministic-fold implementations as exec.scored_terms: for
+    # the normal short term list, per-term conditional sums keep the
+    # whole aggregation in codegen (measured ~2x over the
+    # collect_list + sort_array + aggregate shape there); the
+    # left-to-right chain over term-sorted columns reproduces the
+    # sorted fold bit-for-bit. Wide expansions keep the array fold.
+    terms_sorted = sorted(stats)
+    if len(terms_sorted) <= 32:
+        aggs = [
+            F.sum(F.when(F.col("term") == t, F.col("contrib"))).alias(f"_c{i}")
+            for i, t in enumerate(terms_sorted)
+        ]
+        g = contrib.groupBy("doc_id").agg(
+            *aggs, F.count("*").alias("n_matched")
+        )
+        score = F.lit(0.0)
+        for i in range(len(terms_sorted)):
+            c = F.col(f"_c{i}")
+            score = F.when(c.isNotNull(), score + c).otherwise(score)
+        return g.withColumn("score", score).drop(
+            *[f"_c{i}" for i in range(len(terms_sorted))]
+        )
     return (
         contrib.groupBy("doc_id")
         .agg(
