@@ -656,6 +656,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.dedup_apply(docs, clusters).select("doc_id")
 
     q["dd_dedup_apply"] = dd_dedup_apply
+
+    def dd_line_dedup(s, d):
+        # CCNet-style boilerplate-line removal (r6). documents.text is
+        # single-line in the testdata, so the entry first reshapes each
+        # doc into 2-word lines (pure column ops, mirrored verbatim in
+        # the oracle) — the corpus' Zipf-head word pairs then repeat
+        # across >=10 docs and become real boilerplate, exercising the
+        # stats groupBy, the anti-join, and the ordered reassembly.
+        docs = _t(s, d, "documents").select("doc_id", "text")
+        w = 2
+        words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ml = docs.select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size(words) / F.lit(float(w))).cast("long")
+                        - F.lit(1),
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(words, (i * w + 1).cast("int"), w), " "
+                    ),
+                ),
+                "\n",
+            ).alias("text_ml"),
+        )
+        return dedup.dedup_lines(ml, "text_ml", "doc_id", min_docs=10)
+
+    q["dd_line_dedup"] = dd_line_dedup
     q["ts_token_count"] = lambda s, d: textstats.token_count(
         _t(s, d, "documents"), "text", "doc_id"
     )
@@ -1177,7 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup / text / multimodal / similarity
         "dd_exact", "dd_minhash_lsh", "dd_dup_clusters",
         "dd_dup_clusters_star", "dd_dedup_apply",
-        "dd_jaccard_lsh", "dd_simhash", "dd_simhash_pairs",
+        "dd_jaccard_lsh", "dd_line_dedup", "dd_simhash_pairs",
         "ts_token_count", "ts_quality",
         "mm_features", "mm_meta",
         "sim_ivf_topk", "sim_lsh_topk", "sim_ann_indexed",
@@ -1188,7 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_track_total", "ev_json_extract", "ev_sort_limit",
         "ev_geo_sorted", "ev_delayed_window", "ev_slice_query",
         "ev_subslice_flag", "wr_create", "ts_lang_id", "ts_fingerprint",
-        "stream_sessions", "dd_jaccard",
+        "stream_sessions", "dd_jaccard", "dd_simhash",
         # similarity core
         "sim_near_dup_banded", "sim_cosine_topk", "sim_near_dup",
         # r02-proven tail + the slow streamers
@@ -1593,6 +1623,46 @@ FROM bands a JOIN bands b
     o["dd_minhash_lsh"] = f"""
 WITH {_mh_ctes}
 {_mh_pairs_select}
+"""
+
+    # line-level dedup over the 2-word-chunk reshaping of documents.text
+    # (the chunking is mirrored verbatim from the entry's column ops)
+    o["dd_line_dedup"] = """
+WITH ml AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(
+             range(0, CAST(ceil(len(string_split(coalesce(text, ''), ' ')) / 2.0) AS BIGINT)),
+             i -> array_to_string(
+               list_slice(string_split(coalesce(text, ''), ' '), i * 2 + 1, i * 2 + 2), ' ')
+           ),
+           chr(10)) AS text_ml
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text_ml, chr(10))) AS line,
+         unnest(range(1, len(string_split(text_ml, chr(10))) + 1)) AS pos
+  FROM ml
+),
+normed AS (SELECT doc_id, pos, line, trim(line) AS norm FROM lines),
+boiler AS (
+  SELECT norm FROM normed WHERE norm <> ''
+  GROUP BY norm HAVING count(DISTINCT doc_id) >= 10
+),
+kept AS (
+  SELECT doc_id, pos, line FROM normed
+  WHERE norm NOT IN (SELECT norm FROM boiler)
+),
+reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT m.doc_id,
+       coalesce(r.text_dedup, '') AS text_dedup,
+       CAST(len(string_split(m.text_ml, chr(10))) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM ml m LEFT JOIN reb r USING (doc_id)
 """
 
     # duplicate-cluster resolution: min-reachable-id per component over

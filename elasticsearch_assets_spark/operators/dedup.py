@@ -558,3 +558,86 @@ def dedup_apply(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def _doc_lines(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(<id>, pos, line, norm): one row per line of each doc, in order.
+    norm = trim(line) — the cross-engine-stable normalization (no
+    casefold: Unicode special-casing diverges between engines exactly
+    where lowercase maps into ASCII, see functions/analyzer.py). NULL
+    text behaves as ''."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
+    ).withColumn("norm", F.trim("line"))
+
+
+def line_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Corpus-wide line frequency: (line, n_docs) for every non-blank
+    normalized line, n_docs = DISTINCT docs containing it. The stats
+    side of CCNet-style boilerplate detection (headers, license
+    preambles, nav menus repeat VERBATIM across pages).
+
+    Scale: one groupBy on the line text — partial aggregation absorbs
+    each doc's repeats map-side; hot boilerplate lines (the ones this
+    exists to find) are exactly the well-compressed keys."""
+    return (
+        _doc_lines(df, text_col, id_col)
+        .where(F.col("norm") != "")
+        .groupBy(F.col("norm").alias("line"))
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+    )
+
+
+def dedup_lines(
+    df: DataFrame, text_col: str, id_col: str, min_docs: int = 2
+) -> DataFrame:
+    """CCNet-style line-level dedup: remove every line whose trimmed
+    form appears in >= min_docs distinct documents, preserving the
+    original text and order of the surviving lines. Blank lines are
+    never counted as boilerplate (they survive). Returns
+    (<id>, text_dedup, n_removed) with every input doc present —
+    a doc that was ALL boilerplate comes back as ''.
+
+    Scale shape: two keyed shuffles (the line-frequency groupBy and the
+    per-doc reassembly groupBy) plus one anti-join keyed on the line
+    text; nothing is quadratic and no driver collect. The boilerplate
+    set is usually small but is NOT broadcast-forced — at 10^12 docs
+    the >=min_docs line dictionary can be arbitrarily large, so the
+    equi-join is left to AQE.
+    """
+    lines = _doc_lines(df, text_col, id_col)
+    boiler = (
+        line_stats(df, text_col, id_col)
+        .where(F.col("n_docs") >= min_docs)
+        .select(F.col("line").alias("norm"))
+    )
+    kept = lines.join(boiler, "norm", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("text_dedup"),
+        F.count("*").alias("_n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "_n_lines"
+        ),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            (F.col("_n_lines") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

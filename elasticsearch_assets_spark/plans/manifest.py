@@ -36,7 +36,8 @@ from elasticsearch_assets_spark.indexing.build import with_doc_id
 
 MANIFEST_SCHEMA = (
     "run_id string, partition_id int, input_fingerprint string, "
-    "rows long, bytes long, duration_ms long, status string"
+    "rows long, bytes long, duration_ms long, status string, "
+    "replaces string"
 )
 
 _FP_MOD = 1_000_003
@@ -101,9 +102,14 @@ def _fp_col():
     )
 
 
-def _with_parts(docs: DataFrame, id_cols, text_col: str, n_parts: int) -> DataFrame:
+def _with_parts(
+    docs: DataFrame, id_cols, text_col: str, n_parts: int, part_offset: int = 0
+) -> DataFrame:
     return with_doc_id(docs, id_cols, text_col).withColumn(
-        "_part", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int")
+        "_part",
+        (F.lit(part_offset) + F.pmod(F.xxhash64("doc_id"), F.lit(n_parts))).cast(
+            "int"
+        ),
     )
 
 
