@@ -185,6 +185,7 @@ def _build_part(
             int(stats["bytes"] or 0),
             int((time.time() - t0) * 1000),
             "done",
+            None,
         )
     ]
     # overwrite = the atomic commit point; exactly one current row/part
@@ -197,18 +198,51 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame:
     md = _manifest_dir(path)
     if not os.path.isdir(md) or not os.listdir(md):
         return spark.createDataFrame([], MANIFEST_SCHEMA)
-    return spark.read.option("recursiveFileLookup", "true").parquet(md)
+    # mergeSchema: rows written before the compaction feature lack the
+    # `replaces` column — old indexes stay readable, the column is
+    # backfilled as null
+    m = spark.read.option("recursiveFileLookup", "true").option(
+        "mergeSchema", "true"
+    ).parquet(md)
+    if "replaces" not in m.columns:
+        m = m.withColumn("replaces", F.lit(None).cast("string"))
+    return m
+
+
+def _done_rows(spark: SparkSession, path: str) -> list:
+    return (
+        read_manifest(spark, path)
+        .where(F.col("status") == "done")
+        .select("partition_id", "replaces")
+        .collect()
+    )
+
+
+def _replaced_ids(rows) -> set[int]:
+    out: set[int] = set()
+    for r in rows:
+        if r["replaces"]:
+            out.update(int(x) for x in r["replaces"].split(","))
+    return out
 
 
 def done_parts(spark: SparkSession, path: str) -> set[int]:
-    m = read_manifest(spark, path)
-    return {
-        r["partition_id"]
-        for r in m.where(F.col("status") == "done")
-        .select("partition_id")
-        .distinct()
-        .collect()
-    }
+    """LIVE committed parts: done manifest rows minus every part listed
+    in a committed compaction's `replaces` — the compacted segment's
+    single manifest row atomically adds the merged part AND hides its
+    inputs, so readers never double-count."""
+    rows = _done_rows(spark, path)
+    return {r["partition_id"] for r in rows} - _replaced_ids(rows)
+
+
+def _ever_done_ids(spark: SparkSession, path: str) -> set[int]:
+    """Parts with ANY done row PLUS compaction-replaced ids — the
+    resume skip-set (a replaced part's docs live on in the merged
+    segment; rebuilding it would double its docs). Replaced ids come
+    from the compacted rows' `replaces` strings, so they stay in the
+    skip-set even after gc_replaced_segments removes their own rows."""
+    rows = _done_rows(spark, path)
+    return {r["partition_id"] for r in rows} | _replaced_ids(rows)
 
 
 def manifest_fingerprints(spark: SparkSession, path: str) -> dict[int, str]:
@@ -241,7 +275,7 @@ def build_index_resumable(
     spark = docs.sparkSession
     base = _with_parts(docs, id_cols, text_col, n_parts)
     _record_build_meta(path, keep_positions)
-    done = done_parts(spark, path)
+    done = _ever_done_ids(spark, path)
     built = 0
     for part in range(n_parts):
         if part in done:
@@ -283,6 +317,18 @@ def refresh_index(
             # pre-meta index: infer from the layout rather than
             # defaulting to False and deleting committed prox dirs
             keep_positions = os.path.isdir(os.path.join(path, "positions"))
+    rows = _done_rows(spark, path)
+    if _replaced_ids(rows) or any(r["partition_id"] >= n_parts for r in rows):
+        # a compacted or stream-ingested index's segments no longer
+        # align with the hash-part keying this drift scan assumes — a
+        # "refresh" here would rebuild hash parts whose docs also live
+        # in merged/batch segments (silent double-count)
+        raise ValueError(
+            f"index at {path} has compacted or stream-ingested segments; "
+            "refresh_index only supports batch-partitioned indexes "
+            f"(n_parts={n_parts}) — rebuild, or ingest changes as new "
+            "segments"
+        )
     _record_build_meta(path, keep_positions)
     base = _with_parts(docs, id_cols, text_col, n_parts)
     fresh = _fresh_fingerprints(base)
@@ -345,3 +391,145 @@ def verify_fingerprints(
         fresh.get(pid) == fp
         for pid, fp in manifest_fingerprints(spark, path).items()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest: one micro-batch -> n_parts new committed segments
+# ---------------------------------------------------------------------------
+
+
+def ingest_segment_batch(
+    docs: DataFrame,
+    path: str,
+    batch_id: int,
+    n_parts: int = 4,
+    n_buckets: int = 16,
+    text_col: str = "content",
+    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    keep_positions: bool = False,
+    run_id: str | None = None,
+) -> list[int]:
+    """Append one micro-batch of docs as ``n_parts`` NEW segments with
+    the deterministic ids ``batch_id*n_parts + [0, n_parts)`` — the
+    Lucene segment-per-flush model on the existing manifest commit
+    machinery. Designed as a Structured Streaming ``foreachBatch`` sink
+    (streaming/ingest.py): a replayed batch (restart from checkpoint
+    re-delivers the same files, so the same rows) skips its already-
+    committed segments and rebuilds the rest byte-identically —
+    idempotent re-execution = effectively-once ingest, with no
+    distributed transaction.
+
+    Returns the segment ids built by THIS call (committed ones are
+    skipped). Segments are served by read_resumable_postings/positions
+    exactly like batch parts; BM25 stats (n_docs, avg_dl) derive from
+    the postings at query time, so they stay correct as segments land.
+    """
+    spark = docs.sparkSession
+    _record_build_meta(path, keep_positions)
+    lo = batch_id * n_parts
+    base = _with_parts(docs, id_cols, text_col, n_parts, part_offset=lo)
+    done = _ever_done_ids(spark, path)
+    rid = run_id or f"batch-{batch_id}"
+    built: list[int] = []
+    for part in range(lo, lo + n_parts):
+        if part in done:
+            continue
+        _build_part(base, path, part, n_buckets, text_col, rid, keep_positions)
+        built.append(part)
+    return built
+
+
+# ---------------------------------------------------------------------------
+# Segment compaction + GC (merge small streamed segments, Lucene-style)
+# ---------------------------------------------------------------------------
+
+
+def compact_segments(
+    spark: SparkSession,
+    path: str,
+    parts: list[int],
+    new_part: int,
+    run_id: str = "compact",
+) -> None:
+    """Merge the committed segments ``parts`` into ONE segment
+    ``new_part``. Pure data movement — postings (and positions, for a
+    keep_positions index) rows are re-written under the new part dir;
+    no re-tokenization.
+
+    Commit protocol: the new segment's single manifest row lands LAST
+    and carries ``replaces`` — one atomic overwrite both publishes the
+    merged segment and hides its inputs from ``done_parts``, so readers
+    see exactly-one copy of every row at every instant. A crash before
+    that row leaves only an uncommitted data dir (invisible, rebuilt by
+    a retry); the replaced dirs stay on disk until
+    ``gc_replaced_segments`` (lazy, idempotent).
+
+    Fingerprints are additive (an order-independent sum over docs), so
+    the merged segment's fingerprint is the sum of its inputs' — no
+    source-doc scan.
+    """
+    if len(parts) < 2:
+        raise ValueError("compaction needs >= 2 segments")
+    rows = _done_rows(spark, path)
+    live = {r["partition_id"] for r in rows} - _replaced_ids(rows)
+    missing = [p for p in parts if p not in live]
+    if missing:
+        raise ValueError(f"segments not live/committed: {missing}")
+    if new_part in {r["partition_id"] for r in rows}:
+        raise ValueError(f"segment id {new_part} already has a manifest row")
+
+    t0 = time.time()
+    m = {
+        r["partition_id"]: r
+        for r in read_manifest(spark, path)
+        .where(F.col("status") == "done")
+        .collect()
+    }
+    streams = ["postings"]
+    if read_build_meta(path).get("keep_positions") or os.path.isdir(
+        os.path.join(path, "positions")
+    ):
+        streams.append("positions")
+    for stream in streams:
+        src = [
+            os.path.join(path, stream, f"part={p}")
+            for p in sorted(parts)
+            if os.path.isdir(os.path.join(path, stream, f"part={p}"))
+        ]
+        if not src:
+            continue
+        merged = spark.read.parquet(*src)
+        dst = os.path.join(path, stream, f"part={new_part}")
+        merged.write.mode("overwrite").parquet(dst)
+
+    fp = sum(int(m[p]["input_fingerprint"]) for p in parts)
+    row = [
+        (
+            run_id,
+            new_part,
+            str(fp),
+            sum(int(m[p]["rows"]) for p in parts),
+            sum(int(m[p]["bytes"]) for p in parts),
+            int((time.time() - t0) * 1000),
+            "done",
+            ",".join(str(p) for p in sorted(parts)),
+        )
+    ]
+    spark.createDataFrame(row, MANIFEST_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_manifest_part_dir(path, new_part))
+
+
+def gc_replaced_segments(spark: SparkSession, path: str) -> list[int]:
+    """Remove the data dirs AND manifest rows of compaction-replaced
+    segments. Safe any time after the compaction committed (readers
+    already exclude them); idempotent; returns the ids collected."""
+    import shutil
+
+    rows = _done_rows(spark, path)
+    replaced = sorted(_replaced_ids(rows))
+    for p in replaced:
+        shutil.rmtree(_part_dir(path, p), ignore_errors=True)
+        shutil.rmtree(_pos_part_dir(path, p), ignore_errors=True)
+        shutil.rmtree(_manifest_part_dir(path, p), ignore_errors=True)
+    return replaced
