@@ -962,6 +962,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_match_packed"] = ft_match_packed
 
+    def ft_match_streamed(s, d):
+        # the SAME query as ft_match_or, served from a STREAMED index:
+        # documents land as two deterministic micro-batches
+        # (plans/manifest.ingest_segment_batch — the foreachBatch sink's
+        # unit), batch 0's segments are COMPACTED (replaces-row commit),
+        # and serving goes through serve_resumable_index (n_docs/avg_dl
+        # from live manifest rows + denormalized dl, terms from one
+        # postings agg). Value-checked by the same BM25 oracle: the
+        # streamed+compacted lifecycle is score-identical to a batch
+        # build on the driver record.
+        import tempfile
+
+        from elasticsearch_assets_spark.plans import manifest as MF
+
+        key = os.path.abspath(d) + "::streamed"
+        if key not in _INDEX_CACHE:
+            p = tempfile.mkdtemp(prefix="eas_stream_seg_")
+            docs = _t(s, d, "documents")
+            for b in (0, 1):
+                MF.ingest_segment_batch(
+                    docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == b),
+                    p,
+                    batch_id=b,
+                    n_parts=2,
+                    n_buckets=16,
+                    text_col="text",
+                    doc_id_col="doc_id",
+                )
+            MF.compact_segments(s, p, [0, 1], new_part=100)
+            idx = MF.serve_resumable_index(s, p)
+            idx.postings = idx.postings.persist()
+            _INDEX_CACHE[key] = idx
+        index = _INDEX_CACHE[key]
+        terms = sorted(set(analyze_text("spark merge stream")))
+        out = qx.scored_terms(index, terms)
+        return (
+            out.withColumn("score", F.round("score", 4))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(10)
+            .select("doc_id", "score")
+        )
+
+    q["ft_match_streamed"] = ft_match_streamed
+
     def sim_lsh_topk(s, d):
         # LSH-bucketed ANN (scale path): Gaussian-hyperplane sign
         # bucket prefilter (r6 — the Charikar family, planes seeded and
@@ -1190,8 +1234,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_querystring",
         # packed (codec) serving path — r5 touched the block encoder
         "ft_match_packed",
-        # events family
-        "ev_range_scan", "ev_id_prefix_counts", "ev_date_histogram",
+        # streamed-segment serving path (NEW r6: ingest_segment_batch ->
+        # compact_segments -> serve_resumable_index lifecycle)
+        "ft_match_streamed",
+        # events family (ev_date_histogram r05-proven -> tail)
+        "ev_range_scan", "ev_id_prefix_counts",
         "ev_geo_box", "ev_geo_distance",
         # xLucene variables (r6 touched the parser's variable path)
         "sp_filter_vars",
@@ -1214,7 +1261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- 50-slot cut falls here ----
         # driver-recorded-green entries rotated to the tail (r02-r05
         # artifacts; still value-checked by tools/check_entry.py)
-        "ft_match_all_k", "ft_count", "ev_count", "ev_minmax",
+        "ft_match_all_k", "ft_count", "ev_date_histogram",
+        "ev_count", "ev_minmax",
         "ev_track_total", "ev_json_extract", "ev_sort_limit",
         "ev_geo_sorted", "ev_delayed_window", "ev_slice_query",
         "ev_subslice_flag", "wr_create", "ts_lang_id", "ts_fingerprint",
@@ -1949,6 +1997,11 @@ SELECT * FROM merged WHERE doc_id NOT IN (SELECT old_id FROM moved)
 
     # identical oracle to ft_match_or: the packed path must be
     # rank-AND-score identical to the row-postings path
+    # streamed+compacted segments serve the exact batch-build scores
+    o["ft_match_streamed"] = _bm25_sql(
+        sorted(set(analyze_text("spark merge stream"))), 10
+    )
+
     o["ft_match_packed"] = _bm25_sql(
         sorted(set(analyze_text("spark merge stream"))), 10
     )

@@ -75,12 +75,17 @@ def read_build_meta(path: str) -> dict:
         return _json.load(f)
 
 
-def _record_build_meta(path: str, keep_positions: bool) -> None:
-    """Persist keep_positions so later refresh/resume runs default to
-    the index's own setting. A conflicting explicit flag raises: a
-    resume that flips keep_positions would leave a MIXED index (some
-    parts with prox dirs, some without) that silently loses phrase
-    recall for the positions-less parts."""
+def _record_build_meta(
+    path: str, keep_positions: bool, n_buckets: int | None = None
+) -> None:
+    """Persist keep_positions + n_buckets so later refresh/resume/serve
+    runs default to the index's own settings. A conflicting explicit
+    flag raises: a resume that flips keep_positions would leave a MIXED
+    index (some parts with prox dirs, some without) that silently loses
+    phrase recall for the positions-less parts, and a segment built
+    with a different n_buckets would break bucket pruning (query-side
+    pmod(xxhash64(term), B) no longer matches the rows' bucket column —
+    silent recall loss, not an error)."""
     import json as _json
 
     meta = read_build_meta(path)
@@ -91,9 +96,23 @@ def _record_build_meta(path: str, keep_positions: bool) -> None:
             f"{meta['keep_positions']} (or rebuild from scratch) instead of "
             f"{keep_positions} — mixing would silently drop phrase recall"
         )
+    if (
+        n_buckets is not None
+        and meta.get("n_buckets") is not None
+        and meta["n_buckets"] != n_buckets
+    ):
+        raise ValueError(
+            f"index at {path} was built with n_buckets={meta['n_buckets']}; "
+            f"a segment with n_buckets={n_buckets} would break bucket "
+            "pruning (query-side term->bucket math must match every "
+            "segment) — pass the original value or rebuild"
+        )
+    meta["keep_positions"] = keep_positions
+    if n_buckets is not None:
+        meta["n_buckets"] = n_buckets
     os.makedirs(path, exist_ok=True)
     with open(_build_meta_path(path), "w") as f:
-        _json.dump({"keep_positions": keep_positions}, f)
+        _json.dump(meta, f)
 
 
 def _fp_col():
@@ -103,9 +122,24 @@ def _fp_col():
 
 
 def _with_parts(
-    docs: DataFrame, id_cols, text_col: str, n_parts: int, part_offset: int = 0
+    docs: DataFrame,
+    id_cols,
+    text_col: str,
+    n_parts: int,
+    part_offset: int = 0,
+    doc_id_col: str | None = None,
 ) -> DataFrame:
-    return with_doc_id(docs, id_cols, text_col).withColumn(
+    """doc_id_col, when given, is used verbatim as the doc id (mirrors
+    build_index's doc_id_col — e.g. the testdata documents.doc_id)
+    instead of xxhash64(*id_cols); content_sha still derives from the
+    text so fingerprints keep detecting content-only edits."""
+    if doc_id_col is not None:
+        base = docs.withColumn("doc_id", F.col(doc_id_col)).withColumn(
+            "content_sha", F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+        )
+    else:
+        base = with_doc_id(docs, id_cols, text_col)
+    return base.withColumn(
         "_part",
         (F.lit(part_offset) + F.pmod(F.xxhash64("doc_id"), F.lit(n_parts))).cast(
             "int"
@@ -263,6 +297,7 @@ def build_index_resumable(
     run_id: str = "run",
     fail_after_parts: int | None = None,
     keep_positions: bool = False,
+    doc_id_col: str | None = None,
 ) -> None:
     """Build (or resume) the partitioned index at `path`.
 
@@ -273,8 +308,8 @@ def build_index_resumable(
     point for both streams.
     """
     spark = docs.sparkSession
-    base = _with_parts(docs, id_cols, text_col, n_parts)
-    _record_build_meta(path, keep_positions)
+    base = _with_parts(docs, id_cols, text_col, n_parts, doc_id_col=doc_id_col)
+    _record_build_meta(path, keep_positions, n_buckets)
     done = _ever_done_ids(spark, path)
     built = 0
     for part in range(n_parts):
@@ -329,7 +364,7 @@ def refresh_index(
             f"(n_parts={n_parts}) — rebuild, or ingest changes as new "
             "segments"
         )
-    _record_build_meta(path, keep_positions)
+    _record_build_meta(path, keep_positions, n_buckets)
     base = _with_parts(docs, id_cols, text_col, n_parts)
     fresh = _fresh_fingerprints(base)
     current = manifest_fingerprints(spark, path)
@@ -375,6 +410,68 @@ def read_resumable_positions(spark: SparkSession, path: str) -> DataFrame:
     return _read_committed(spark, path, "positions")
 
 
+def serve_resumable_index(
+    spark: SparkSession, path: str, n_buckets: int | None = None
+):
+    """IndexTables over a resumable/streamed index's COMMITTED segments
+    — the serving handle for query/exec, no batch re-index needed:
+
+    - postings (and positions, when built with keep_positions) read
+      through the manifest: committed parts only, compaction-replaced
+      ids excluded
+    - terms (df) from one postings aggregation
+    - n_docs = sum of the live manifest rows' doc counts — zero-token
+      docs have no postings rows but DO count toward n_docs/avg_dl,
+      matching the batch builder's coalesced dl=0 semantics
+    - avg_dl = sum over per-doc dl (denormalized on every posting row)
+      / n_docs
+    - n_buckets from build_meta (bucket pruning needs the exact
+      build-side value; pre-meta indexes must pass it explicitly)
+
+    Stats reflect the segments committed at call time — re-call after
+    new batches land, the way Lucene reopens a reader per refresh.
+    """
+    from elasticsearch_assets_spark.indexing.build import IndexTables
+
+    meta = read_build_meta(path)
+    if n_buckets is None:
+        n_buckets = meta.get("n_buckets")
+    if n_buckets is None:
+        raise ValueError(
+            f"index at {path} predates build-meta n_buckets recording — "
+            "pass n_buckets= explicitly (it must equal the build-time "
+            "value or bucket pruning silently drops matches)"
+        )
+    rows = (
+        read_manifest(spark, path)
+        .where(F.col("status") == "done")
+        .select("partition_id", "replaces", "rows")
+        .collect()
+    )
+    live = {r["partition_id"] for r in rows} - _replaced_ids(rows)
+    n_docs = sum(int(r["rows"]) for r in rows if r["partition_id"] in live)
+    post = read_resumable_postings(spark, path)
+    doc_dl = post.select("doc_id", "dl").distinct()
+    sum_dl = doc_dl.agg(F.sum("dl")).collect()[0][0]
+    avg_dl = float(sum_dl or 0) / n_docs if n_docs else 0.0
+    positions = None
+    if meta.get("keep_positions") or os.path.isdir(
+        os.path.join(path, "positions")
+    ):
+        positions = read_resumable_positions(spark, path)
+    return IndexTables(
+        postings=post,
+        terms=post.groupBy("term").agg(
+            F.count("*").cast("long").alias("df")
+        ),
+        doc_norms=doc_dl,
+        n_docs=n_docs,
+        avg_dl=avg_dl,
+        n_buckets=int(n_buckets),
+        positions=positions,
+    )
+
+
 def verify_fingerprints(
     spark: SparkSession,
     path: str,
@@ -408,6 +505,7 @@ def ingest_segment_batch(
     id_cols: tuple[str, ...] = ("repo", "path", "commit"),
     keep_positions: bool = False,
     run_id: str | None = None,
+    doc_id_col: str | None = None,
 ) -> list[int]:
     """Append one micro-batch of docs as ``n_parts`` NEW segments with
     the deterministic ids ``batch_id*n_parts + [0, n_parts)`` — the
@@ -425,9 +523,11 @@ def ingest_segment_batch(
     the postings at query time, so they stay correct as segments land.
     """
     spark = docs.sparkSession
-    _record_build_meta(path, keep_positions)
+    _record_build_meta(path, keep_positions, n_buckets)
     lo = batch_id * n_parts
-    base = _with_parts(docs, id_cols, text_col, n_parts, part_offset=lo)
+    base = _with_parts(
+        docs, id_cols, text_col, n_parts, part_offset=lo, doc_id_col=doc_id_col
+    )
     done = _ever_done_ids(spark, path)
     rid = run_id or f"batch-{batch_id}"
     built: list[int] = []

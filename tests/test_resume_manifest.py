@@ -174,7 +174,7 @@ def test_refresh_preserves_positions_by_default(spark, tmp_path):
     docs = generate_corpus(spark, 300, seed=11)
     p = str(tmp_path / "posidx")
     M.build_index_resumable(docs, p, n_parts=4, keep_positions=True)
-    assert M.read_build_meta(p) == {"keep_positions": True}
+    assert M.read_build_meta(p) == {"keep_positions": True, "n_buckets": 16}
 
     docs2 = docs.withColumn(
         "content",

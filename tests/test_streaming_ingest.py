@@ -151,6 +151,79 @@ def test_batch_resume_skips_compacted_parts(spark, corpus_pdf, tmp_path):
     assert _fingerprint(spark, idx) == fp
 
 
+def test_serve_resumable_index_matches_batch_scoring(spark, corpus_pdf, tmp_path):
+    """A streamed+compacted index served through serve_resumable_index
+    must score match queries identically (to float round-off in avg_dl
+    accumulation order) to an in-memory build_index over the same docs
+    — n_docs/avg_dl derive from manifest rows + denormalized dl, terms
+    from one postings agg, n_buckets from build meta."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_assets_spark.indexing.build import build_index
+    from elasticsearch_assets_spark.query import exec as qx
+
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame(corpus_pdf.iloc[:150])
+    even = docs.where(F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(2)) == 0)
+    odd = docs.where(F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(2)) == 1)
+    M.ingest_segment_batch(even, idx, batch_id=0, n_parts=2, n_buckets=8,
+                           keep_positions=True)
+    M.ingest_segment_batch(odd, idx, batch_id=1, n_parts=2, n_buckets=8,
+                           keep_positions=True)
+    M.compact_segments(spark, idx, [0, 1], new_part=50)
+
+    served = M.serve_resumable_index(spark, idx)
+    ref = build_index(docs, n_buckets=8, keep_positions=True)
+    assert served.n_docs == ref.n_docs == 150
+    assert served.avg_dl == pytest.approx(ref.avg_dl, rel=1e-12)
+    assert served.n_buckets == 8
+    assert served.positions is not None
+
+    terms = ["merge", "stream", "batch"]
+    got = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in qx.scored_terms(served, terms).collect()
+    }
+    want = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in qx.scored_terms(ref, terms).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # a batch with a conflicting bucket count must refuse (wrong-B
+    # segments would silently break query-side bucket pruning)
+    with pytest.raises(ValueError, match="n_buckets"):
+        M.ingest_segment_batch(docs, idx, batch_id=9, n_parts=2, n_buckets=4,
+                               keep_positions=True)
+
+    # pre-meta index (no recorded n_buckets): explicit value required
+    import json
+    mp = M._build_meta_path(idx)
+    meta = json.load(open(mp))
+    del meta["n_buckets"]
+    json.dump(meta, open(mp, "w"))
+    with pytest.raises(ValueError, match="n_buckets"):
+        M.serve_resumable_index(spark, idx)
+    assert M.serve_resumable_index(spark, idx, n_buckets=8).n_docs == 150
+
+
+def test_ingest_doc_id_col_passthrough(spark, corpus_pdf, tmp_path):
+    """doc_id_col uses the caller's id verbatim (testdata documents
+    carry their own doc_id) instead of xxhash64(id_cols)."""
+    idx = str(tmp_path / "idx")
+    pdf = corpus_pdf.iloc[:60].copy()
+    pdf["my_id"] = range(1000, 1060)
+    docs = spark.createDataFrame(pdf)
+    M.ingest_segment_batch(docs, idx, batch_id=0, n_parts=2, n_buckets=8,
+                           doc_id_col="my_id")
+    ids = {
+        r["doc_id"]
+        for r in M.read_resumable_postings(spark, idx)
+        .select("doc_id").distinct().collect()
+    }
+    assert ids and ids <= set(range(1000, 1060))
+
+
 def test_compact_segments_validation(spark, corpus_pdf, tmp_path):
     idx = str(tmp_path / "idx")
     docs = spark.createDataFrame(corpus_pdf.iloc[:80])
