@@ -980,12 +980,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if key not in _INDEX_CACHE:
             p = tempfile.mkdtemp(prefix="eas_stream_seg_")
             docs = _t(s, d, "documents")
+            # one segment per micro-batch (n_parts=1) keeps the entry's
+            # cost at 2 part builds while still exercising the full
+            # multi-batch lifecycle
             for b in (0, 1):
                 MF.ingest_segment_batch(
                     docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == b),
                     p,
                     batch_id=b,
-                    n_parts=2,
+                    n_parts=1,
                     n_buckets=16,
                     text_col="text",
                     doc_id_col="doc_id",
