@@ -620,6 +620,67 @@ def compact_segments(
     ).parquet(_manifest_part_dir(path, new_part))
 
 
+def next_compact_id(spark: SparkSession, path: str) -> int:
+    """Allocate a collision-proof id for a compacted segment: streamed
+    batch segments are always ``batch_id*n_parts + i >= 0``, so
+    compacted segments live in the NEGATIVE range. A positive new_part
+    that collided with a future batch's deterministic id would make
+    ingest_segment_batch skip that segment as already-done — silent
+    loss of the whole micro-batch. Descends from -1; replaced ids stay
+    reserved (their rows may be GC'd but their id must never be
+    reused while a `replaces` string still names them)."""
+    rows = _done_rows(spark, path)
+    used = {r["partition_id"] for r in rows} | _replaced_ids(rows)
+    return min((i for i in used if i < 0), default=0) - 1
+
+
+def auto_compact(
+    spark: SparkSession,
+    path: str,
+    max_live: int = 8,
+    max_merge: int = 8,
+    run_id: str = "auto-compact",
+) -> list[list[int]]:
+    """Tiered merge policy (the Lucene TieredMergePolicy analogue for
+    streamed indexes): while more than ``max_live`` segments are live,
+    merge the SMALLEST ones (by manifest row count — small segments
+    are what streaming accumulates) in groups of at most ``max_merge``,
+    into negative ids from next_compact_id. Deterministic given the
+    manifest (ties broken by partition_id), idempotent once the live
+    count is within bound. Returns the merge groups executed, in
+    order."""
+    merged: list[list[int]] = []
+    while True:
+        rows = (
+            read_manifest(spark, path)
+            .where(F.col("status") == "done")
+            .select("partition_id", "replaces", "rows")
+            .collect()
+        )
+        replaced = _replaced_ids(rows)
+        live = sorted(
+            (
+                (int(r["rows"]), int(r["partition_id"]))
+                for r in rows
+                if r["partition_id"] not in replaced
+            ),
+        )
+        if len(live) <= max_live:
+            return merged
+        # one merge shrinks the live count by (k-1); take just enough
+        # of the smallest segments to land inside the bound, capped
+        k = min(max_merge, len(live) - max_live + 1)
+        group = sorted(pid for _, pid in live[:k])
+        compact_segments(
+            spark,
+            path,
+            group,
+            new_part=next_compact_id(spark, path),
+            run_id=run_id,
+        )
+        merged.append(group)
+
+
 def gc_replaced_segments(spark: SparkSession, path: str) -> list[int]:
     """Remove the data dirs AND manifest rows of compaction-replaced
     segments. Safe any time after the compaction committed (readers

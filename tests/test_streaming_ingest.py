@@ -151,6 +151,45 @@ def test_batch_resume_skips_compacted_parts(spark, corpus_pdf, tmp_path):
     assert _fingerprint(spark, idx) == fp
 
 
+def test_auto_compact_tiered_policy(spark, corpus_pdf, tmp_path):
+    """auto_compact merges the smallest live segments into NEGATIVE ids
+    (batch segment ids are always >= 0, so a positive new_part could
+    collide with a FUTURE batch's deterministic id and make ingest skip
+    that segment as done — silent loss of the micro-batch). Readers see
+    an unchanged posting multiset throughout; the policy is idempotent
+    once within bound."""
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame(corpus_pdf.iloc[:60])
+    h = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(8))
+    for b in range(8):
+        M.ingest_segment_batch(docs.where(h == b), idx, batch_id=b,
+                               n_parts=1, n_buckets=8)
+    assert M.done_parts(spark, idx) == set(range(8))
+    fp = _fingerprint(spark, idx)
+
+    groups = M.auto_compact(spark, idx, max_live=3, max_merge=3)
+    live = M.done_parts(spark, idx)
+    assert len(live) <= 3
+    assert all(len(g) >= 2 for g in groups)
+    assert min(live) < 0  # compacted ids from the negative range
+    assert _fingerprint(spark, idx) == fp
+    assert M.auto_compact(spark, idx, max_live=3, max_merge=3) == []
+
+    # next batch lands on its deterministic id with no collision, and
+    # its docs actually arrive
+    M.ingest_segment_batch(docs.limit(0), idx, batch_id=100, n_parts=1,
+                           n_buckets=8)
+    assert 100 in M.done_parts(spark, idx)
+    assert _fingerprint(spark, idx) == fp  # empty batch adds nothing
+
+    # GC of all replaced segments leaves the live set + multiset intact
+    M.gc_replaced_segments(spark, idx)
+    assert _fingerprint(spark, idx) == fp
+    assert next(iter(M.done_parts(spark, idx) - {100})) is not None
+
+
 def test_serve_resumable_index_matches_batch_scoring(spark, corpus_pdf, tmp_path):
     """A streamed+compacted index served through serve_resumable_index
     must score match queries identically (to float round-off in avg_dl
