@@ -117,11 +117,12 @@ def cpu_probe(spark: SparkSession) -> float:
     slow ALLOCATION-heavy JVM work 20-30x while leaving small-working-
     set arithmetic almost untouched (guest CPU time is charged while
     host-side page management stalls every memory access) — so the
-    canary must allocate: md5 over per-row strings. Fixed 4-partition
+    canary must allocate: md5 over per-row strings. Fixed 2-partition
     parallelism keeps the healthy time constant across the bench's
-    2/8/32-core sessions."""
+    2/8/32-core sessions (the smallest session has 2 cores; any wider
+    and the probe would read slow there by construction)."""
     t0 = time.perf_counter()
-    spark.range(0, 6_000_000, 1, 4).selectExpr(
+    spark.range(0, 4_000_000, 1, 2).selectExpr(
         "max(md5(cast(id AS string))) AS h"
     ).collect()
     return time.perf_counter() - t0

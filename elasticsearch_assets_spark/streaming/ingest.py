@@ -2,9 +2,9 @@
 manifest-committed segments.
 
 The reference's persistent-mode reader turns an endless document
-stream into bounded, individually-committed slices (dateSlicer
-persistent windows; delayedStreamSegment). The write-side Spark-native
-equivalent: each micro-batch becomes ``n_parts`` new index segments
+stream into bounded, individually-committed slices (dateSlicer.ts:77-83
+persistent lifecycle; date-helpers.ts:267 delayedStreamSegment). The
+write-side Spark-native equivalent: each micro-batch becomes ``n_parts`` new index segments
 through plans/manifest.ingest_segment_batch, whose one-row manifest
 overwrite is the commit point — the same lineage + resume machinery
 the batch builder uses, so a streamed index is served, compacted, and
