@@ -100,16 +100,19 @@ def _ranked_match(
 _ANALYZE_TEXT_SQL = duckdb_analyze_sql("text")
 
 
-def _bm25_cte() -> str:
-    """Shared CTE prefix computing tf/dl/df/avgdl over `documents`."""
+def _bm25_cte(base: str = "documents") -> str:
+    """Shared CTE prefix computing tf/dl/df/avgdl over `base` (default
+    the full documents table; the purged-tombstone oracle passes a
+    filtered subquery so stats re-derive over the surviving corpus)."""
     return f"""
-WITH toks AS (
-  SELECT doc_id, unnest({_ANALYZE_TEXT_SQL}) AS term FROM documents
+WITH corpus AS (SELECT * FROM {base}),
+toks AS (
+  SELECT doc_id, unnest({_ANALYZE_TEXT_SQL}) AS term FROM corpus
 ),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
 stats AS (
-  SELECT avg(dl) AS avgdl, (SELECT count(*) FROM documents)::DOUBLE AS n FROM dl
+  SELECT avg(dl) AS avgdl, (SELECT count(*) FROM corpus)::DOUBLE AS n FROM dl
 ),
 dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
 contrib AS (
@@ -692,6 +695,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ts_quality"] = lambda s, d: textstats.quality_score(
         _t(s, d, "documents"), "text", "doc_id"
     )
+    q["ts_repetition"] = lambda s, d: textstats.repetition(
+        _t(s, d, "documents"), "text", "doc_id"
+    )
     q["ts_lang_id"] = lambda s, d: textstats.lang_id(
         _t(s, d, "documents"), "text", "doc_id"
     )
@@ -1009,6 +1015,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_match_streamed"] = ft_match_streamed
 
+    def _tomb_index(s, d, purged: bool):
+        # Lucene liveDocs lifecycle honored by the index itself (the
+        # reference's bulk sender emits delete actions —
+        # ElasticsearchBulkSender.ts:55-73): a streamed 2-batch index,
+        # docs with doc_id % 7 == 3 tombstoned via delete_docs. Not
+        # purged: serving anti-joins them out while BM25 stats keep
+        # counting them (Lucene docFreq/maxDoc until a merge). Purged:
+        # compact_segments(purge_deletes=True) rewrites the segments
+        # minus the dead rows, corrects n_docs/avg_dl, retires the
+        # tombstones — score-identical to a fresh build over survivors.
+        import tempfile
+
+        from elasticsearch_assets_spark.plans import manifest as MF
+
+        key = os.path.abspath(d) + ("::purged" if purged else "::deleted")
+        if key not in _INDEX_CACHE:
+            p = tempfile.mkdtemp(prefix="eas_tomb_")
+            docs = _t(s, d, "documents")
+            for b in (0, 1):
+                MF.ingest_segment_batch(
+                    docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == b),
+                    p,
+                    batch_id=b,
+                    n_parts=1,
+                    n_buckets=16,
+                    text_col="text",
+                    doc_id_col="doc_id",
+                )
+            MF.delete_docs(
+                s, p, docs.where(F.col("doc_id") % 7 == 3).select("doc_id")
+            )
+            if purged:
+                MF.compact_segments(
+                    s, p, [0, 1], new_part=-1, purge_deletes=True
+                )
+            idx = MF.serve_resumable_index(s, p)
+            idx.postings = idx.postings.persist()
+            _INDEX_CACHE[key] = idx
+        return _INDEX_CACHE[key]
+
+    def _tomb_match(s, d, purged: bool):
+        index = _tomb_index(s, d, purged)
+        terms = sorted(set(analyze_text("spark merge stream")))
+        out = qx.scored_terms(index, terms)
+        return (
+            out.withColumn("score", F.round("score", 4))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(10)
+            .select("doc_id", "score")
+        )
+
+    q["ft_match_deleted"] = lambda s, d: _tomb_match(s, d, purged=False)
+    q["ft_match_purged"] = lambda s, d: _tomb_match(s, d, purged=True)
+
     def sim_lsh_topk(s, d):
         # LSH-bucketed ANN (scale path): Gaussian-hyperplane sign
         # bucket prefilter (r6 — the Charikar family, planes seeded and
@@ -1238,11 +1298,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # packed (codec) serving path — r5 touched the block encoder
         "ft_match_packed",
         # streamed-segment serving path (NEW r6: ingest_segment_batch ->
-        # compact_segments -> serve_resumable_index lifecycle)
-        "ft_match_streamed",
+        # compact_segments -> serve_resumable_index lifecycle) + the
+        # tombstone-delete lifecycle (NEW r6: delete_docs liveDocs
+        # serving / purging merge; ev_geo_box + ev_geo_distance
+        # r05-proven -> tail to make room)
+        "ft_match_streamed", "ft_match_deleted", "ft_match_purged",
         # events family (ev_date_histogram r05-proven -> tail)
         "ev_range_scan", "ev_id_prefix_counts",
-        "ev_geo_box", "ev_geo_distance",
         # xLucene variables (r6 touched the parser's variable path)
         "sp_filter_vars",
         # slicer plans (plan_id_slices_optimized must stay on the
@@ -1251,24 +1313,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plan_date_subslices",
         # writers
         "wr_index", "wr_update", "wr_update_fields",
-        "wr_delete", "wr_script", "wr_lww", "wr_routed", "wr_reject",
+        "wr_delete", "wr_lww", "wr_routed", "wr_reject",
         "wr_dual_yield",
         "ss_roundtrip",
         # dedup / text / multimodal / similarity
         "dd_exact", "dd_minhash_lsh", "dd_dup_clusters",
         "dd_dup_clusters_star", "dd_dedup_apply",
         "dd_jaccard_lsh", "dd_line_dedup", "dd_simhash_pairs",
-        "ts_token_count", "ts_quality",
+        "ts_token_count", "ts_quality", "ts_repetition",
         "mm_features", "mm_meta",
         "sim_ivf_topk", "sim_lsh_topk", "sim_ann_indexed",
         # ---- 50-slot cut falls here ----
         # driver-recorded-green entries rotated to the tail (r02-r05
         # artifacts; still value-checked by tools/check_entry.py)
         "ft_match_all_k", "ft_count", "ev_date_histogram",
+        "ev_geo_box", "ev_geo_distance",
         "ev_count", "ev_minmax",
         "ev_track_total", "ev_json_extract", "ev_sort_limit",
         "ev_geo_sorted", "ev_delayed_window", "ev_slice_query",
-        "ev_subslice_flag", "wr_create", "ts_lang_id", "ts_fingerprint",
+        "ev_subslice_flag", "wr_create", "wr_script",
+        "ts_lang_id", "ts_fingerprint",
         "stream_sessions", "dd_jaccard", "dd_simhash",
         # similarity core
         "sim_near_dup_banded", "sim_cosine_topk", "sim_near_dup",
@@ -1813,6 +1877,42 @@ SELECT doc_id, len_chars, n_words,
 FROM feat
 """
 
+    # Gopher repetition rules (r6): per-doc dup/top n-gram fractions.
+    # Mirror of textstats.repetition's zero-shuffle fold: DuckDB takes
+    # the explode+groupBy road to the same exact ratios (int-valued
+    # doubles, bit-identical division).
+    def _rep_ctes(n: int) -> str:
+        return f"""
+g{n} AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, len(arr) - {n} + 2),
+           i -> array_to_string(arr[i : i + {n - 1}], ' ')
+         )) AS g
+  FROM toks WHERE len(arr) >= {n}
+),
+c{n} AS (SELECT doc_id, g, count(*) AS c FROM g{n} GROUP BY 1, 2),
+r{n} AS (
+  SELECT doc_id,
+         round(1 - count(*)::DOUBLE / sum(c), 4) AS dup_{n}gram_frac,
+         round(max(c)::DOUBLE / sum(c), 4) AS top_{n}gram_frac
+  FROM c{n} GROUP BY doc_id
+)"""
+
+    o["ts_repetition"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_ANALYZE_TEXT_SQL} AS arr FROM documents
+),{_rep_ctes(2)},{_rep_ctes(3)}
+SELECT t.doc_id,
+       coalesce(dup_2gram_frac, 0.0) AS dup_2gram_frac,
+       coalesce(top_2gram_frac, 0.0) AS top_2gram_frac,
+       coalesce(dup_3gram_frac, 0.0) AS dup_3gram_frac,
+       coalesce(top_3gram_frac, 0.0) AS top_3gram_frac
+FROM toks t
+LEFT JOIN r2 USING (doc_id)
+LEFT JOIN r3 USING (doc_id)
+"""
+
     _marker_counts = ",\n  ".join(
         "len(list_filter(toks, t -> t IN ({m}))) AS hits_{lang}".format(
             m=", ".join(f"'{w}'" for w in textstats.LANG_MARKERS[lang]), lang=lang
@@ -2008,6 +2108,31 @@ SELECT * FROM merged WHERE doc_id NOT IN (SELECT old_id FROM moved)
     o["ft_match_packed"] = _bm25_sql(
         sorted(set(analyze_text("spark merge stream"))), 10
     )
+
+    # tombstone lifecycle (r6). Deleted-not-purged = Lucene liveDocs
+    # semantics: BM25 stats (df, n_docs, avgdl) still derive from the
+    # FULL corpus (the default _bm25_cte), only the RESULTS exclude the
+    # dead docs. Purged = the merge applied the tombstones: every stat
+    # re-derives over the surviving corpus (filtered CTE base).
+    _tomb_terms = ", ".join(
+        f"'{t}'" for t in sorted(set(analyze_text("spark merge stream")))
+    )
+    o["ft_match_deleted"] = f"""{_bm25_cte()}
+SELECT doc_id, round(sum(c), 4) AS score
+FROM contrib WHERE term IN ({_tomb_terms}) AND doc_id % 7 <> 3
+GROUP BY doc_id
+ORDER BY round(sum(c), 4) DESC, doc_id ASC
+LIMIT 10
+"""
+    o["ft_match_purged"] = f"""{
+        _bm25_cte(base="(SELECT * FROM documents WHERE doc_id % 7 <> 3)")
+    }
+SELECT doc_id, round(sum(c), 4) AS score
+FROM contrib WHERE term IN ({_tomb_terms})
+GROUP BY doc_id
+ORDER BY round(sum(c), 4) DESC, doc_id ASC
+LIMIT 10
+"""
 
     # hyperplane family (r6): the SAME seeded planes as the entry
     # (_ANN_PLANES), inlined as DOUBLE[] literals; dots via list_sum of

@@ -113,6 +113,66 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def repetition(
+    df: DataFrame, text_col: str, id_col: str, ns: tuple[int, ...] = (2, 3)
+) -> DataFrame:
+    """Gopher-style within-doc repetition signals (Rae et al. 2021
+    appendix A quality filters; the same rules RedPajama/Dolma apply):
+    for each n in ``ns``,
+
+    - ``dup_<n>gram_frac``: fraction of the doc's n-grams that repeat
+      an earlier occurrence (1 - distinct/total)
+    - ``top_<n>gram_frac``: fraction taken by the single most frequent
+      n-gram
+
+    Both rounded to 4dp; docs shorter than n tokens score 0.0.
+
+    Zero shuffle by construction: n-grams, the distinct count, and the
+    most-frequent-gram count are all higher-order array expressions
+    evaluated per row inside whole-stage codegen — exploding the
+    n-grams into a groupBy would shuffle every token of a 100 TB
+    corpus just to compute a per-doc ratio. The top-gram count sorts
+    the gram array and folds the longest equal-adjacent run
+    (O(t log t) per doc), not a per-distinct-gram filter scan (O(d*t)).
+    """
+    toks = analyze_col(text_col)
+    cols = [F.col(id_col)]
+    for n in ns:
+        # NB: F.sequence(0, x) DESCENDS when x < 0 — short docs must
+        # short-circuit to an empty array explicitly
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        total = F.size(grams)
+        dup = F.when(
+            total > 0,
+            F.lit(1.0) - F.size(F.array_distinct(grams)) / total,
+        ).otherwise(F.lit(0.0))
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        )
+
+        def _merge(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(run, acc["best"]).alias("best"),
+            )
+
+        best = F.aggregate(F.sort_array(grams), init, _merge)["best"]
+        top = F.when(total > 0, best / total).otherwise(F.lit(0.0))
+        cols.append(F.round(dup, 4).alias(f"dup_{n}gram_frac"))
+        cols.append(F.round(top, 4).alias(f"top_{n}gram_frac"))
+    return df.select(*cols)
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set —
     order/whitespace-insensitive content identity. (<id>, fp)."""

@@ -411,7 +411,10 @@ def read_resumable_positions(spark: SparkSession, path: str) -> DataFrame:
 
 
 def serve_resumable_index(
-    spark: SparkSession, path: str, n_buckets: int | None = None
+    spark: SparkSession,
+    path: str,
+    n_buckets: int | None = None,
+    apply_deletes: bool = True,
 ):
     """IndexTables over a resumable/streamed index's COMMITTED segments
     — the serving handle for query/exec, no batch re-index needed:
@@ -427,6 +430,12 @@ def serve_resumable_index(
       / n_docs
     - n_buckets from build_meta (bucket pruning needs the exact
       build-side value; pre-meta indexes must pass it explicitly)
+    - tombstoned docs (delete_docs) are anti-joined out of postings and
+      positions, but ONLY after the corpus stats (df, n_docs, avg_dl)
+      are derived — Lucene liveDocs semantics: a deleted doc stops
+      matching immediately, while docFreq/maxDoc keep counting it until
+      a purging merge rewrites the segments (compact_segments
+      purge_deletes=True). apply_deletes=False serves the raw segments.
 
     Stats reflect the segments committed at call time — re-call after
     new batches land, the way Lucene reopens a reader per refresh.
@@ -454,16 +463,26 @@ def serve_resumable_index(
     doc_dl = post.select("doc_id", "dl").distinct()
     sum_dl = doc_dl.agg(F.sum("dl")).collect()[0][0]
     avg_dl = float(sum_dl or 0) / n_docs if n_docs else 0.0
+    # df from the FULL committed postings (pre-tombstone), per Lucene
+    terms = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     positions = None
     if meta.get("keep_positions") or os.path.isdir(
         os.path.join(path, "positions")
     ):
         positions = read_resumable_positions(spark, path)
+    if apply_deletes:
+        tomb = read_deletes(spark, path)
+        if tomb is not None:
+            # tombstone sets are small relative to the corpus (a large
+            # backlog is what purge_deletes compactions are for), so
+            # Spark picks a broadcast anti-join from the parquet size
+            # stats — no forced broadcast of an unbounded frame
+            post = post.join(tomb, "doc_id", "left_anti")
+            if positions is not None:
+                positions = positions.join(tomb, "doc_id", "left_anti")
     return IndexTables(
         postings=post,
-        terms=post.groupBy("term").agg(
-            F.count("*").cast("long").alias("df")
-        ),
+        terms=terms,
         doc_norms=doc_dl,
         n_docs=n_docs,
         avg_dl=avg_dl,
@@ -550,6 +569,7 @@ def compact_segments(
     parts: list[int],
     new_part: int,
     run_id: str = "compact",
+    purge_deletes: bool = False,
 ) -> None:
     """Merge the committed segments ``parts`` into ONE segment
     ``new_part``. Pure data movement — postings (and positions, for a
@@ -567,6 +587,20 @@ def compact_segments(
     Fingerprints are additive (an order-independent sum over docs), so
     the merged segment's fingerprint is the sum of its inputs' — no
     source-doc scan.
+
+    ``purge_deletes=True`` is the Lucene purging merge: tombstoned rows
+    (delete_docs) are dropped while rewriting, the new manifest row's
+    doc count subtracts the purged docs (so served n_docs/avg_dl stop
+    counting them), and — only when ``parts`` covers EVERY live segment
+    (a full merge) — the now-applied tombstones are retired. A partial
+    purge keeps all tombstones: a doc_id re-ingested by a later batch
+    can live in a segment outside this merge, and retiring its
+    tombstone would resurrect that copy. Caveats (documented, not
+    silent): a purged index's fingerprint stays the additive input sum
+    (lineage-only — refresh_index already refuses compacted indexes),
+    and a tombstoned ZERO-TOKEN doc has no postings rows to detect, so
+    it keeps counting toward n_docs until its segment is fully
+    re-ingested.
     """
     if len(parts) < 2:
         raise ValueError("compaction needs >= 2 segments")
@@ -585,6 +619,8 @@ def compact_segments(
         .where(F.col("status") == "done")
         .collect()
     }
+    tomb = read_deletes(spark, path) if purge_deletes else None
+    purged_docs = 0
     streams = ["postings"]
     if read_build_meta(path).get("keep_positions") or os.path.isdir(
         os.path.join(path, "positions")
@@ -599,6 +635,15 @@ def compact_segments(
         if not src:
             continue
         merged = spark.read.parquet(*src)
+        if tomb is not None:
+            if stream == "postings":
+                purged_docs = (
+                    merged.select("doc_id")
+                    .distinct()
+                    .join(tomb, "doc_id", "left_semi")
+                    .count()
+                )
+            merged = merged.join(tomb, "doc_id", "left_anti")
         dst = os.path.join(path, stream, f"part={new_part}")
         merged.write.mode("overwrite").parquet(dst)
 
@@ -608,7 +653,7 @@ def compact_segments(
             run_id,
             new_part,
             str(fp),
-            sum(int(m[p]["rows"]) for p in parts),
+            sum(int(m[p]["rows"]) for p in parts) - purged_docs,
             sum(int(m[p]["bytes"]) for p in parts),
             int((time.time() - t0) * 1000),
             "done",
@@ -618,6 +663,8 @@ def compact_segments(
     spark.createDataFrame(row, MANIFEST_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(_manifest_part_dir(path, new_part))
+    if tomb is not None and set(parts) == live:
+        _retire_deletes(path)
 
 
 def next_compact_id(spark: SparkSession, path: str) -> int:
@@ -694,3 +741,86 @@ def gc_replaced_segments(spark: SparkSession, path: str) -> list[int]:
         shutil.rmtree(_pos_part_dir(path, p), ignore_errors=True)
         shutil.rmtree(_manifest_part_dir(path, p), ignore_errors=True)
     return replaced
+
+
+# ---------------------------------------------------------------------------
+# Tombstone deletes (the Lucene liveDocs/.liv analogue)
+# ---------------------------------------------------------------------------
+#
+# The reference's bulk sender emits `delete` actions keyed by doc id
+# (ElasticsearchBulkSender.ts:55-73 — `_delete_id` metadata and the
+# config.delete path both build `{action: {delete: meta}}`), and
+# Elasticsearch/Lucene honor them with per-segment liveDocs bitsets:
+# the doc stops matching immediately, its postings stay on disk, and
+# corpus statistics (docFreq, maxDoc) keep counting it until a merge
+# rewrites the segment. This section is that lifecycle for the
+# resumable/streamed index: delete_docs appends a committed tombstone
+# batch, serve_resumable_index anti-joins live postings (stats
+# untouched), and compact_segments(purge_deletes=True) is the purging
+# merge. Single-writer, like the rest of the manifest machinery.
+
+
+def _deletes_dir(path: str) -> str:
+    return os.path.join(path, "deletes")
+
+
+def delete_docs(spark: SparkSession, path: str, ids) -> int:
+    """Tombstone doc ids in the index at ``path``. ``ids`` is either a
+    DataFrame with a ``doc_id`` column or an iterable of ints. Each
+    call lands ONE new batch dir ``deletes/b<k>``; the parquet
+    ``_SUCCESS`` marker is the commit point (a crash mid-write leaves
+    no marker, so the batch is invisible and simply re-issued).
+    Re-deleting an already-dead id is a harmless no-op (readers take
+    the distinct union of all batches). Returns the batch's distinct id
+    count."""
+    if isinstance(ids, DataFrame):
+        df = ids.select(F.col("doc_id").cast("long").alias("doc_id"))
+    else:
+        df = spark.createDataFrame(
+            [(int(i),) for i in ids], "doc_id long"
+        )
+    df = df.distinct().coalesce(1)
+    dd = _deletes_dir(path)
+    os.makedirs(dd, exist_ok=True)
+    nxt = 1 + max(
+        (
+            int(d[1:])
+            for d in os.listdir(dd)
+            if d.startswith("b") and d[1:].isdigit()
+        ),
+        default=-1,
+    )
+    dst = os.path.join(dd, f"b{nxt}")
+    df.write.mode("overwrite").parquet(dst)
+    return spark.read.parquet(dst).count()
+
+
+def _committed_delete_dirs(path: str) -> list[str]:
+    dd = _deletes_dir(path)
+    if not os.path.isdir(dd):
+        return []
+    return sorted(
+        os.path.join(dd, d)
+        for d in os.listdir(dd)
+        if d.startswith("b")
+        and os.path.exists(os.path.join(dd, d, "_SUCCESS"))
+    )
+
+
+def read_deletes(spark: SparkSession, path: str) -> DataFrame | None:
+    """The live tombstone set (distinct doc_id over every COMMITTED
+    delete batch), or None when the index has none."""
+    dirs = _committed_delete_dirs(path)
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs).select("doc_id").distinct()
+
+
+def _retire_deletes(path: str) -> None:
+    """Drop every committed tombstone batch — valid only right after a
+    FULL purging merge (all live segments rewritten minus tombstones),
+    when every detectable tombstone has been physically applied."""
+    import shutil
+
+    for d in _committed_delete_dirs(path):
+        shutil.rmtree(d, ignore_errors=True)

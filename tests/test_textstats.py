@@ -88,3 +88,64 @@ def test_token_count_null_text(spark):
     assert out[1] == (0, 1, 0)
     assert out[1] == out[2]  # NULL behaves exactly like ''
     assert out[3] == (2, 2, 2)
+
+
+def test_repetition_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb aa bb aa bb"),   # 2g: 5 total/2 distinct; 3g: 4/2
+            (2, "one two three four"),  # no repeats
+            (3, "xx"),                  # shorter than any n
+            (4, None),                  # null text
+            (5, "zz zz zz zz"),         # single repeated token
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (
+            r["dup_2gram_frac"], r["top_2gram_frac"],
+            r["dup_3gram_frac"], r["top_3gram_frac"],
+        )
+        for r in textstats.repetition(df, "text", "doc_id").collect()
+    }
+    assert out[1] == (0.6, 0.6, 0.5, 0.5)
+    assert out[2] == (0.0, round(1 / 3, 4), 0.0, 0.5)
+    assert out[3] == (0.0, 0.0, 0.0, 0.0)
+    assert out[4] == (0.0, 0.0, 0.0, 0.0)
+    # "zz zz zz zz": 2g 3 total 1 distinct -> dup 2/3 top 1; 3g 2/1
+    assert out[5] == (round(2 / 3, 4), 1.0, 0.5, 1.0)
+
+
+def test_repetition_matches_duckdb_fold(spark):
+    # the Spark sort+longest-run fold == DuckDB's explode/groupBy road
+    # on generated docs (the entry oracle's exact SQL shape)
+    import duckdb
+
+    from elasticsearch_assets_spark.corpus import generate_corpus_pandas
+    from elasticsearch_assets_spark.functions.analyzer import duckdb_analyze_sql
+
+    pdf = generate_corpus_pandas(40, seed=3)[["content"]].reset_index()
+    pdf.columns = ["doc_id", "text"]
+    got = {
+        r["doc_id"]: (r["dup_2gram_frac"], r["top_2gram_frac"])
+        for r in textstats.repetition(
+            spark.createDataFrame(pdf), "text", "doc_id"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sql = f"""
+WITH toks AS (SELECT doc_id, {duckdb_analyze_sql('text')} AS arr FROM documents),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(arr)),
+         i -> array_to_string(arr[i : i + 1], ' '))) AS g
+  FROM toks WHERE len(arr) >= 2
+),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+SELECT doc_id, round(1 - count(*)::DOUBLE / sum(c), 4) AS dup,
+       round(max(c)::DOUBLE / sum(c), 4) AS top
+FROM c2 GROUP BY doc_id
+"""
+    for doc_id, dup, top in con.execute(sql).fetchall():
+        assert got[doc_id][0] == dup, doc_id
+        assert got[doc_id][1] == top, doc_id
