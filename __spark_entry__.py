@@ -1069,6 +1069,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_match_deleted"] = lambda s, d: _tomb_match(s, d, purged=False)
     q["ft_match_purged"] = lambda s, d: _tomb_match(s, d, purged=True)
 
+    def ft_match_upserted(s, d):
+        # index-layer update/upsert (the reference bulk sender's
+        # update/upsert actions, ElasticsearchBulkSender.ts:62-79 —
+        # Lucene updateDocument): the doc_id % 7 == 3 docs are
+        # RE-WRITTEN with appended text via upsert_segment_batch
+        # (scoped tombstone kills the old copies, re-ingest adds the
+        # new), then a FULL purging merge converges stats. Oracle =
+        # BM25 re-derived over the post-update corpus: the whole
+        # delete-then-add lifecycle must be score-identical to a batch
+        # build of the final doc versions.
+        import tempfile
+
+        from elasticsearch_assets_spark.plans import manifest as MF
+
+        key = os.path.abspath(d) + "::upserted"
+        if key not in _INDEX_CACHE:
+            p = tempfile.mkdtemp(prefix="eas_upsert_")
+            docs = _t(s, d, "documents")
+            for b in (0, 1):
+                MF.ingest_segment_batch(
+                    docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == b),
+                    p,
+                    batch_id=b,
+                    n_parts=1,
+                    n_buckets=16,
+                    text_col="text",
+                    doc_id_col="doc_id",
+                )
+            upd = docs.where(F.col("doc_id") % 7 == 3).withColumn(
+                "text", F.concat(F.col("text"), F.lit(" upsert refresh stream"))
+            )
+            MF.upsert_segment_batch(
+                upd,
+                p,
+                batch_id=2,
+                n_parts=1,
+                n_buckets=16,
+                text_col="text",
+                doc_id_col="doc_id",
+            )
+            MF.compact_segments(
+                s, p, [0, 1, 2], new_part=-1, purge_deletes=True
+            )
+            idx = MF.serve_resumable_index(s, p)
+            idx.postings = idx.postings.persist()
+            _INDEX_CACHE[key] = idx
+        index = _INDEX_CACHE[key]
+        terms = sorted(set(analyze_text("spark upsert stream")))
+        out = qx.scored_terms(index, terms)
+        return (
+            out.withColumn("score", F.round("score", 4))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(10)
+            .select("doc_id", "score")
+        )
+
+    q["ft_match_upserted"] = ft_match_upserted
+
     def sim_lsh_topk(s, d):
         # LSH-bucketed ANN (scale path): Gaussian-hyperplane sign
         # bucket prefilter (r6 — the Charikar family, planes seeded and
@@ -1303,8 +1361,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # serving / purging merge; ev_geo_box + ev_geo_distance
         # r05-proven -> tail to make room)
         "ft_match_streamed", "ft_match_deleted", "ft_match_purged",
+        # index-layer upsert lifecycle (NEW this session:
+        # upsert_segment_batch scoped tombstones; ev_id_prefix_counts
+        # r01-r05-proven -> tail to make room)
+        "ft_match_upserted",
         # events family (ev_date_histogram r05-proven -> tail)
-        "ev_range_scan", "ev_id_prefix_counts",
+        "ev_range_scan",
         # xLucene variables (r6 touched the parser's variable path)
         "sp_filter_vars",
         # slicer plans (plan_id_slices_optimized must stay on the
@@ -1326,7 +1388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- 50-slot cut falls here ----
         # driver-recorded-green entries rotated to the tail (r02-r05
         # artifacts; still value-checked by tools/check_entry.py)
-        "ft_match_all_k", "ft_count", "ev_date_histogram",
+        "ft_match_all_k", "ft_count", "ev_id_prefix_counts",
+        "ev_date_histogram",
         "ev_geo_box", "ev_geo_distance",
         "ev_count", "ev_minmax",
         "ev_track_total", "ev_json_extract", "ev_sort_limit",
@@ -2129,6 +2192,26 @@ LIMIT 10
     }
 SELECT doc_id, round(sum(c), 4) AS score
 FROM contrib WHERE term IN ({_tomb_terms})
+GROUP BY doc_id
+ORDER BY round(sum(c), 4) DESC, doc_id ASC
+LIMIT 10
+"""
+
+    # upsert lifecycle: delete-then-add + full purging merge must be
+    # score-identical to BM25 over the POST-update corpus (the %7==3
+    # docs carry their appended text, everything else unchanged)
+    _ups_terms = ", ".join(
+        f"'{t}'" for t in sorted(set(analyze_text("spark upsert stream")))
+    )
+    o["ft_match_upserted"] = f"""{
+        _bm25_cte(
+            base="(SELECT doc_id, CASE WHEN doc_id % 7 = 3 "
+            "THEN text || ' upsert refresh stream' ELSE text END AS text "
+            "FROM documents)"
+        )
+    }
+SELECT doc_id, round(sum(c), 4) AS score
+FROM contrib WHERE term IN ({_ups_terms})
 GROUP BY doc_id
 ORDER BY round(sum(c), 4) DESC, doc_id ASC
 LIMIT 10

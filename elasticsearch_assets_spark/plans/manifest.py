@@ -396,7 +396,11 @@ def _read_committed(spark: SparkSession, path: str, stream: str) -> DataFrame:
             f"no committed {stream} parts under {path} — build the index "
             "first (or it was built without this stream)"
         )
-    return spark.read.option("basePath", base).parquet(*parts)
+    # mergeSchema: merge-produced segments carry the orig_part
+    # provenance column, fresh segments don't
+    return spark.read.option("basePath", base).option(
+        "mergeSchema", "true"
+    ).parquet(*parts)
 
 
 def read_resumable_postings(spark: SparkSession, path: str) -> DataFrame:
@@ -476,10 +480,15 @@ def serve_resumable_index(
             # tombstone sets are small relative to the corpus (a large
             # backlog is what purge_deletes compactions are for), so
             # Spark picks a broadcast anti-join from the parquet size
-            # stats — no forced broadcast of an unbounded frame
-            post = post.join(tomb, "doc_id", "left_anti")
+            # stats — no forced broadcast of an unbounded frame. The
+            # scope predicate (part < applies_below) rides the doc_id
+            # hash join as a residual filter; `part` is the partition
+            # column the basePath segment read exposes.
+            post = post.join(tomb, _dead_row_cond(post, tomb), "left_anti")
             if positions is not None:
-                positions = positions.join(tomb, "doc_id", "left_anti")
+                positions = positions.join(
+                    tomb, _dead_row_cond(positions, tomb), "left_anti"
+                )
     return IndexTables(
         postings=post,
         terms=terms,
@@ -558,6 +567,58 @@ def ingest_segment_batch(
     return built
 
 
+def upsert_segment_batch(
+    docs: DataFrame,
+    path: str,
+    batch_id: int,
+    n_parts: int = 4,
+    n_buckets: int = 16,
+    text_col: str = "content",
+    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    keep_positions: bool = False,
+    run_id: str | None = None,
+    doc_id_col: str | None = None,
+) -> list[int]:
+    """Index-layer update/upsert — Lucene's updateDocument
+    (delete-then-add) for the reference's bulk ``update``/``upsert``
+    actions (ElasticsearchBulkSender.ts:62-79): tombstone the batch's
+    doc ids SCOPED BELOW the batch's own segment range
+    (``applies_below = batch_id*n_parts``), then ingest the batch as
+    new segments. Copies of these docs in any older segment stop
+    matching the moment the tombstone commits; the re-ingested copies
+    live at-or-above the boundary and survive — including through later
+    merges, which preserve each row's original segment id (orig_part).
+
+    Commit order: tombstone FIRST — a crash between the two steps
+    leaves the doc briefly absent (old copy dead, new not yet visible),
+    never duplicated; a foreachBatch replay re-runs both steps
+    idempotently (an extra tombstone batch is absorbed by the max-scope
+    union, committed segments are skipped). Until a purging merge, BM25
+    stats count old AND new copies (Lucene maxDoc/docFreq over
+    not-yet-merged deletes); compact_segments(purge_deletes=True)
+    converges them.
+    """
+    spark = docs.sparkSession
+    lo = batch_id * n_parts
+    if doc_id_col is not None:
+        ids = docs.select(F.col(doc_id_col).alias("doc_id"))
+    else:
+        ids = with_doc_id(docs, id_cols, text_col).select("doc_id")
+    delete_docs(spark, path, ids, applies_below=lo)
+    return ingest_segment_batch(
+        docs,
+        path,
+        batch_id,
+        n_parts=n_parts,
+        n_buckets=n_buckets,
+        text_col=text_col,
+        id_cols=id_cols,
+        keep_positions=keep_positions,
+        run_id=run_id or f"upsert-{batch_id}",
+        doc_id_col=doc_id_col,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Segment compaction + GC (merge small streamed segments, Lucene-style)
 # ---------------------------------------------------------------------------
@@ -627,24 +688,41 @@ def compact_segments(
     ):
         streams.append("positions")
     for stream in streams:
+        base = os.path.join(path, stream)
         src = [
-            os.path.join(path, stream, f"part={p}")
+            os.path.join(base, f"part={p}")
             for p in sorted(parts)
-            if os.path.isdir(os.path.join(path, stream, f"part={p}"))
+            if os.path.isdir(os.path.join(base, f"part={p}"))
         ]
         if not src:
             continue
-        merged = spark.read.parquet(*src)
+        # basePath read keeps the rows' segment id as the `part`
+        # column so scoped tombstones can test against it; mergeSchema
+        # because inputs that are themselves merge products carry the
+        # orig_part provenance column
+        merged = spark.read.option("basePath", base).option(
+            "mergeSchema", "true"
+        ).parquet(*src)
         if tomb is not None:
             if stream == "postings":
-                purged_docs = (
-                    merged.select("doc_id")
-                    .distinct()
-                    .join(tomb, "doc_id", "left_semi")
-                    .count()
+                cols = ["doc_id", "part"] + (
+                    ["orig_part"] if "orig_part" in merged.columns else []
                 )
-            merged = merged.join(tomb, "doc_id", "left_anti")
-        dst = os.path.join(path, stream, f"part={new_part}")
+                dm = merged.select(*cols).distinct()
+                purged_docs = dm.join(
+                    tomb, _dead_row_cond(dm, tomb), "left_semi"
+                ).count()
+            merged = merged.join(
+                tomb, _dead_row_cond(merged, tomb), "left_anti"
+            )
+        # rows keep their original segment id as DATA (orig_part) so
+        # scoped tombstones stay exact after the relabel; the `part`
+        # partition column itself must not be written into the files
+        # (it would collide with partition discovery on re-read)
+        merged = merged.withColumn(
+            "orig_part", _effective_part(merged).cast("int")
+        ).drop("part")
+        dst = os.path.join(base, f"part={new_part}")
         merged.write.mode("overwrite").parquet(dst)
 
     fp = sum(int(m[p]["input_fingerprint"]) for p in parts)
@@ -764,22 +842,36 @@ def _deletes_dir(path: str) -> str:
     return os.path.join(path, "deletes")
 
 
-def delete_docs(spark: SparkSession, path: str, ids) -> int:
+_NO_BOUND = (1 << 63) - 1  # tombstone applies to every segment
+
+
+def delete_docs(
+    spark: SparkSession, path: str, ids, applies_below: int | None = None
+) -> int:
     """Tombstone doc ids in the index at ``path``. ``ids`` is either a
     DataFrame with a ``doc_id`` column or an iterable of ints. Each
     call lands ONE new batch dir ``deletes/b<k>``; the parquet
     ``_SUCCESS`` marker is the commit point (a crash mid-write leaves
     no marker, so the batch is invisible and simply re-issued).
     Re-deleting an already-dead id is a harmless no-op (readers take
-    the distinct union of all batches). Returns the batch's distinct id
-    count."""
+    the max-scope union of all batches). Returns the batch's distinct
+    id count.
+
+    ``applies_below`` scopes the tombstone to segments with
+    ``partition_id < applies_below`` — the update primitive
+    (upsert_segment_batch): kill the copies that predate a boundary
+    while the re-ingested copy above it survives. Default: unscoped
+    (kills the doc everywhere), the plain delete."""
+    bound = _NO_BOUND if applies_below is None else int(applies_below)
     if isinstance(ids, DataFrame):
         df = ids.select(F.col("doc_id").cast("long").alias("doc_id"))
     else:
         df = spark.createDataFrame(
             [(int(i),) for i in ids], "doc_id long"
         )
-    df = df.distinct().coalesce(1)
+    df = df.distinct().withColumn(
+        "applies_below", F.lit(bound).cast("long")
+    ).coalesce(1)
     dd = _deletes_dir(path)
     os.makedirs(dd, exist_ok=True)
     nxt = 1 + max(
@@ -808,12 +900,45 @@ def _committed_delete_dirs(path: str) -> list[str]:
 
 
 def read_deletes(spark: SparkSession, path: str) -> DataFrame | None:
-    """The live tombstone set (distinct doc_id over every COMMITTED
-    delete batch), or None when the index has none."""
+    """The live tombstone set over every COMMITTED delete batch, one
+    row per doc_id with the WIDEST scope: (doc_id, applies_below). A
+    posting row is dead iff some tombstone names its doc_id with
+    ``part < applies_below`` ⟺ ``part < max(applies_below)`` — so the
+    per-doc max is the exact union of all batches. None when the index
+    has no tombstones."""
     dirs = _committed_delete_dirs(path)
     if not dirs:
         return None
-    return spark.read.parquet(*dirs).select("doc_id").distinct()
+    t = spark.read.option("mergeSchema", "true").parquet(*dirs)
+    if "applies_below" not in t.columns:  # pre-scoping batches
+        t = t.withColumn("applies_below", F.lit(_NO_BOUND).cast("long"))
+    return t.groupBy("doc_id").agg(
+        F.max(F.coalesce("applies_below", F.lit(_NO_BOUND))).alias(
+            "applies_below"
+        )
+    )
+
+
+def _effective_part(data: DataFrame):
+    """The segment id a tombstone scope tests against: rows rewritten
+    by a merge keep their ORIGINAL segment id in the orig_part data
+    column (compact_segments writes it), everything else uses the
+    `part` partition column. Without this provenance a merge would
+    relabel rows under the new segment id and a scoped tombstone
+    committed before the merge could kill re-ingested copies it never
+    covered (or spare old ones it did)."""
+    if "orig_part" in data.columns:
+        return F.coalesce(data["orig_part"], data["part"])
+    return data["part"]
+
+
+def _dead_row_cond(data: DataFrame, tomb: DataFrame):
+    """Join condition marking a data row dead under a scoped tombstone
+    set: same doc_id and the row's effective segment id below the
+    tombstone's boundary."""
+    return (data["doc_id"] == tomb["doc_id"]) & (
+        _effective_part(data) < tomb["applies_below"]
+    )
 
 
 def _retire_deletes(path: str) -> None:
