@@ -23,7 +23,14 @@ from elasticsearch_assets_spark.functions.analyzer import (
     duckdb_analyze_sql,
 )
 from elasticsearch_assets_spark.indexing.build import IndexTables, build_index
-from elasticsearch_assets_spark.operators import dedup, reader, similarity, textstats, writer
+from elasticsearch_assets_spark.operators import (
+    aggs,
+    dedup,
+    reader,
+    similarity,
+    textstats,
+    writer,
+)
 from elasticsearch_assets_spark.query import exec as qx
 from elasticsearch_assets_spark.query.parser import parse
 
@@ -159,6 +166,13 @@ _IVF_CENTROIDS = [
 # (identical arithmetic in both engines)
 _LAT = "((user_id % 180) - 90 + (event_id % 100) * 0.01)"
 _LON = "((user_id % 360) - 180 + (event_id % 100) * 0.01)"
+# double-pinned variants for paths that feed transcendental functions
+# (geotile): the plain 0.01 literal is DECIMAL in DuckDB — exact and
+# fine under round(4), but 1 ulp off Spark's double product, which
+# could flip a tile at a boundary. ::DOUBLE replays Spark's exact IEEE
+# op sequence (bigint->double, multiply, add).
+_LAT_D = "((user_id % 180) - 90 + (event_id % 100) * (0.01::DOUBLE))"
+_LON_D = "((user_id % 360) - 180 + (event_id % 100) * (0.01::DOUBLE))"
 
 
 def _ev_geo(df: DataFrame) -> DataFrame:
@@ -343,6 +357,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count("*").alias("count"))
         .withColumn("needs_subslice", F.col("count") > 2000)
     )
+
+    # ---- ES search-API aggregations (operators/aggs.py): the agg
+    # half of every reader+agg job a reference user runs. cardinality
+    # = deterministic HLL sketch (md5-hashed, exact-integer harmonic
+    # accumulator — the estimate is bit-identical across engines);
+    # percentiles = exact type-7 (Spark percentile == DuckDB
+    # quantile_cont); extended_stats derives variance from exact
+    # decimal sums (never the partition-order-dependent streaming
+    # var_pop); composite = after-key bucket pagination. ----
+    q["agg_cardinality"] = lambda s, d: aggs.cardinality(
+        _t(s, d, "events"), "event_id", p=12
+    )
+    q["agg_percentiles"] = lambda s, d: aggs.percentiles(
+        _t(s, d, "documents"), "n_chars", [0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+    q["agg_stats"] = lambda s, d: aggs.extended_stats(
+        _t(s, d, "documents"), "n_chars"
+    )
+    q["agg_terms"] = lambda s, d: aggs.terms_agg(
+        _t(s, d, "events"), "user_id", size=10
+    )
+    q["agg_composite"] = lambda s, d: aggs.composite_agg(
+        _t(s, d, "events"),
+        ["event_type", "user_id"],
+        size=20,
+        after=("error", 75),
+    )
+    q["agg_histogram"] = lambda s, d: aggs.histogram(
+        _t(s, d, "events"), "value", 25.0
+    )
+    q["agg_geotile"] = lambda s, d: aggs.geotile_grid(
+        _ev_geo(_t(s, d, "events")), "lat", "lon", zoom=4, size=15
+    )
+    q["agg_top_hits"] = lambda s, d: aggs.top_hits(
+        _t(s, d, "events"),
+        ["event_type"],
+        [F.desc("value"), F.asc("event_id")],
+        size=3,
+        fields=["event_id", "value"],
+    )
+
+    def agg_pipeline(s, d):
+        # pipeline aggs chained over the day date_histogram: running
+        # total, bucket-over-bucket delta, 7-bucket trailing mean —
+        # all integer-exact inside, one division at the surface
+        buckets = (
+            _t(s, d, "events")
+            .groupBy(
+                F.date_trunc("day", "ts").cast("date").cast("string").alias("day")
+            )
+            .agg(F.count("*").alias("doc_count"))
+        )
+        return aggs.moving_avg(
+            aggs.derivative(
+                aggs.cumulative_sum(buckets, "doc_count", "day"),
+                "doc_count",
+                "day",
+            ),
+            "doc_count",
+            "day",
+            window=7,
+        )
+
+    q["agg_pipeline"] = agg_pipeline
 
     def ev_geo_box(s, d):
         g = _ev_geo(_t(s, d, "events"))
@@ -1367,27 +1445,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_match_upserted",
         # events family (ev_date_histogram r05-proven -> tail)
         "ev_range_scan",
+        # ES search-API aggregations (NEW this session: operators/
+        # aggs.py — HLL cardinality, exact percentiles, pinned-sum
+        # extended_stats, terms + other-count, composite pagination,
+        # histogram, geotile_grid). Seven r05-proven entries rotated to
+        # the tail to make room: wr_update_fields, wr_lww, wr_routed,
+        # wr_reject, plan_date_subslices, dd_jaccard_lsh, ts_quality.
+        "agg_cardinality", "agg_percentiles", "agg_stats", "agg_terms",
+        "agg_composite", "agg_histogram", "agg_geotile",
+        # + top_hits and the pipeline-agg chain (wr_update + wr_delete
+        # r05-proven -> tail to make room)
+        "agg_top_hits", "agg_pipeline",
         # xLucene variables (r6 touched the parser's variable path)
         "sp_filter_vars",
         # slicer plans (plan_id_slices_optimized must stay on the
         # artifact — VERDICT r2 #1)
         "plan_id_slices", "plan_id_slices_optimized", "plan_date_slices",
-        "plan_date_subslices",
         # writers
-        "wr_index", "wr_update", "wr_update_fields",
-        "wr_delete", "wr_lww", "wr_routed", "wr_reject",
+        "wr_index",
         "wr_dual_yield",
         "ss_roundtrip",
         # dedup / text / multimodal / similarity
         "dd_exact", "dd_minhash_lsh", "dd_dup_clusters",
         "dd_dup_clusters_star", "dd_dedup_apply",
-        "dd_jaccard_lsh", "dd_line_dedup", "dd_simhash_pairs",
-        "ts_token_count", "ts_quality", "ts_repetition",
+        "dd_line_dedup", "dd_simhash_pairs",
+        "ts_token_count", "ts_repetition",
         "mm_features", "mm_meta",
         "sim_ivf_topk", "sim_lsh_topk", "sim_ann_indexed",
         # ---- 50-slot cut falls here ----
         # driver-recorded-green entries rotated to the tail (r02-r05
         # artifacts; still value-checked by tools/check_entry.py)
+        "plan_date_subslices",
+        "wr_update", "wr_update_fields", "wr_delete",
+        "wr_lww", "wr_routed", "wr_reject",
+        "dd_jaccard_lsh", "ts_quality",
         "ft_match_all_k", "ft_count", "ev_id_prefix_counts",
         "ev_date_histogram",
         "ev_geo_box", "ev_geo_distance",
@@ -1561,6 +1652,140 @@ LIMIT 25
         "SELECT event_type, count(*) AS count, count(*) > 2000 AS needs_subslice "
         "FROM events GROUP BY 1"
     )
+
+    # ---- ES search-API aggregations (operators/aggs.py) ----
+    # cardinality: the SAME HLL sketch re-derived in SQL — md5 hash,
+    # 12-bit bucket / 52-bit rho, exact HUGEINT harmonic accumulator,
+    # one double division, identical branch condition. C is the exact
+    # python-float constant from hll_constants(12); repr round-trips
+    # to the identical double in DuckDB.
+    _hll_m, _, _hll_C = aggs.hll_constants(12)
+    o["agg_cardinality"] = f"""
+WITH h AS (SELECT md5(event_id::VARCHAR) AS hx FROM events),
+r AS (SELECT ('0x' || substr(hx, 1, 3))::INT AS bucket,
+             ('0x' || substr(hx, 4, 13))::BIGINT AS w FROM h),
+regs AS (SELECT bucket,
+                max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS M
+         FROM r GROUP BY bucket),
+s AS (SELECT sum(((1::BIGINT) << (53 - M))::HUGEINT) AS snum,
+             count(*) AS nz FROM regs),
+e AS (SELECT nz,
+             {_hll_C!r} / (snum::DOUBLE
+                           + ({_hll_m} - nz)::DOUBLE * 9007199254740992.0)
+               AS raw FROM s)
+SELECT round(CASE WHEN {_hll_m} - nz > 0 AND raw <= {2.5 * _hll_m!r}
+             THEN {float(_hll_m)!r} * ln({float(_hll_m)!r} / ({_hll_m} - nz)::DOUBLE)
+             ELSE raw END, 4) AS cardinality_est,
+       nz::INT AS filled_registers,
+       CASE WHEN {_hll_m} - nz > 0 AND raw <= {2.5 * _hll_m!r}
+            THEN 'linear' ELSE 'raw' END AS regime
+FROM e
+"""
+
+    # percentiles: DuckDB quantile_cont == Spark exact percentile
+    # (both type-7 interpolation, verified bit-identical)
+    _pcts = "[0.25, 0.5, 0.75, 0.9, 0.99]::DOUBLE[]"
+    o["agg_percentiles"] = f"""
+WITH q AS (SELECT quantile_cont(n_chars, {_pcts}) AS qs FROM documents)
+SELECT percent, round(v, 4) AS value
+FROM (SELECT unnest({_pcts}) AS percent, unnest(qs) AS v FROM q)
+"""
+
+    # extended_stats: variance from exact integer sums, double ops in
+    # the same order as the Spark expression
+    o["agg_stats"] = """
+WITH a AS (
+  SELECT count(n_chars) AS cnt, min(n_chars) AS mn, max(n_chars) AS mx,
+         sum(n_chars::HUGEINT) AS s,
+         sum((n_chars::HUGEINT) * (n_chars::HUGEINT)) AS ss
+  FROM documents)
+SELECT cnt, mn::BIGINT AS min, mx::BIGINT AS max, s::BIGINT AS sum,
+       round(s::DOUBLE / cnt::DOUBLE, 4) AS avg,
+       round((ss::DOUBLE - s::DOUBLE * s::DOUBLE / cnt::DOUBLE)
+             / cnt::DOUBLE, 4) AS var_pop,
+       round((ss::DOUBLE - s::DOUBLE * s::DOUBLE / cnt::DOUBLE)
+             / (cnt::DOUBLE - 1.0), 4) AS var_samp,
+       round(sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE / cnt::DOUBLE)
+                  / cnt::DOUBLE), 4) AS std_pop
+FROM a
+"""
+
+    o["agg_terms"] = """
+WITH b AS (SELECT user_id AS key, count(*) AS doc_count
+           FROM events GROUP BY user_id),
+t AS (SELECT key, doc_count FROM b
+      ORDER BY doc_count DESC, key ASC LIMIT 10)
+SELECT key, doc_count,
+       ((SELECT count(*) FROM events)
+        - (SELECT sum(doc_count) FROM t))::BIGINT AS sum_other_doc_count
+FROM t
+"""
+
+    o["agg_composite"] = """
+SELECT event_type, user_id, count(*) AS doc_count
+FROM events
+WHERE event_type > 'error' OR (event_type = 'error' AND user_id > 75)
+GROUP BY event_type, user_id
+ORDER BY event_type ASC, user_id ASC
+LIMIT 20
+"""
+
+    o["agg_histogram"] = """
+SELECT floor(value / 25.0) * 25.0 AS key, count(*) AS doc_count
+FROM events GROUP BY 1 ORDER BY key
+"""
+
+    o["agg_top_hits"] = """
+SELECT event_type, event_id, value, hit_rank FROM (
+  SELECT event_type, event_id, value,
+         (row_number() OVER (PARTITION BY event_type
+                             ORDER BY value DESC, event_id ASC))::INT AS hit_rank
+  FROM events)
+WHERE hit_rank <= 3
+"""
+
+    o["agg_pipeline"] = """
+WITH b AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                  count(*) AS doc_count FROM events GROUP BY 1)
+SELECT day, doc_count,
+       (sum(doc_count) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+         AS cumulative_sum,
+       (doc_count - lag(doc_count, 1) OVER (ORDER BY day))::BIGINT
+         AS derivative,
+       round((sum(doc_count) OVER (ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))::DOUBLE
+             / (count(doc_count) OVER (ORDER BY day
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))::DOUBLE, 4)
+         AS moving_avg
+FROM b
+"""
+
+    # geotile: identical IEEE op sequence (double-pinned lat/lon,
+    # asinh spelled ln(t + sqrt(t*t+1)), integer clamp at the poles)
+    o["agg_geotile"] = f"""
+WITH g AS (
+  SELECT ({_LAT_D})::DOUBLE AS lat, ({_LON_D})::DOUBLE AS lon FROM events
+),
+xy AS (
+  SELECT least(greatest(floor((lon + 180.0) / 360.0 * 16.0), 0), 15)::BIGINT AS x,
+         least(greatest(
+           floor((1.0 - ln(tan(radians(least(greatest(lat, -85.05112878),
+                                             85.05112878)))
+                           + sqrt(tan(radians(least(greatest(lat, -85.05112878),
+                                                    85.05112878)))
+                                  * tan(radians(least(greatest(lat, -85.05112878),
+                                                      85.05112878)))
+                                  + 1.0)) / pi()) / 2.0 * 16.0),
+           0), 15)::BIGINT AS y
+  FROM g
+)
+SELECT concat_ws('/', '4', x::VARCHAR, y::VARCHAR) AS key,
+       count(*) AS doc_count
+FROM xy GROUP BY 1
+ORDER BY doc_count DESC, key ASC
+LIMIT 15
+"""
     o["ev_geo_box"] = f"""
 SELECT event_id, round(({_LAT})::DOUBLE, 4) AS lat, round(({_LON})::DOUBLE, 4) AS lon
 FROM events

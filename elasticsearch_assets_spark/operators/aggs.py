@@ -1,0 +1,399 @@
+"""ES search-API aggregations, Spark-first.
+
+The reference's readers are one half of every real elasticsearch-assets
+job; the other half is the aggregation the user runs over what was read
+(the reference itself leans on ES aggs internally: dateSlicer's count
+walk is a date_histogram, idSlicer's prefix descent is a terms agg —
+ElasticsearchReaderAPI.ts count/minmax probes). This module re-expresses
+the core ES aggregation surface as Spark groupBys so a reference user
+can move those queries over:
+
+- ``cardinality``  -> deterministic HyperLogLog sketch (ES uses HLL++;
+  we implement classic HLL with the linear-counting small-range
+  correction, md5-hashed so the estimate is bit-identical across
+  Spark / DuckDB / Python — the same cross-engine-determinism protocol
+  as the rest of the repo). The register table is MERGEABLE (per-bucket
+  max), which is the whole point at 100 TB: a cardinality probe is a
+  4096-row shuffle instead of a full-width distinct.
+- ``percentiles``   -> exact type-7 interpolation (ES ships t-digest
+  approximations; Spark's exact ``percentile`` matches DuckDB's
+  ``quantile_cont`` bit-for-bit, so we give exact answers where ES
+  gives approximate ones).
+- ``extended_stats`` -> exact integer/decimal sums, variance derived
+  from them in one pinned expression (never the streaming var_pop,
+  whose float association is partition-order-dependent).
+- ``terms``         -> ES bucket ordering (count desc, key asc) +
+  sum_other_doc_count.
+- ``composite``     -> after-key pagination over the full bucket space
+  (ES's scalable way to enumerate buckets without deep windows — the
+  right shape for walking a 10^9-bucket space page by page).
+- ``histogram`` / ``geotile_grid`` -> fixed-interval and slippy-map
+  tile bucketing as pure column arithmetic.
+
+All float outputs follow the repo's determinism protocol: exact
+integer/decimal accumulation where possible, single-expression double
+derivation mirrored verbatim in the DuckDB oracles, round(4) at the
+result surface.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# cardinality — HyperLogLog
+# ---------------------------------------------------------------------------
+
+_W_HEX = 13  # 52 bits of rho-material after the bucket prefix
+_W_BITS = 4 * _W_HEX
+
+
+def hll_constants(p: int) -> tuple[int, float, float]:
+    """(m, alpha_m, C) for 2**p registers, where the raw estimate is
+    ``C / denom`` with ``denom = snum_double + V * 2**53`` — every
+    register contributes 2**(53-M) to the exact integer numerator and
+    an empty register has M=0. Exposed so oracles can embed the exact
+    same C literal: repr(C) round-trips to the identical double in
+    DuckDB."""
+    if p % 4 != 0 or not 4 <= p <= 16:
+        raise ValueError("p must be a multiple of 4 in [4, 16]")
+    m = 1 << p
+    if m >= 128:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    elif m == 64:
+        alpha = 0.709
+    elif m == 32:
+        alpha = 0.697
+    else:
+        alpha = 0.673
+    return m, alpha, alpha * m * m * float(1 << (_W_BITS + 1))
+
+
+def _rho(w: Column) -> Column:
+    """Position of the leftmost 1-bit in the 52-bit suffix, 1-indexed
+    from the high bit; all-zero suffix = 53. Integer-only (binary
+    string length), so it cannot drift across engines the way a
+    floor(log2(w)) would."""
+    return F.when(w == 0, F.lit(_W_BITS + 1)).otherwise(
+        F.lit(_W_BITS + 1) - F.length(F.bin(w))
+    )
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """The HLL register table: (bucket, M) with one row per NON-EMPTY
+    register, M = max rho seen. md5-hashed (cross-engine); bucket = the
+    first p bits, rho over the next 52.
+
+    This is the mergeable sketch: registers of a union of frames ==
+    per-bucket max of the parts' registers, so shards/segments/days can
+    be sketched independently and combined with a 2**p-row agg.
+    """
+    hx = F.md5(F.col(col).cast("string"))
+    bucket = F.conv(F.substring(hx, 1, p // 4), 16, 10).cast("int")
+    w = F.conv(F.substring(hx, p // 4 + 1, _W_HEX), 16, 10).cast("long")
+    return (
+        df.select(bucket.alias("bucket"), w.alias("w"))
+        .groupBy("bucket")
+        .agg(F.max(_rho(F.col("w"))).alias("M"))
+    )
+
+
+def hll_merge(*register_frames: DataFrame) -> DataFrame:
+    """Merge sketches built by hll_registers (same p): per-bucket max."""
+    out = register_frames[0]
+    for r in register_frames[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("bucket").agg(F.max("M").alias("M"))
+
+
+def hll_estimate(regs: DataFrame, p: int = 12) -> DataFrame:
+    """One row (cardinality_est double round(4), filled_registers int,
+    regime string) from a register table.
+
+    Determinism: the harmonic-mean denominator is accumulated as an
+    EXACT integer — sum of 2**(53-M) per filled register (decimal, no
+    float association) — then converted to double once; empty registers
+    contribute V * 2**53 exactly (a power-of-two scale of an int <=
+    2**p is exact in double). The raw estimate is a single division of
+    two identical doubles, so the linear-counting branch condition
+    evaluates identically in every engine.
+    """
+    m, _, C = hll_constants(p)
+    snum = F.sum(
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {_W_BITS + 1} - M)").cast(
+            "decimal(38,0)"
+        )
+    )
+    agg = regs.agg(snum.alias("snum"), F.count("*").alias("nz"))
+    V = F.lit(m) - F.col("nz")
+    denom = F.col("snum").cast("double") + V.cast("double") * F.lit(
+        float(1 << (_W_BITS + 1))
+    )
+    raw = F.lit(C) / denom
+    linear = (V > 0) & (raw <= F.lit(2.5 * m))
+    est = F.when(
+        linear, F.lit(float(m)) * F.log(F.lit(float(m)) / V.cast("double"))
+    ).otherwise(raw)
+    return agg.select(
+        F.round(est, 4).alias("cardinality_est"),
+        F.col("nz").cast("int").alias("filled_registers"),
+        F.when(linear, F.lit("linear")).otherwise(F.lit("raw")).alias("regime"),
+    )
+
+
+def cardinality(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """ES ``cardinality`` agg: HLL estimate of count-distinct(col).
+    Two aggregations total — a 2**p-key groupBy (map-side partial max,
+    ~2**p rows shuffled regardless of input size) and a one-row fold."""
+    return hll_estimate(hll_registers(df, col, p), p)
+
+
+# ---------------------------------------------------------------------------
+# percentiles / extended_stats
+# ---------------------------------------------------------------------------
+
+
+def percentiles(df: DataFrame, col: str, percents: list[float]) -> DataFrame:
+    """ES ``percentiles`` agg, exact: one row per requested percent
+    (percent double, value double round(4)). Spark's exact
+    ``percentile`` is type-7 interpolation (pos = p*(n-1)), the same
+    definition as DuckDB quantile_cont — verified bit-identical."""
+    qs = df.agg(
+        F.percentile(F.col(col), F.array(*[F.lit(float(p)) for p in percents])).alias(
+            "qs"
+        )
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(float(p)) for p in percents]).alias("percent"),
+        F.col("qs").alias("value"),
+    )
+    return qs.select(F.explode(pairs).alias("pv")).select(
+        F.col("pv.percent").alias("percent"),
+        F.round(F.col("pv.value"), 4).alias("value"),
+    )
+
+
+def extended_stats(df: DataFrame, col: str) -> DataFrame:
+    """ES ``extended_stats`` over an integral column: count/min/max/sum
+    exact; avg, variance (population + sampling), std derived from the
+    exact decimal sums in one pinned double expression — NOT the
+    streaming var_pop/stddev builtins, whose float accumulation order
+    depends on partitioning."""
+    d = F.col(col).cast("decimal(38,0)")
+    agg = df.agg(
+        F.count(col).alias("cnt"),
+        F.min(col).alias("min"),
+        F.max(col).alias("max"),
+        F.sum(d).alias("s"),
+        F.sum(d * d).alias("ss"),
+    )
+    n = F.col("cnt").cast("double")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    var_pop = (ss - s * s / n) / n
+    var_samp = (ss - s * s / n) / (n - F.lit(1.0))
+    return agg.select(
+        F.col("cnt"),
+        F.col("min").cast("long").alias("min"),
+        F.col("max").cast("long").alias("max"),
+        F.col("s").cast("long").alias("sum"),
+        F.round(s / n, 4).alias("avg"),
+        F.round(var_pop, 4).alias("var_pop"),
+        F.round(var_samp, 4).alias("var_samp"),
+        F.round(F.sqrt(var_pop), 4).alias("std_pop"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# terms / composite buckets
+# ---------------------------------------------------------------------------
+
+
+def terms_agg(df: DataFrame, col: str, size: int = 10) -> DataFrame:
+    """ES ``terms`` agg: top-``size`` buckets by (doc_count desc, key
+    asc) plus the sum_other_doc_count column (docs outside the returned
+    buckets — ES reports it so a truncated bucket list is never
+    mistaken for the whole distribution). One groupBy; the top-k is a
+    TakeOrderedAndProject over the bucket frame, and the other-count
+    rides along as total - sum(window over the kept rows) without a
+    second scan."""
+    buckets = df.groupBy(F.col(col).alias("key")).agg(
+        F.count("*").alias("doc_count")
+    )
+    top = buckets.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)
+    total = df.count()  # metadata-free count; one job, no shuffle
+    kept = top.agg(F.sum("doc_count").alias("k")).collect()[0]["k"] or 0
+    return top.withColumn(
+        "sum_other_doc_count", F.lit(int(total - kept)).cast("long")
+    )
+
+
+def _after_pred(keys: list[str], after: tuple) -> Column:
+    """Lexicographic (k1,...,kn) > after, composed as the standard
+    OR-of-prefix-equalities so each leg can push down."""
+    pred = F.lit(False)
+    for i in range(len(keys)):
+        leg = F.col(keys[i]) > F.lit(after[i])
+        for j in range(i):
+            leg = (F.col(keys[j]) == F.lit(after[j])) & leg
+        pred = pred | leg
+    return pred
+
+
+def composite_agg(
+    df: DataFrame, keys: list[str], size: int, after: tuple | None = None
+) -> DataFrame:
+    """ES ``composite`` agg: the bucket space over ``keys`` ordered by
+    the key tuple asc, paginated ``size`` buckets at a time from
+    ``after`` (exclusive). This is how ES enumerates unbounded bucket
+    spaces without deep result windows, and the Spark shape keeps that
+    property: the after-key filter lands BEFORE the groupBy (row
+    pruning at the scan when keys are partition/sort columns), and the
+    page is a TakeOrderedAndProject — never a full sort."""
+    src = df.where(_after_pred(keys, after)) if after is not None else df
+    page = (
+        src.groupBy(*[F.col(k) for k in keys])
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(*[F.asc(k) for k in keys])
+        .limit(size)
+    )
+    return page
+
+
+def histogram(df: DataFrame, col: str, interval: float) -> DataFrame:
+    """ES numeric ``histogram``: fixed-interval buckets keyed by the
+    bucket's lower bound (floor(v/interval)*interval, ES's key
+    definition). Empty buckets are omitted (min_doc_count=1)."""
+    key = F.floor(F.col(col) / F.lit(float(interval))) * F.lit(float(interval))
+    return (
+        df.groupBy(key.alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# top_hits + pipeline aggregations
+# ---------------------------------------------------------------------------
+
+
+def top_hits(
+    df: DataFrame,
+    keys: list[str],
+    sort: list,
+    size: int,
+    fields: list[str] | None = None,
+) -> DataFrame:
+    """ES ``top_hits`` sub-aggregation: the top-``size`` documents of
+    every bucket, ranked by ``sort`` (list of Columns, e.g.
+    ``[F.desc("ts"), F.asc("event_id")]`` — always include a unique
+    tie-break). One window pass, partial per-bucket: the shuffle is the
+    groupBy's own hash exchange, and rank <= size prunes before any
+    further stage touches the rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*sort)
+    out = df.withColumn("hit_rank", F.row_number().over(w)).where(
+        F.col("hit_rank") <= size
+    )
+    if fields is not None:
+        out = out.select(*keys, *fields, "hit_rank")
+    return out
+
+
+def cumulative_sum(
+    buckets: DataFrame, value_col: str, sort_col: str
+) -> DataFrame:
+    """ES ``cumulative_sum`` pipeline agg over an ordered bucket frame
+    (histogram/date_histogram output). Integer-exact running sum.
+
+    Pipeline aggs (this, derivative, moving_avg) run a global-order
+    window: fine BY CONSTRUCTION because their input is a bucket frame
+    — already reduced to one row per bucket by the parent agg — never
+    the raw table. A 100 TB scan feeding a 10k-bucket histogram leaves
+    a 10k-row window."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(sort_col).rowsBetween(Window.unboundedPreceding, 0)
+    return buckets.withColumn(
+        "cumulative_sum", F.sum(value_col).over(w).cast("long")
+    )
+
+
+def derivative(buckets: DataFrame, value_col: str, sort_col: str) -> DataFrame:
+    """ES ``derivative`` pipeline agg: bucket-over-bucket delta (null
+    for the first bucket, like ES)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(sort_col)
+    return buckets.withColumn(
+        "derivative",
+        (F.col(value_col) - F.lag(value_col, 1).over(w)).cast("long"),
+    )
+
+
+def moving_avg(
+    buckets: DataFrame, value_col: str, sort_col: str, window: int
+) -> DataFrame:
+    """ES ``moving_fn``/``moving_avg`` pipeline agg: trailing-window
+    mean over the ``window`` buckets ending at the current one (fewer
+    at the head, like ES's simple model). Exact integer sum / count —
+    one division, engine-deterministic; round(4) at the surface."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(sort_col).rowsBetween(-(window - 1), 0)
+    return buckets.withColumn(
+        "moving_avg",
+        F.round(
+            F.sum(value_col).over(w).cast("double")
+            / F.count(value_col).over(w).cast("double"),
+            4,
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# geotile_grid
+# ---------------------------------------------------------------------------
+
+_MAX_MERC_LAT = 85.05112878
+
+
+def geotile_xy(lat: Column, lon: Column, zoom: int) -> tuple[Column, Column]:
+    """Slippy-map tile coordinates (ES geotile_grid keys). asinh is
+    spelled ln(t + sqrt(t*t + 1)) so both engines execute the identical
+    arithmetic; the integer clamp absorbs the only inputs that could
+    sit on a tile boundary (the mercator lat clamp itself)."""
+    n = float(1 << zoom)
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast("long")
+    clat = F.least(F.greatest(lat, F.lit(-_MAX_MERC_LAT)), F.lit(_MAX_MERC_LAT))
+    t = F.tan(F.radians(clat))
+    y = F.floor(
+        (F.lit(1.0) - F.log(t + F.sqrt(t * t + F.lit(1.0))) / F.lit(math.pi))
+        / F.lit(2.0)
+        * F.lit(n)
+    ).cast("long")
+    hi = F.lit((1 << zoom) - 1).cast("long")
+    zero = F.lit(0).cast("long")
+    return (
+        F.least(F.greatest(x, zero), hi),
+        F.least(F.greatest(y, zero), hi),
+    )
+
+
+def geotile_grid(
+    df: DataFrame, lat_col: str, lon_col: str, zoom: int, size: int = 10
+) -> DataFrame:
+    """ES ``geotile_grid`` agg: bucket points into zoom-level slippy
+    tiles, top-``size`` by (doc_count desc, key asc). Key format is
+    ES's "zoom/x/y" string."""
+    x, y = geotile_xy(F.col(lat_col), F.col(lon_col), zoom)
+    key = F.concat_ws("/", F.lit(str(zoom)), x.cast("string"), y.cast("string"))
+    return (
+        df.groupBy(key.alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+    )

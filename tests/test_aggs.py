@@ -1,0 +1,232 @@
+"""ES search-API aggregations (operators/aggs.py): HLL cardinality
+(accuracy, mergeability, partition-invariance, cross-engine estimate),
+exact percentiles vs numpy, extended_stats vs pandas, terms bucket
+ordering + sum_other_doc_count, composite pagination completeness,
+histogram/geotile bucket math."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_assets_spark.operators import aggs
+
+
+@pytest.fixture(scope="module")
+def ids10k(spark):
+    return spark.range(10_000).select(
+        F.md5(F.col("id").cast("string")).alias("v"), F.col("id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL cardinality
+# ---------------------------------------------------------------------------
+
+
+def test_hll_accuracy_linear_regime(spark, ids10k):
+    row = aggs.cardinality(ids10k, "v", p=12).collect()[0]
+    # p=12 linear-counting regime: std err ~1.6%, assert 3%
+    assert abs(row["cardinality_est"] - 10_000) / 10_000 < 0.03
+    assert row["regime"] == "linear"
+    assert 0 < row["filled_registers"] <= 4096
+
+
+def test_hll_accuracy_raw_regime(spark, ids10k):
+    # p=8 (m=256): n/m ~ 39, far past 2.5m — raw harmonic-mean regime.
+    # Classic HLL (no ++ bias table) keeps ~2x the 1.04/sqrt(m)=6.5%
+    # std err; assert a 3-sigma-ish 20%.
+    row = aggs.cardinality(ids10k, "v", p=8).collect()[0]
+    assert row["regime"] == "raw"
+    assert abs(row["cardinality_est"] - 10_000) / 10_000 < 0.20
+
+
+def test_hll_partition_invariance(spark, ids10k):
+    a = aggs.cardinality(ids10k, "v", p=12).collect()[0]
+    b = aggs.cardinality(ids10k.repartition(17), "v", p=12).collect()[0]
+    assert a["cardinality_est"] == b["cardinality_est"]
+    assert a["filled_registers"] == b["filled_registers"]
+
+
+def test_hll_merge_equals_union(spark, ids10k):
+    lo = ids10k.where(F.col("id") < 6000)
+    hi = ids10k.where(F.col("id") >= 4000)  # overlapping shards
+    merged = aggs.hll_merge(
+        aggs.hll_registers(lo, "v", 12), aggs.hll_registers(hi, "v", 12)
+    )
+    est_m = aggs.hll_estimate(merged, 12).collect()[0]
+    est_u = aggs.cardinality(ids10k, "v", 12).collect()[0]
+    assert est_m["cardinality_est"] == est_u["cardinality_est"]
+
+
+def test_hll_duckdb_estimate_identical(spark, ids10k):
+    """The determinism protocol end-to-end: DuckDB computing the same
+    sketch over the same values produces the bit-identical estimate
+    (pre-pins the driver oracle's SQL shape)."""
+    import duckdb
+
+    m, _, C = aggs.hll_constants(12)
+    got = aggs.cardinality(ids10k, "v", p=12).collect()[0]
+    sql = f"""
+WITH h AS (SELECT md5(md5(id::VARCHAR)) AS hx FROM range(10000) t(id)),
+r AS (SELECT ('0x' || substr(hx, 1, 3))::INT AS bucket,
+             ('0x' || substr(hx, 4, 13))::BIGINT AS w FROM h),
+regs AS (SELECT bucket,
+                max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS M
+         FROM r GROUP BY bucket),
+s AS (SELECT sum(((1::BIGINT) << (53 - M))::HUGEINT) AS snum,
+             count(*) AS nz FROM regs),
+e AS (SELECT nz,
+             {C!r} / (snum::DOUBLE + ({m} - nz)::DOUBLE * {float(1 << 53)!r})
+               AS raw FROM s)
+SELECT round(CASE WHEN {m} - nz > 0 AND raw <= {2.5 * m}
+             THEN {float(m)!r} * ln({float(m)!r} / ({m} - nz)::DOUBLE)
+             ELSE raw END, 4) AS est,
+       nz FROM e
+"""
+    est, nz = duckdb.sql(sql).fetchone()
+    assert est == got["cardinality_est"]
+    assert nz == got["filled_registers"]
+
+
+def test_hll_bad_p_rejected():
+    with pytest.raises(ValueError):
+        aggs.hll_constants(10)
+
+
+# ---------------------------------------------------------------------------
+# percentiles / extended_stats
+# ---------------------------------------------------------------------------
+
+
+def test_percentiles_match_numpy(spark):
+    vals = [((i * 37) % 1000) + 3 for i in range(777)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    ps = [0.25, 0.5, 0.75, 0.9, 0.99]
+    got = {
+        r["percent"]: r["value"]
+        for r in aggs.percentiles(df, "v", ps).collect()
+    }
+    for p in ps:
+        want = float(np.percentile(vals, p * 100, method="linear"))
+        assert got[p] == pytest.approx(want, abs=1e-4)
+
+
+def test_extended_stats_match_pandas(spark):
+    vals = [((i * 13) % 211) for i in range(501)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    row = aggs.extended_stats(df, "v").collect()[0]
+    s = pd.Series(vals)
+    assert row["cnt"] == 501
+    assert row["min"] == s.min() and row["max"] == s.max()
+    assert row["sum"] == s.sum()
+    assert row["avg"] == pytest.approx(s.mean(), abs=1e-4)
+    assert row["var_pop"] == pytest.approx(s.var(ddof=0), abs=1e-3)
+    assert row["var_samp"] == pytest.approx(s.var(ddof=1), abs=1e-3)
+    assert row["std_pop"] == pytest.approx(s.std(ddof=0), abs=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# terms / composite / histogram / geotile
+# ---------------------------------------------------------------------------
+
+
+def test_terms_ordering_and_other_count(spark):
+    rows = [("a",)] * 5 + [("b",)] * 5 + [("c",)] * 3 + [("d",)] * 7
+    df = spark.createDataFrame(rows, "k string")
+    out = aggs.terms_agg(df, "k", size=2).collect()
+    # count desc, key asc tie-break: d(7), then a(5) beats b(5)
+    assert [(r["key"], r["doc_count"]) for r in out] == [("d", 7), ("a", 5)]
+    assert all(r["sum_other_doc_count"] == 8 for r in out)  # b(5)+c(3)
+
+
+def test_composite_pagination_walks_every_bucket(spark):
+    rows = [(chr(97 + i % 5), i % 7) for i in range(300)]
+    df = spark.createDataFrame(rows, "k1 string, k2 int")
+    full = {
+        (r["k1"], r["k2"]): r["doc_count"]
+        for r in df.groupBy("k1", "k2").agg(F.count("*").alias("doc_count")).collect()
+    }
+    pages, after = {}, None
+    for _ in range(100):
+        page = aggs.composite_agg(df, ["k1", "k2"], size=6, after=after).collect()
+        if not page:
+            break
+        for r in page:
+            key = (r["k1"], r["k2"])
+            assert key not in pages, "bucket served twice across pages"
+            pages[key] = r["doc_count"]
+        after = (page[-1]["k1"], page[-1]["k2"])
+    assert pages == full  # every bucket exactly once, counts intact
+
+
+def test_histogram_keys_and_conservation(spark):
+    df = spark.createDataFrame([(float(i) / 3.0,) for i in range(200)], "v double")
+    out = aggs.histogram(df, "v", 10.0).collect()
+    assert sum(r["doc_count"] for r in out) == 200
+    for r in out:
+        assert r["key"] % 10.0 == 0.0
+
+
+def test_geotile_points_fall_inside_their_tile(spark):
+    pts = [(-37.81, 144.96), (40.71, -74.0), (51.5, -0.12), (0.0, 0.0), (89.9, 10.0)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    zoom = 6
+    out = df.select(
+        "lat", "lon", *(c.alias(n) for c, n in zip(aggs.geotile_xy(F.col("lat"), F.col("lon"), zoom), ("x", "y")))
+    ).collect()
+    n = 1 << zoom
+    for r in out:
+        assert 0 <= r["x"] < n and 0 <= r["y"] < n
+        # invert the x tile: lon bounds
+        lo = r["x"] / n * 360.0 - 180.0
+        assert lo <= r["lon"] < lo + 360.0 / n
+        # invert the y tile: lat bounds (mercator), clamped at the poles
+        def tile_lat(y):
+            return math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * y / n))))
+        clat = min(max(r["lat"], -aggs._MAX_MERC_LAT), aggs._MAX_MERC_LAT)
+        assert tile_lat(r["y"] + 1) - 1e-9 <= clat <= tile_lat(r["y"]) + 1e-9
+
+
+def test_top_hits_per_bucket(spark):
+    rows = [(chr(97 + i % 3), i, 100 - i) for i in range(30)]
+    df = spark.createDataFrame(rows, "k string, id int, v int")
+    out = aggs.top_hits(
+        df, ["k"], [F.desc("v"), F.asc("id")], size=2, fields=["id", "v"]
+    ).collect()
+    assert len(out) == 6  # 3 buckets x 2 hits
+    by_k = {}
+    for r in out:
+        by_k.setdefault(r["k"], []).append((r["hit_rank"], r["id"], r["v"]))
+    # bucket 'a' holds ids 0,3,...,27; top-2 by v desc = ids 0 (v=100), 3 (v=97)
+    assert sorted(by_k["a"]) == [(1, 0, 100), (2, 3, 97)]
+
+
+def test_pipeline_aggs_over_histogram(spark):
+    counts = [5, 3, 8, 2, 6]
+    buckets = spark.createDataFrame(
+        [(float(i * 10), c) for i, c in enumerate(counts)], "key double, doc_count long"
+    )
+    out = aggs.moving_avg(
+        aggs.derivative(
+            aggs.cumulative_sum(buckets, "doc_count", "key"), "doc_count", "key"
+        ),
+        "doc_count",
+        "key",
+        window=3,
+    ).orderBy("key").collect()
+    assert [r["cumulative_sum"] for r in out] == [5, 8, 16, 18, 24]
+    assert [r["derivative"] for r in out] == [None, -2, 5, -6, 4]
+    assert [r["moving_avg"] for r in out] == [5.0, 4.0, round(16 / 3, 4), round(13 / 3, 4), round(16 / 3, 4)]
+
+
+def test_geotile_grid_counts(spark):
+    pts = [(10.0 + 0.001 * i, 20.0) for i in range(10)] + [(-30.0, -60.0)] * 4
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    out = aggs.geotile_grid(df, "lat", "lon", zoom=4, size=5).collect()
+    assert sum(r["doc_count"] for r in out) == 14
+    assert out[0]["doc_count"] == 10 and out[0]["key"].startswith("4/")
