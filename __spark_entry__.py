@@ -422,6 +422,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_pipeline"] = agg_pipeline
 
+    # range/filters/rare_terms buckets + significant_terms (JLH) —
+    # round-6 widening of the agg surface. significant_terms runs over
+    # the analyzed token stream with lang='en' as the foreground set;
+    # score arithmetic is pinned (two divisions, one subtraction, one
+    # multiplication, one division — identical order in the oracle).
+    q["agg_range"] = lambda s, d: aggs.range_agg(
+        _t(s, d, "events"),
+        "value",
+        [
+            ("low", None, 100.0),
+            ("mid", 50.0, 200.0),
+            ("high", 200.0, None),
+            ("none", 10000.0, None),
+        ],
+    )
+    q["agg_filters"] = lambda s, d: aggs.filters_agg(
+        _t(s, d, "events"),
+        {
+            "errors": F.col("event_type") == "error",
+            "big": F.col("value") >= 150.0,
+            "never": F.col("value") < 0.0,
+        },
+    )
+    q["agg_rare"] = lambda s, d: aggs.rare_terms(
+        _t(s, d, "events"), "user_id", max_doc_count=55
+    )
+    q["agg_significant"] = lambda s, d: aggs.significant_terms(
+        _t(s, d, "documents"),
+        "text",
+        F.col("lang") == "en",
+        size=10,
+        min_doc_count=3,
+    )
+
     def ev_geo_box(s, d):
         g = _ev_geo(_t(s, d, "events"))
         return reader.geo_bounding_box(g, "lat", "lon", (45.0, -90.0), (-45.0, 90.0)).select(
@@ -1443,8 +1477,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # upsert_segment_batch scoped tombstones; ev_id_prefix_counts
         # r01-r05-proven -> tail to make room)
         "ft_match_upserted",
-        # events family (ev_date_histogram r05-proven -> tail)
-        "ev_range_scan",
         # ES search-API aggregations (NEW this session: operators/
         # aggs.py — HLL cardinality, exact percentiles, pinned-sum
         # extended_stats, terms + other-count, composite pagination,
@@ -1456,13 +1488,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + top_hits and the pipeline-agg chain (wr_update + wr_delete
         # r05-proven -> tail to make room)
         "agg_top_hits", "agg_pipeline",
-        # xLucene variables (r6 touched the parser's variable path)
-        "sp_filter_vars",
+        # range/filters/rare/significant_terms (NEW third session —
+        # ev_range_scan, sp_filter_vars, plan_id_slices, wr_index all
+        # r05-recorded-green, rotated to the tail to make room)
+        "agg_range", "agg_filters", "agg_rare", "agg_significant",
         # slicer plans (plan_id_slices_optimized must stay on the
         # artifact — VERDICT r2 #1)
-        "plan_id_slices", "plan_id_slices_optimized", "plan_date_slices",
+        "plan_id_slices_optimized", "plan_date_slices",
         # writers
-        "wr_index",
         "wr_dual_yield",
         "ss_roundtrip",
         # dedup / text / multimodal / similarity
@@ -1475,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- 50-slot cut falls here ----
         # driver-recorded-green entries rotated to the tail (r02-r05
         # artifacts; still value-checked by tools/check_entry.py)
+        "ev_range_scan", "sp_filter_vars", "plan_id_slices", "wr_index",
         "plan_date_subslices",
         "wr_update", "wr_update_fields", "wr_delete",
         "wr_lww", "wr_routed", "wr_reject",
@@ -1759,6 +1793,70 @@ SELECT day, doc_count,
                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))::DOUBLE, 4)
          AS moving_avg
 FROM b
+"""
+
+    o["agg_range"] = """
+WITH b AS (SELECT * FROM (VALUES
+    ('low',  NULL::DOUBLE,    100.0::DOUBLE),
+    ('mid',  50.0::DOUBLE,    200.0::DOUBLE),
+    ('high', 200.0::DOUBLE,   NULL::DOUBLE),
+    ('none', 10000.0::DOUBLE, NULL::DOUBLE)) t(key, lo, hi))
+SELECT b.key, count(e.event_id)::BIGINT AS doc_count
+FROM b LEFT JOIN events e
+  ON e.value IS NOT NULL
+ AND (b.lo IS NULL OR e.value >= b.lo)
+ AND (b.hi IS NULL OR e.value < b.hi)
+GROUP BY b.key ORDER BY b.key
+"""
+
+    o["agg_filters"] = """
+WITH a AS (SELECT
+    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS errors,
+    sum(CASE WHEN value >= 150.0 THEN 1 ELSE 0 END)::BIGINT AS big,
+    sum(CASE WHEN value < 0.0 THEN 1 ELSE 0 END)::BIGINT AS never
+  FROM events)
+SELECT key, doc_count FROM (
+  SELECT 'errors' AS key, errors AS doc_count FROM a
+  UNION ALL SELECT 'big', big FROM a
+  UNION ALL SELECT 'never', never FROM a)
+ORDER BY key
+"""
+
+    o["agg_rare"] = """
+SELECT user_id AS key, count(*) AS doc_count
+FROM events GROUP BY 1 HAVING count(*) <= 55
+ORDER BY doc_count ASC, key ASC
+"""
+
+    o["agg_significant"] = f"""
+WITH toks AS (
+  SELECT unnest(list_distinct({_ANALYZE_TEXT_SQL})) AS term,
+         (lang = 'en') AS fg
+  FROM documents
+),
+pt AS (
+  SELECT term,
+         sum(CASE WHEN fg THEN 1 ELSE 0 END)::BIGINT AS fg_count,
+         count(*)::BIGINT AS bg_count
+  FROM toks GROUP BY 1
+),
+sz AS (
+  SELECT count(*)::DOUBLE AS superset,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS subset
+  FROM documents
+),
+scored AS (
+  SELECT term, fg_count, bg_count,
+         round((fg_count::DOUBLE / subset - bg_count::DOUBLE / superset)
+               * ((fg_count::DOUBLE / subset)
+                  / (bg_count::DOUBLE / superset)), 4) AS score
+  FROM pt CROSS JOIN sz
+  WHERE fg_count >= 3
+)
+SELECT term, fg_count, bg_count, score
+FROM scored WHERE score > 0
+ORDER BY score DESC, term ASC
+LIMIT 10
 """
 
     # geotile: identical IEEE op sequence (double-pinned lat/lon,

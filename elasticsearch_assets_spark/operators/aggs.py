@@ -355,6 +355,144 @@ def moving_avg(
 
 
 # ---------------------------------------------------------------------------
+# range / filters / rare_terms buckets
+# ---------------------------------------------------------------------------
+
+
+def range_agg(
+    df: DataFrame, col: str, ranges: list[tuple[str, float | None, float | None]]
+) -> DataFrame:
+    """ES ``range`` agg: one bucket per requested ``(key, from, to)``
+    half-open interval (None = open end; from inclusive, to exclusive —
+    the reference's own gte/lt convention, utils.ts:55-63). ES evaluates
+    every range independently — buckets may OVERLAP, a doc lands in all
+    that contain it, and every requested bucket comes back even when
+    empty. One scan: per-row array of matched bucket keys, explode +
+    count; a literal bucket frame left-joins the counts (broadcast — the
+    bucket list is the query, never data-sized) so empty buckets survive
+    with doc_count 0."""
+    c = F.col(col)
+
+    def member(lo: float | None, hi: float | None) -> Column:
+        cond = c.isNotNull()
+        if lo is not None:
+            cond = cond & (c >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (c < F.lit(hi))
+        return cond
+
+    matched = F.array_compact(
+        F.array(*[F.when(member(lo, hi), F.lit(k)) for k, lo, hi in ranges])
+    )
+    counts = (
+        df.select(F.explode(matched).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("cnt"))
+    )
+    buckets = df.sparkSession.createDataFrame(
+        [(k,) for k, _, _ in ranges], "key string"
+    )
+    return (
+        buckets.join(counts, "key", "left")
+        .select(
+            "key", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("doc_count")
+        )
+        .orderBy("key")
+    )
+
+
+def filters_agg(df: DataFrame, filters: dict[str, Column]) -> DataFrame:
+    """ES ``filters`` agg: one named bucket per predicate; a doc counts
+    toward every filter it matches. Single scan, single one-row partial
+    agg (sum-of-when per filter — no shuffle wider than one row), then a
+    driver-free unpivot to (key, doc_count) rows."""
+    agg = df.agg(
+        *[
+            F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(k)
+            for k, c in filters.items()
+        ]
+    )
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(k).alias("key"), F.col(k).alias("doc_count"))
+                for k in filters
+            ]
+        )
+    ).alias("b")
+    return agg.select(pairs).select("b.key", "b.doc_count").orderBy("key")
+
+
+def rare_terms(df: DataFrame, col: str, max_doc_count: int = 1) -> DataFrame:
+    """ES ``rare_terms`` agg: the long tail — buckets with doc_count <=
+    ``max_doc_count``, ordered count asc, key asc. ES approximates this
+    with a CuckooFilter to bound memory; a Spark groupBy is already an
+    exact distributed count with map-side partials, so we give the exact
+    answer at the same scan cost."""
+    return (
+        df.groupBy(F.col(col).alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+        .where(F.col("doc_count") <= F.lit(max_doc_count))
+        .orderBy(F.asc("doc_count"), F.asc("key"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# significant_terms
+# ---------------------------------------------------------------------------
+
+
+def significant_terms(
+    df: DataFrame,
+    text_col: str,
+    foreground: Column,
+    size: int = 10,
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """ES ``significant_terms`` over an analyzed text field with the
+    default JLH heuristic: terms whose document frequency in the
+    foreground set (docs matching ``foreground``) is anomalously high
+    vs the background (the whole frame; background INCLUDES foreground,
+    as in ES). score = (fgp - bgp) * (fgp / bgp) with fgp/bgp the
+    foreground/background doc-frequency fractions.
+
+    Shape at scale: one pass over the analyzed token stream computes
+    BOTH frequencies (sum-of-when for the foreground leg — no second
+    scan of the corpus), one tiny one-row sizes agg cross-joined in
+    (never collected), and the result page is a TakeOrderedAndProject.
+    Float determinism: both fractions are single double divisions and
+    the score one subtraction, one multiplication, one division in
+    pinned order — mirrored verbatim in the DuckDB oracle — with
+    round(4) + term tie-break at the ranked surface."""
+    from ..functions.analyzer import analyze_col
+
+    toks = df.select(
+        F.explode(F.array_distinct(analyze_col(text_col))).alias("term"),
+        foreground.alias("fg"),
+    )
+    per_term = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("fg"), 1).otherwise(0)).cast("long").alias("fg_count"),
+        F.count("*").alias("bg_count"),
+    )
+    sizes = df.agg(
+        F.count("*").cast("double").alias("superset"),
+        F.sum(F.when(foreground, 1).otherwise(0)).cast("double").alias("subset"),
+    )
+    fgp = F.col("fg_count").cast("double") / F.col("subset")
+    bgp = F.col("bg_count").cast("double") / F.col("superset")
+    score = (fgp - bgp) * (fgp / bgp)
+    return (
+        per_term.crossJoin(F.broadcast(sizes))
+        .where(F.col("fg_count") >= F.lit(min_doc_count))
+        .withColumn("score", F.round(score, 4))
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(size)
+        .select("term", "fg_count", "bg_count", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
 # geotile_grid
 # ---------------------------------------------------------------------------
 

@@ -224,6 +224,99 @@ def test_pipeline_aggs_over_histogram(spark):
     assert [r["moving_avg"] for r in out] == [5.0, 4.0, round(16 / 3, 4), round(13 / 3, 4), round(16 / 3, 4)]
 
 
+def test_range_agg_overlap_and_empty_buckets(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    out = {
+        r["key"]: r["doc_count"]
+        for r in aggs.range_agg(
+            df,
+            "v",
+            [
+                ("low", None, 50.0),
+                ("mid", 25.0, 75.0),  # overlaps low AND high
+                ("high", 50.0, None),
+                ("empty", 1000.0, 2000.0),
+            ],
+        ).collect()
+    }
+    # half-open [from, to): overlapping ranges each count their members,
+    # empty buckets still come back with 0
+    assert out == {"low": 50, "mid": 50, "high": 50, "empty": 0}
+    assert sum(out.values()) == 150  # > n rows: overlap is real
+
+
+def test_filters_agg_counts(spark):
+    df = spark.createDataFrame(
+        [(i, "err" if i % 3 == 0 else "ok") for i in range(30)], "id int, s string"
+    )
+    out = {
+        r["key"]: r["doc_count"]
+        for r in aggs.filters_agg(
+            df,
+            {
+                "errors": F.col("s") == "err",
+                "evens": F.col("id") % 2 == 0,
+                "none": F.col("id") < 0,
+            },
+        ).collect()
+    }
+    assert out == {"errors": 10, "evens": 15, "none": 0}
+
+
+def test_rare_terms_tail_only(spark):
+    rows = [("a",)] * 5 + [("b",)] * 2 + [("c",)] + [("d",)] + [("e",)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    out = [(r["key"], r["doc_count"]) for r in aggs.rare_terms(df, "k", 2).collect()]
+    # count asc then key asc; a(5) excluded
+    assert out == [("c", 1), ("d", 1), ("b", 2), ("e", 2)]
+
+
+def test_significant_terms_jlh_brute_force(spark):
+    # 40 docs; "anomaly" appears in 8/10 foreground docs and 2/30
+    # background-only docs; "common" everywhere (zero lift, filtered);
+    # "rare" once in fg (below min_doc_count)
+    rows = []
+    for i in range(40):
+        fg = i < 10
+        toks = ["common", "filler%d" % (i % 7)]
+        if fg and i < 8:
+            toks.append("anomaly")
+        if not fg and i < 12:
+            toks.append("anomaly")
+        if i == 0:
+            toks.append("rare")
+        rows.append((i, " ".join(toks), fg))
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_fg boolean")
+    out = aggs.significant_terms(
+        df, "text", F.col("is_fg"), size=5, min_doc_count=3
+    ).collect()
+    import collections
+
+    fg_n, bg_n = 10.0, 40.0
+    cnt_fg: collections.Counter = collections.Counter()
+    cnt_bg: collections.Counter = collections.Counter()
+    for _, text, fg in rows:
+        for t in set(text.split()):
+            cnt_bg[t] += 1
+            if fg:
+                cnt_fg[t] += 1
+    want = []
+    for t, fgc in cnt_fg.items():
+        if fgc < 3:
+            continue
+        fgp, bgp = fgc / fg_n, cnt_bg[t] / bg_n
+        score = round((fgp - bgp) * (fgp / bgp), 4)
+        if score > 0:
+            want.append((-score, t, fgc, cnt_bg[t]))
+    want.sort()
+    assert [(r["term"], r["fg_count"], r["bg_count"], r["score"]) for r in out] == [
+        (t, fgc, bgc, -s) for s, t, fgc, bgc in want[:5]
+    ]
+    assert out[0]["term"] == "anomaly"
+    terms = {r["term"] for r in out}
+    assert "common" not in terms and "rare" not in terms
+
+
 def test_geotile_grid_counts(spark):
     pts = [(10.0 + 0.001 * i, 20.0) for i in range(10)] + [(-30.0, -60.0)] * 4
     df = spark.createDataFrame(pts, "lat double, lon double")
