@@ -32,6 +32,7 @@ from elasticsearch_assets_spark.operators import (
     writer,
 )
 from elasticsearch_assets_spark.query import exec as qx
+from elasticsearch_assets_spark.query import search as qsearch
 from elasticsearch_assets_spark.query.parser import parse
 
 # ---------------------------------------------------------------------------
@@ -421,6 +422,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["agg_pipeline"] = agg_pipeline
+
+    # ---- search-surface extensions (query/search.py): collapse /
+    # search_after / more_like_this / term suggest. Ranked surfaces
+    # round scores to 4dp BEFORE collapsing/paginating (repo float
+    # protocol) so group-best picks and page boundaries agree with the
+    # oracle bit-for-bit. ----
+    def ft_collapse(s, d):
+        index = _docs_index(s, d)
+        terms = sorted(set(analyze_text("spark merge stream")))
+        scored = (
+            qx.scored_terms(index, terms)
+            .withColumn("score", F.round("score", 4))
+            .join(index.doc_norms.select("doc_id", "lang"), "doc_id")
+        )
+        return qsearch.collapse_best_hits(scored, "lang", 5)
+
+    q["ft_collapse"] = ft_collapse
+
+    q["ev_search_after"] = lambda s, d: qsearch.search_after(
+        _t(s, d, "events").select("event_id", "value"),
+        [("value", "desc"), ("event_id", "asc")],
+        (480.0, 0),
+        50,
+    )
+
+    def ft_mlt(s, d):
+        # more_like_this seeded from doc 0: interesting terms =
+        # top-25 by rounded tf*idf (term asc tie-break), then BM25 OR
+        # over them excluding the seed, ranked by the rounded score
+        index = _docs_index(s, d)
+        docs = _t(s, d, "documents")
+        terms = [
+            r["term"]
+            for r in qsearch.interesting_terms(
+                index, docs, 0, max_query_terms=25, min_doc_freq=2
+            ).collect()
+        ]
+        sc = (
+            qx.scored_terms(index, sorted(terms))
+            .where(F.col("doc_id") != 0)
+            .withColumn("score", F.round("score", 4))
+        )
+        return (
+            sc.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(10)
+            .select("doc_id", "score")
+        )
+
+    q["ft_mlt"] = ft_mlt
+
+    q["ft_suggest"] = lambda s, d: qsearch.suggest_terms(
+        _docs_index(s, d), "bat", max_edits=2, size=8
+    )
 
     # range/filters/rare_terms buckets + significant_terms (JLH) —
     # round-6 widening of the agg surface. significant_terms runs over
@@ -1492,14 +1546,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ev_range_scan, sp_filter_vars, plan_id_slices, wr_index all
         # r05-recorded-green, rotated to the tail to make room)
         "agg_range", "agg_filters", "agg_rare", "agg_significant",
+        # search-surface extensions (NEW third session: query/search.py
+        # — collapse / search_after / more_like_this / term suggest;
+        # plan_date_slices, ss_roundtrip, dd_exact, dd_minhash_lsh all
+        # r05-recorded-green, rotated to the tail to make room)
+        "ft_collapse", "ev_search_after", "ft_mlt", "ft_suggest",
         # slicer plans (plan_id_slices_optimized must stay on the
         # artifact — VERDICT r2 #1)
-        "plan_id_slices_optimized", "plan_date_slices",
+        "plan_id_slices_optimized",
         # writers
         "wr_dual_yield",
-        "ss_roundtrip",
         # dedup / text / multimodal / similarity
-        "dd_exact", "dd_minhash_lsh", "dd_dup_clusters",
+        "dd_dup_clusters",
         "dd_dup_clusters_star", "dd_dedup_apply",
         "dd_line_dedup", "dd_simhash_pairs",
         "ts_token_count", "ts_repetition",
@@ -1509,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-recorded-green entries rotated to the tail (r02-r05
         # artifacts; still value-checked by tools/check_entry.py)
         "ev_range_scan", "sp_filter_vars", "plan_id_slices", "wr_index",
+        "plan_date_slices", "ss_roundtrip", "dd_exact", "dd_minhash_lsh",
         "plan_date_subslices",
         "wr_update", "wr_update_fields", "wr_delete",
         "wr_lww", "wr_routed", "wr_reject",
@@ -1793,6 +1852,58 @@ SELECT day, doc_count,
                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))::DOUBLE, 4)
          AS moving_avg
 FROM b
+"""
+
+    o["ft_collapse"] = f"""{_bm25_cte()},
+scored AS (
+  SELECT doc_id, round(sum(c), 4) AS score FROM contrib
+  WHERE term IN ('merge', 'spark', 'stream') GROUP BY doc_id
+),
+best AS (
+  SELECT d.lang, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT lang, doc_id, score FROM best WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT 5
+"""
+
+    o["ev_search_after"] = """
+SELECT event_id, value FROM events
+WHERE value < 480.0 OR (value = 480.0 AND event_id > 0)
+ORDER BY value DESC, event_id ASC LIMIT 50
+"""
+
+    o["ft_mlt"] = f"""{_bm25_cte()},
+seed AS (SELECT term, tf FROM tf WHERE doc_id = 0),
+it AS (
+  SELECT seed.term,
+         round(seed.tf * ln(1 + (stats.n - dfreq.df + 0.5)
+                                / (dfreq.df + 0.5)), 4) AS w
+  FROM seed JOIN dfreq USING (term) CROSS JOIN stats
+  WHERE dfreq.df >= 2
+  ORDER BY w DESC, seed.term ASC LIMIT 25
+)
+SELECT doc_id, round(sum(c), 4) AS score
+FROM contrib
+WHERE term IN (SELECT term FROM it) AND doc_id != 0
+GROUP BY doc_id
+ORDER BY round(sum(c), 4) DESC, doc_id ASC LIMIT 10
+"""
+
+    o["ft_suggest"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_ANALYZE_TEXT_SQL}) AS term FROM documents
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq
+          FROM toks GROUP BY 1)
+SELECT term, levenshtein(term, 'bat')::INT AS distance, doc_freq
+FROM dfreq
+WHERE term != 'bat'
+  AND abs(length(term) - 3) <= 2
+  AND levenshtein(term, 'bat') <= 2
+ORDER BY distance ASC, doc_freq DESC, term ASC LIMIT 8
 """
 
     o["agg_range"] = """

@@ -102,12 +102,17 @@ def scored_terms(
         g = contrib.groupBy("doc_id").agg(
             *aggs, F.count("*").alias("n_matched"), F.first("dl").alias("dl")
         )
+        # Absent terms contribute coalesce(NULL, 0.0): x + 0.0 == x is
+        # IEEE-exact for the non-negative BM25 contributions, so the
+        # running value is bit-identical to a fold that skips absent
+        # terms outright — while keeping the expression tree LINEAR in
+        # the term count. (The previous when(c.isNotNull(), score + c)
+        # .otherwise(score) chain referenced `score` twice per level:
+        # a 2^n-node tree that stalled Column->Expression conversion
+        # beyond ~20 terms, e.g. a 25-term more_like_this.)
         score = F.lit(0.0)
         for i in range(len(terms_sorted)):
-            c = F.col(f"_c{i}")
-            # adding 0.0 first is IEEE-exact, so skipping absent terms
-            # keeps the same association as the sorted fold
-            score = F.when(c.isNotNull(), score + c).otherwise(score)
+            score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
         return g.withColumn("score", score).drop(
             *[f"_c{i}" for i in range(len(terms_sorted))]
         )
