@@ -27,6 +27,8 @@ from elasticsearch_assets_spark.operators import (
     aggs,
     dedup,
     reader,
+    sampling,
+    scrub,
     similarity,
     textstats,
     writer,
@@ -871,6 +873,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), "text", "doc_id"
     )
 
+    # ---- corpus hygiene (operators/scrub.py) + deterministic
+    # splitting (operators/sampling.py). The testdata text carries no
+    # PII/URLs, so both entries inject them DETERMINISTICALLY from
+    # doc_id with identical string arithmetic in both engines — the
+    # detection/redaction/normalization machinery is what's checked.
+    def _pii_aug(docs):
+        did = F.col("doc_id")
+        return docs.withColumn(
+            "text2",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.when(
+                    did % 7 == 0,
+                    F.concat(
+                        F.lit(" contact user"),
+                        did.cast("string"),
+                        F.lit("@example.com"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    did % 11 == 0,
+                    F.concat(
+                        F.lit(" ip 10.0."),
+                        (did % 200).cast("string"),
+                        F.lit(".7"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(did % 13 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+                    F.lit("")
+                ),
+                F.when(did % 17 == 0, F.lit(" call +14155550100")).otherwise(
+                    F.lit("")
+                ),
+            ),
+        )
+
+    def ts_pii(s, d):
+        aug = _pii_aug(_t(s, d, "documents"))
+        stats = scrub.pii_stats(aug, "text2", "doc_id")
+        red = scrub.redact_pii(aug, "text2", "doc_id")
+        return stats.join(
+            red.select("doc_id", F.md5("redacted").alias("redacted_md5")),
+            "doc_id",
+        ).where(F.col("n_pii") > 0)
+
+    q["ts_pii"] = ts_pii
+
+    def ts_urls(s, d):
+        did = F.col("doc_id")
+        aug = _t(s, d, "documents").withColumn(
+            "text2",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.when(
+                    did % 5 == 0,
+                    F.concat(
+                        F.lit(" see HTTPS://Example"),
+                        (did % 3).cast("string"),
+                        F.lit(".COM:443/p/"),
+                        did.cast("string"),
+                        F.lit("?q=1#frag"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    did % 9 == 0, F.lit(" and http://u@Mirror.example.ORG:80")
+                ).otherwise(F.lit("")),
+            ),
+        )
+        return scrub.doc_urls(aug, "text2", "doc_id")
+
+    q["ts_urls"] = ts_urls
+
+    q["ts_split"] = lambda s, d: (
+        sampling.hash_split(
+            _t(s, d, "documents"),
+            "doc_id",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("doc_count"))
+    )
+
+    q["dd_decontam"] = lambda s, d: scrub.contamination_hits(
+        _t(s, d, "documents"),
+        ["slow hash batch", "row column sort", "window fast query", "no such gram xyz"],
+        "text",
+        "doc_id",
+    )
+
     # ---- multimodal plumbing (value-checked: sha256-derived features),
     # registered with the text-analysis family so it lands inside the
     # driver's per-round entry budget ----
@@ -1556,18 +1647,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plan_id_slices_optimized",
         # writers
         "wr_dual_yield",
-        # dedup / text / multimodal / similarity
-        "dd_dup_clusters",
-        "dd_dup_clusters_star", "dd_dedup_apply",
+        # dedup / text / multimodal / similarity. Corpus hygiene +
+        # deterministic splits NEW third session (ts_pii/ts_urls/
+        # ts_split/dd_decontam); dd_dup_clusters, dd_dedup_apply,
+        # ts_token_count, mm_features r05-recorded-green -> tail.
+        "ts_pii", "ts_urls", "ts_split", "dd_decontam",
+        "dd_dup_clusters_star",
         "dd_line_dedup", "dd_simhash_pairs",
-        "ts_token_count", "ts_repetition",
-        "mm_features", "mm_meta",
+        "ts_repetition",
+        "mm_meta",
         "sim_ivf_topk", "sim_lsh_topk", "sim_ann_indexed",
         # ---- 50-slot cut falls here ----
         # driver-recorded-green entries rotated to the tail (r02-r05
         # artifacts; still value-checked by tools/check_entry.py)
         "ev_range_scan", "sp_filter_vars", "plan_id_slices", "wr_index",
         "plan_date_slices", "ss_roundtrip", "dd_exact", "dd_minhash_lsh",
+        "dd_dup_clusters", "dd_dedup_apply", "ts_token_count", "mm_features",
         "plan_date_subslices",
         "wr_update", "wr_update_fields", "wr_delete",
         "wr_lww", "wr_routed", "wr_reject",
@@ -2344,6 +2439,128 @@ SELECT doc_id,
            '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'
        )) AS n_bpe
 FROM documents
+"""
+
+    # ---- corpus hygiene + splitting: identical injected text, regexes
+    # inserted from scrub.PII_PATTERNS/URL_REGEX verbatim (Java regex
+    # and RE2 agree on this construct subset by design) ----
+    _E = scrub.PII_PATTERNS
+    o["ts_pii"] = f"""
+WITH aug AS (
+  SELECT doc_id,
+         coalesce(text, '')
+         || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' ip 10.0.' || (doc_id % 200)::VARCHAR || '.7' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0 THEN ' call +14155550100' ELSE '' END AS t
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{_E["email"]}'))::BIGINT AS n_email,
+         len(regexp_extract_all(t, '{_E["ipv4"]}'))::BIGINT AS n_ipv4,
+         len(regexp_extract_all(t, '{_E["ssn"]}'))::BIGINT AS n_ssn,
+         len(regexp_extract_all(t, '{_E["phone"]}'))::BIGINT AS n_phone,
+         md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+             '{_E["email"]}', '<EMAIL>', 'g'),
+             '{_E["ipv4"]}', '<IPV4>', 'g'),
+             '{_E["ssn"]}', '<SSN>', 'g'),
+             '{_E["phone"]}', '<PHONE>', 'g')) AS redacted_md5
+  FROM aug
+)
+SELECT doc_id, n_email, n_ipv4, n_ssn, n_phone,
+       (n_email + n_ipv4 + n_ssn + n_phone) AS n_pii, redacted_md5
+FROM c WHERE n_email + n_ipv4 + n_ssn + n_phone > 0
+"""
+
+    _URL_SQL = scrub.URL_REGEX.replace("'", "''")
+    _SCH = scrub._SCHEME_RE
+    o["ts_urls"] = f"""
+WITH aug AS (
+  SELECT doc_id,
+         coalesce(text, '')
+         || CASE WHEN doc_id % 5 = 0 THEN ' see HTTPS://Example' || (doc_id % 3)::VARCHAR || '.COM:443/p/' || doc_id::VARCHAR || '?q=1#frag' ELSE '' END
+         || CASE WHEN doc_id % 9 = 0 THEN ' and http://u@Mirror.example.ORG:80' ELSE '' END AS t
+  FROM documents
+),
+u AS (SELECT doc_id, unnest(regexp_extract_all(t, '{_URL_SQL}')) AS url FROM aug),
+p1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u0 FROM u),
+p2 AS (
+  SELECT doc_id, url, u0,
+         lower(regexp_extract(u0, '{_SCH}', 1)) AS scheme,
+         regexp_replace(u0, '{_SCH}', '') AS rest
+  FROM p1
+),
+p3 AS (
+  SELECT doc_id, url, scheme,
+         lower(regexp_extract(rest, '^([^/?]+)', 1)) AS auth,
+         regexp_replace(rest, '^[^/?]+', '') AS tail
+  FROM p2
+),
+p4 AS (
+  SELECT doc_id, url, scheme, tail,
+         CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+              ELSE auth END AS auth
+  FROM p3
+),
+h AS (
+  SELECT doc_id, url, scheme, tail, auth,
+         regexp_replace(
+           regexp_replace(
+             lower(regexp_extract(regexp_replace(url, '{_SCH}', ''),
+                                  '^([^/?#]+)', 1)),
+             '^[^@]*@', ''),
+           ':[0-9]+$', '') AS host
+  FROM p4
+)
+SELECT doc_id, url,
+       scheme || '://' || auth
+         || CASE WHEN tail = '' THEN '/' ELSE tail END AS url_norm,
+       host,
+       CASE WHEN len(string_split(host, '.')) >= 2
+            THEN array_to_string(
+                   list_slice(string_split(host, '.'),
+                              len(string_split(host, '.')) - 1,
+                              len(string_split(host, '.'))), '.')
+            ELSE host END AS reg_domain
+FROM h
+"""
+
+    o["ts_split"] = """
+WITH b AS (
+  SELECT ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 13))::BIGINT
+           % 1000000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 800000 THEN 'train'
+            WHEN bucket < 900000 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS doc_count
+FROM b GROUP BY 1
+"""
+
+    o["dd_decontam"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_ANALYZE_TEXT_SQL} AS arr FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(arr) - 1),
+           i -> array_to_string(arr[i : i + 2], ' ')
+         ))) AS shingle
+  FROM toks
+  WHERE len(arr) >= 3
+),
+hits AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN ('slow hash batch', 'row column sort',
+                    'window fast query', 'no such gram xyz')
+)
+SELECT doc_id, count(*) AS n_contaminated,
+       array_to_string(list_sort(list(shingle)), ',') AS matched
+FROM hits GROUP BY doc_id
 """
 
     _stop_list = ", ".join(f"'{s}'" for s in textstats.STOPWORDS)
