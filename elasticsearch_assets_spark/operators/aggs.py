@@ -437,6 +437,140 @@ def rare_terms(df: DataFrame, col: str, max_doc_count: int = 1) -> DataFrame:
     )
 
 
+def percentile_ranks(df: DataFrame, col: str, values: list[float]) -> DataFrame:
+    """ES ``percentile_ranks`` agg, exact: for each requested value v,
+    the percentage of docs with ``col`` <= v (the CDF at v, times 100).
+    ES interpolates between t-digest centroids; like ``percentiles``,
+    we return the exact fraction at the same one-scan cost — the
+    conditional sums all ride one one-row partial agg, and the
+    requested-value frame is query-sized, never data-sized."""
+    agg = df.agg(
+        F.count(col).alias("_n"),
+        *[
+            F.sum(F.when(F.col(col) <= F.lit(float(v)), 1).otherwise(0))
+            .cast("double")
+            .alias(f"_le{i}")
+            for i, v in enumerate(values)
+        ],
+    )
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(float(v)).alias("value"),
+                    F.round(
+                        F.col(f"_le{i}") * F.lit(100.0) / F.col("_n").cast("double"),
+                        4,
+                    ).alias("rank"),
+                )
+                for i, v in enumerate(values)
+            ]
+        )
+    ).alias("p")
+    return agg.select(pairs).select("p.value", "p.rank")
+
+
+def weighted_avg(df: DataFrame, value_col: str, weight_col: str) -> DataFrame:
+    """ES ``weighted_avg`` agg: sum(value*weight) / sum(weight) over
+    integral columns — both sums accumulate as exact decimals (the
+    extended_stats discipline: the streaming double sum is
+    partition-order-dependent and would make the result flap across
+    shuffles), with ONE double division + round(4) at the end."""
+    v = F.col(value_col).cast("decimal(38,0)")
+    w = F.col(weight_col).cast("decimal(38,0)")
+    agg = df.where(F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()).agg(
+        F.sum(v * w).alias("_vw"), F.sum(w).alias("_w")
+    )
+    return agg.select(
+        F.round(
+            F.col("_vw").cast("double") / F.col("_w").cast("double"), 4
+        ).alias("weighted_avg"),
+        F.col("_w").cast("long").alias("weight_sum"),
+    )
+
+
+def adjacency_matrix(df: DataFrame, filters: dict[str, Column]) -> DataFrame:
+    """ES ``adjacency_matrix`` agg: one bucket per named filter plus one
+    per pairwise intersection, keyed "a&b" in ES's sorted-key format;
+    empty buckets are omitted (ES behavior). Same shape as filters_agg —
+    every count is a sum-of-when on ONE one-row partial agg (k + k(k-1)/2
+    conditional sums; the filter list is the query, so the row stays
+    tiny), then a driver-free unpivot."""
+    keys = sorted(filters)
+    cells: list[tuple[str, Column]] = [(k, filters[k]) for k in keys]
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            cells.append((f"{a}&{b}", filters[a] & filters[b]))
+    agg = df.agg(
+        *[
+            F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(f"_b{i}")
+            for i, (_, c) in enumerate(cells)
+        ]
+    )
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(k).alias("key"), F.col(f"_b{i}").alias("doc_count"))
+                for i, (k, _) in enumerate(cells)
+            ]
+        )
+    ).alias("b")
+    return (
+        agg.select(pairs)
+        .select("b.key", "b.doc_count")
+        .where(F.col("doc_count") > 0)
+        .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# bucket pipeline ops (bucket_script / bucket_selector / bucket_sort)
+# ---------------------------------------------------------------------------
+
+
+def bucket_script(buckets: DataFrame, name: str, expr: Column) -> DataFrame:
+    """ES ``bucket_script`` pipeline agg: a per-bucket computed metric
+    from the bucket's sibling metrics (the Column references the bucket
+    frame's columns — the buckets_path equivalent). Input is a bucket
+    frame (one row per bucket by construction), so this is a pure
+    projection — zero jobs, zero shuffle."""
+    return buckets.withColumn(name, F.round(expr, 4))
+
+
+def bucket_selector(buckets: DataFrame, pred: Column) -> DataFrame:
+    """ES ``bucket_selector`` pipeline agg: keep only buckets whose
+    metrics satisfy the predicate. Pure filter on the bucket frame."""
+    return buckets.where(pred)
+
+
+def bucket_sort(
+    buckets: DataFrame,
+    sorts: list[tuple[str, str]],
+    size: int | None = None,
+    from_: int = 0,
+) -> DataFrame:
+    """ES ``bucket_sort`` pipeline agg: order the parent's buckets by
+    metric columns and truncate (from / size). The input is a bucket
+    frame — already one row per bucket — so the row_number window is
+    over thousands of rows at most, never the raw table (same argument
+    as cumulative_sum above); with from_=0 it stays a plain
+    TakeOrderedAndProject."""
+    order = [F.asc(c) if d == "asc" else F.desc(c) for c, d in sorts]
+    if from_ == 0:
+        out = buckets.orderBy(*order)
+        return out.limit(size) if size is not None else out
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*order)
+    out = (
+        buckets.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > F.lit(from_))
+    )
+    if size is not None:
+        out = out.where(F.col("_rn") <= F.lit(from_ + size))
+    return out.orderBy("_rn").drop("_rn")
+
+
 # ---------------------------------------------------------------------------
 # significant_terms
 # ---------------------------------------------------------------------------

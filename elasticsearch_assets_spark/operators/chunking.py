@@ -1,0 +1,115 @@
+"""Sequence chunking and shard packing for LLM training pipelines.
+
+Two operators a 100 TB pre-training corpus needs between "cleaned
+documents" and "training shards":
+
+- ``chunk_tokens``: split each document's token stream into fixed-size
+  context windows (the per-document half of sequence packing — long
+  docs become ceil(n/window) training examples). Pure higher-order
+  array expressions over the analyzed token array: posexplode of a
+  per-doc index sequence + slice — NARROW (no shuffle), linear in total
+  tokens, and the output rows carry only window metadata + boundary
+  tokens, never re-materialized text.
+
+- ``pack_bins``: assign documents to fixed-token-budget training shards
+  ("bins") deterministically. A single global greedy pack is inherently
+  sequential, so the deterministic-and-parallel shape is: route each
+  doc to one of ``n_buckets`` independent packing streams by content
+  hash (the sampling.hash_bucket md5 protocol — partition-independent,
+  engine-portable), order each stream by (hash, id), and next-fit pack
+  with a per-stream cumulative token sum: bin = floor(cum_before /
+  max_tokens). Each stream's window is independent — parallelism =
+  n_buckets (set it to O(executors) at scale; the per-stream window
+  sees corpus/n_buckets rows). The assignment is a pure function of
+  (id, token_count, seed): stable under repartitioning and incremental
+  re-runs, which is what makes shard manifests reproducible.
+
+Both mirror bit-identically in DuckDB (list ops + window functions over
+the same md5-derived ordering) for the driver's value gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.analyzer import analyze_col
+from .sampling import hash_bucket
+
+
+def chunk_tokens(
+    df: DataFrame,
+    window: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per (doc, context-window): ``chunk_id`` (0-based),
+    ``n_tok`` (window size, smaller for the tail chunk), ``first_tok``
+    / ``last_tok`` (the window's boundary tokens — enough to pin the
+    split points without shipping the window text). Empty docs produce
+    zero chunks. Tokens come from the repo analyzer, so the chunking is
+    the one the index/BM25 layer already agrees on with DuckDB."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    toks = df.select(F.col(id_col), analyze_col(text_col).alias("_toks")).withColumn(
+        "_n", F.size("_toks")
+    )
+    # F.sequence(0, x) DESCENDS for x < 0 (CLAUDE.md) — gate empty docs
+    # out before building the chunk-index sequence.
+    nonempty = toks.where(F.col("_n") > 0).withColumn(
+        "_idx", F.sequence(F.lit(0), ((F.col("_n") - 1) / F.lit(window)).cast("int"))
+    )
+    c = nonempty.select(
+        id_col, "_toks", "_n", F.explode("_idx").alias("chunk_id")
+    )
+    start = F.col("chunk_id") * F.lit(window)
+    n_tok = F.least(F.lit(window), F.col("_n") - start)
+    return c.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        n_tok.cast("long").alias("n_tok"),
+        F.element_at("_toks", (start + 1).cast("int")).alias("first_tok"),
+        F.element_at("_toks", (start + n_tok).cast("int")).alias("last_tok"),
+    )
+
+
+def pack_bins(
+    df: DataFrame,
+    max_tokens: int,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "pack",
+) -> DataFrame:
+    """Deterministic next-fit shard assignment: each doc gets
+    (``bucket``, ``bin``, ``n_tok``) where bin = floor(cumulative
+    tokens BEFORE this doc / max_tokens) within its hash bucket's
+    (hash, id) order. Docs longer than max_tokens still land in exactly
+    one bin (chunk_tokens is the splitter for those — compose them).
+
+    The window partitions by bucket: per-stream state never crosses
+    buckets, so the sort is n_buckets independent O((n/b) log(n/b))
+    sorts, not one global order — the packing equivalent of bucketed
+    layout. Raising n_buckets trades shard-fill smoothness for
+    parallelism; both are deterministic."""
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    base = df.select(
+        F.col(id_col),
+        # null text -> 0 tokens (the dl discipline: size(NULL) is NULL
+        # under ANSI and would poison the cumulative sum)
+        F.coalesce(F.size(analyze_col(text_col)), F.lit(0)).alias("n_tok"),
+        F.pmod(hash_bucket(id_col, seed), F.lit(n_buckets)).alias("bucket"),
+        hash_bucket(id_col, seed + ":order").alias("_ord"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.asc("_ord"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return base.select(
+        id_col,
+        "bucket",
+        F.floor(cum_before / F.lit(max_tokens)).cast("long").alias("bin"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+    )

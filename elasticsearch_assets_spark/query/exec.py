@@ -159,15 +159,39 @@ def terms_query(index: IndexTables, terms: list[str], k: int = 10) -> DataFrame:
     return top_k(s.select("doc_id", "score"), k)
 
 
+def resolve_msm(minimum_should_match: int | str, n_optional: int) -> int:
+    """ES minimum_should_match resolution for the forms the reference's
+    queries use: a positive integer, or a percentage string ``"N%"``
+    (floor of N% of the optional-clause count — the ES spec's
+    "rounded down" rule). Clamped to [0, n_optional]."""
+    if isinstance(minimum_should_match, str):
+        p = minimum_should_match.strip()
+        if not p.endswith("%"):
+            raise ValueError(f"unsupported minimum_should_match: {p!r}")
+        msm = int(n_optional * float(p[:-1]) / 100.0)
+    else:
+        msm = int(minimum_should_match)
+    return max(0, min(msm, n_optional))
+
+
 def bool_query(
     index: IndexTables,
     must: list[str] | None = None,
     should: list[str] | None = None,
     must_not: list[str] | None = None,
     k: int = 10,
+    minimum_should_match: int | str | None = None,
 ) -> DataFrame:
     """ES `bool`: must = intersection (scores sum), should = union
-    (adds score), must_not = anti-join (no score)."""
+    (adds score), must_not = anti-join (no score).
+
+    minimum_should_match (int or "N%"): at least that many DISTINCT
+    should terms must match. ES default: 1 when there are only should
+    clauses (any candidate matches ≥1 term, so that holds for free),
+    0 when a must clause exists. When both must and extra should terms
+    are present, the should-count gate is a second conditional-sum
+    aggregation over the should terms semi-joined in — the same shape
+    as the must gate, one extra bounded scan, no new shuffle kind."""
     must = sorted(set(must or []))
     should = sorted(set(should or []))
     must_not = sorted(set(must_not or []))
@@ -182,6 +206,18 @@ def bool_query(
         else:
             m = scored_terms(index, must).where(F.col("n_matched") == len(must))
             s = s.join(m.select("doc_id"), "doc_id", "left_semi")
+    if minimum_should_match is not None and should:
+        msm = resolve_msm(minimum_should_match, len(should))
+        if msm > 1 or (msm == 1 and must):
+            if not must and should == all_scoring:
+                # pure-should bool: n_matched counts exactly the
+                # should terms — a plain filter, zero extra work
+                s = s.where(F.col("n_matched") >= msm)
+            else:
+                sm = scored_terms(index, should).where(
+                    F.col("n_matched") >= msm
+                )
+                s = s.join(sm.select("doc_id"), "doc_id", "left_semi")
     if must_not:
         # no .distinct(): an anti-join is insensitive to right-side
         # duplicates, so deduping the exclusion set is a pure extra

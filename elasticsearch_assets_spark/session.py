@@ -66,6 +66,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # orderBy+limit(k) compiles to TakeOrderedAndProject, whose
+        # Guava TopKSelector PRE-allocates a 2k-element buffer in every
+        # task — at the Spark default threshold (Int.MaxValue) a
+        # "give me everything" k like 10^9 allocates ~16 GB per scan
+        # partition and OOMs the executor (observed: 8-task broadcast
+        # plan × 16 GB on a 400-doc corpus). 100k keeps every real
+        # serving k (10..10_000) on the per-partition-heap fast path
+        # and falls back to sort+GlobalLimit above it — the same guard
+        # an executor needs at 100 TB.
+        .config("spark.sql.execution.topKSortFallbackThreshold", "100000")
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

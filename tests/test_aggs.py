@@ -323,3 +323,102 @@ def test_geotile_grid_counts(spark):
     out = aggs.geotile_grid(df, "lat", "lon", zoom=4, size=5).collect()
     assert sum(r["doc_count"] for r in out) == 14
     assert out[0]["doc_count"] == 10 and out[0]["key"].startswith("4/")
+
+
+# ---------------------------------------------------------------------------
+# percentile_ranks / weighted_avg / adjacency_matrix (r6 widening)
+# ---------------------------------------------------------------------------
+
+
+def test_percentile_ranks_exact_cdf(spark):
+    vals = [1.0, 2.0, 2.0, 5.0, 10.0, 10.0, 10.0, 50.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = {
+        r["value"]: r["rank"]
+        for r in aggs.percentile_ranks(df, "x", [2.0, 9.99, 10.0, 100.0, 0.5]).collect()
+    }
+    n = len(vals)
+    for v in (2.0, 9.99, 10.0, 100.0, 0.5):
+        want = round(100.0 * sum(1 for x in vals if x <= v) / n, 4)
+        assert out[v] == want
+    assert out[100.0] == 100.0 and out[0.5] == 0.0
+
+
+def test_percentile_ranks_ignores_nulls(spark):
+    df = spark.createDataFrame([(1.0,), (None,), (3.0,)], "x double")
+    out = aggs.percentile_ranks(df, "x", [2.0]).collect()[0]
+    assert out["rank"] == 50.0  # null row not in the population
+
+
+def test_weighted_avg_exact(spark):
+    rows = [(10, 2), (20, 3), (None, 5), (30, None), (40, 1)]
+    df = spark.createDataFrame(rows, "v long, w long")
+    out = aggs.weighted_avg(df, "v", "w").collect()[0]
+    # only fully-non-null rows participate (ES skips missing values)
+    want = (10 * 2 + 20 * 3 + 40 * 1) / (2 + 3 + 1)
+    assert out["weighted_avg"] == round(want, 4)
+    assert out["weight_sum"] == 6
+
+
+def test_adjacency_matrix_counts(spark):
+    df = spark.createDataFrame(
+        [(i, "error" if i % 3 == 0 else "view", float(i)) for i in range(30)],
+        "id long, et string, v double",
+    )
+    out = {
+        r["key"]: r["doc_count"]
+        for r in aggs.adjacency_matrix(
+            df,
+            {
+                "err": F.col("et") == "error",
+                "big": F.col("v") >= 15.0,
+                "none": F.col("v") < 0.0,
+            },
+        ).collect()
+    }
+    errs = {i for i in range(30) if i % 3 == 0}
+    bigs = {i for i in range(30) if i >= 15}
+    assert out["err"] == len(errs)
+    assert out["big"] == len(bigs)
+    # intersection key is sorted "a&b"; empty buckets omitted (ES shape)
+    assert out["big&err"] == len(errs & bigs)
+    assert "none" not in out and "err&none" not in out and "big&none" not in out
+    assert list(out) == sorted(out)
+
+
+# ---------------------------------------------------------------------------
+# bucket pipeline ops (bucket_script / bucket_selector / bucket_sort)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bucket_frame(spark):
+    rows = [("a", 10, 100.0), ("b", 40, 80.0), ("c", 20, 300.0), ("d", 5, 50.0)]
+    return spark.createDataFrame(rows, "key string, doc_count long, total double")
+
+
+def test_bucket_script(spark, bucket_frame):
+    out = {
+        r["key"]: r["avg_v"]
+        for r in aggs.bucket_script(
+            bucket_frame, "avg_v", F.col("total") / F.col("doc_count")
+        ).collect()
+    }
+    assert out == {"a": 10.0, "b": 2.0, "c": 15.0, "d": 10.0}
+
+
+def test_bucket_selector(spark, bucket_frame):
+    out = aggs.bucket_selector(bucket_frame, F.col("doc_count") >= 10).collect()
+    assert sorted(r["key"] for r in out) == ["a", "b", "c"]
+
+
+def test_bucket_sort_topn_and_page(spark, bucket_frame):
+    out = aggs.bucket_sort(bucket_frame, [("total", "desc")], size=2).collect()
+    assert [r["key"] for r in out] == ["c", "a"]
+    # from_ pagination (row_number path)
+    out = aggs.bucket_sort(bucket_frame, [("total", "desc")], size=2, from_=1).collect()
+    assert [r["key"] for r in out] == ["a", "b"]
+    out = aggs.bucket_sort(
+        bucket_frame, [("doc_count", "asc")], size=None, from_=2
+    ).collect()
+    assert [r["key"] for r in out] == ["c", "b"]
