@@ -12,6 +12,7 @@ tie-break so top-k boundaries agree across engines.
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 
@@ -25,6 +26,7 @@ from elasticsearch_assets_spark.functions.analyzer import (
 from elasticsearch_assets_spark.indexing.build import IndexTables, build_index
 from elasticsearch_assets_spark.operators import (
     aggs,
+    chunking,
     dedup,
     reader,
     sampling,
@@ -33,6 +35,7 @@ from elasticsearch_assets_spark.operators import (
     textstats,
     writer,
 )
+from elasticsearch_assets_spark.query import compound as qc
 from elasticsearch_assets_spark.query import exec as qx
 from elasticsearch_assets_spark.query import search as qsearch
 from elasticsearch_assets_spark.query.parser import parse
@@ -290,6 +293,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_bool_must_not"] = ft_bool_must_not
 
+    def ft_dis_max(s, d):
+        # ES dis_max (Lucene DisjunctionMaxQuery): best subquery score
+        # + tie_breaker * sum of the others; ONE posting scan over the
+        # union of terms, per-term conditional sums (query/compound.py)
+        index = _docs_index(s, d)
+        out = qc.dis_max_query(
+            index,
+            [["key", "agg"], ["merge", "batch", "window"]],
+            tie_breaker=0.3,
+            k=2**31 - 1,
+        )
+        return (
+            out.withColumn("score", F.round("score", 4))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(15)
+        )
+
+    q["ft_dis_max"] = ft_dis_max
+
+    def ft_phrase_prefix(s, d):
+        # ES match_phrase_prefix ("fast s"): fixed term chain + the
+        # trailing prefix expanded to <=50 dictionary terms in term
+        # order (MultiPhrasePrefixQuery; 's' expands to scan/slow/
+        # small/sort/spark/stream in this corpus). BM25 over the fixed
+        # terms — the documented deterministic-scoring trade.
+        index = _docs_index(s, d)
+        out = qc.match_phrase_prefix(index, "fast s", k=2**31 - 1)
+        return (
+            out.withColumn("score", F.round("score", 4))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(20)
+        )
+
+    q["ft_phrase_prefix"] = ft_phrase_prefix
+
+    def ft_msm(s, d):
+        # bool.should with minimum_should_match=2 over terms chosen so
+        # the gate bites at sf0.01 (463 docs match >=1, 320 match >=2)
+        index = _docs_index(s, d)
+        out = qx.bool_query(
+            index,
+            should=["dup", "spark", "window"],
+            minimum_should_match=2,
+            k=2**31 - 1,
+        )
+        return (
+            out.withColumn("score", F.round("score", 4))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(25)
+        )
+
+    q["ft_msm"] = ft_msm
+
+    def ft_decay(s, d):
+        # function_score gauss decay on n_chars modulating a BM25 match
+        # (boost_mode=multiply); constants are driver-side Python
+        # floats injected as literals so both engines replay the same
+        # IEEE sequence (query/compound.py:decay_multiplier)
+        index = _docs_index(s, d)
+        terms = sorted(set(analyze_text("table scan")))
+        sc = qx.scored_terms(index, terms).select("doc_id", "score")
+        vals = _t(s, d, "documents").select("doc_id", "n_chars")
+        out = qc.function_score_decay(
+            sc, vals, "n_chars", origin=300.0, scale=200.0, fn="gauss"
+        )
+        return (
+            out.withColumn("score", F.round("score", 4))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(20)
+        )
+
+    q["ft_decay"] = ft_decay
+
+    def ft_boosting(s, d):
+        # ES boosting query: negative-clause docs demoted by
+        # negative_boost, never excluded (query/compound.py)
+        index = _docs_index(s, d)
+        out = qc.boosting_query(
+            index, ["merge", "batch"], ["dup"], negative_boost=0.5, k=2**31 - 1
+        )
+        return (
+            out.withColumn("score", F.round("score", 4))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(20)
+        )
+
+    q["ft_boosting"] = ft_boosting
+
+    def ft_const(s, d):
+        # ES constant_score: filter-context matching at a fixed boost;
+        # equal scores rank by doc_id asc (the ES tie-break)
+        index = _docs_index(s, d)
+        return qc.constant_score_query(index, ["dup", "vector"], boost=1.5, k=25)
+
+    q["ft_const"] = ft_const
+
     def ft_source_filter(s, d):
         # keyword-field predicate + projection (Q10) over the doc store
         docs = _t(s, d, "documents")
@@ -511,6 +610,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         size=10,
         min_doc_count=3,
     )
+    # percentile_ranks / weighted_avg / adjacency_matrix + the bucket
+    # pipeline trio (bucket_script -> bucket_selector -> bucket_sort):
+    # all one-scan conditional-sum shapes or pure bucket-frame ops
+    q["agg_pranks"] = lambda s, d: aggs.percentile_ranks(
+        _t(s, d, "events"), "value", [10.0, 50.0, 200.0, 900.0]
+    )
+    q["agg_wavg"] = lambda s, d: aggs.weighted_avg(
+        _t(s, d, "events").select(
+            F.col("user_id").alias("v"),
+            (F.col("event_id") % 7 + 1).alias("w"),
+        ),
+        "v",
+        "w",
+    )
+    q["agg_adjacency"] = lambda s, d: aggs.adjacency_matrix(
+        _t(s, d, "events"),
+        {
+            "err": F.col("event_type") == "error",
+            "big": F.col("value") >= 500.0,
+            "odd": F.col("user_id") % 2 == 1,
+        },
+    )
+
+    def agg_bucketpipe(s, d):
+        # terms buckets on event_type -> bucket_script (exact-int
+        # ratio, one rounded division) -> bucket_selector (drops the
+        # <2000-doc types at sf0.01) -> bucket_sort top-3
+        b = (
+            _t(s, d, "events")
+            .groupBy(F.col("event_type").alias("key"))
+            .agg(
+                F.count("*").alias("doc_count"),
+                F.sum("user_id").alias("sum_uid"),
+            )
+        )
+        b = aggs.bucket_script(
+            b,
+            "avg_uid",
+            F.col("sum_uid").cast("double") / F.col("doc_count").cast("double"),
+        )
+        b = aggs.bucket_selector(b, F.col("doc_count") >= 2000)
+        return aggs.bucket_sort(b, [("avg_uid", "desc"), ("key", "asc")], size=3)
+
+    q["agg_bucketpipe"] = agg_bucketpipe
 
     def ev_geo_box(s, d):
         g = _ev_geo(_t(s, d, "events"))
@@ -953,6 +1096,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         .groupBy("split")
         .agg(F.count("*").alias("doc_count"))
+    )
+
+    # LLM training-shard prep (operators/chunking.py): fixed context
+    # windows over the analyzed token stream (narrow, no shuffle) and
+    # deterministic next-fit shard packing (md5 bucket streams +
+    # cumulative-sum window — partition-invariant)
+    q["llm_chunks"] = lambda s, d: chunking.chunk_tokens(
+        _t(s, d, "documents"), window=32
+    )
+    q["llm_pack"] = lambda s, d: chunking.pack_bins(
+        _t(s, d, "documents"), max_tokens=512, n_buckets=8
     )
 
     q["dd_decontam"] = lambda s, d: scrub.contamination_hits(
@@ -1603,12 +1757,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wr_dual_yield, dd_simhash_pairs, sim_lsh_topk,
         # sim_ann_indexed, ft_match_packed), plus the two NEW r6
         # entries (ft_wildcard_suffix, mm_meta). ----
-        "ft_match_or", "ft_match_and",
-        "ft_wildcard_prefix", "ft_wildcard_suffix", "ft_phrase",
-        "ft_phrase_slop", "ft_phrase_slop3", "ft_bool_must_not",
-        "ft_source_filter",
+        # compound queries + bool msm (NEW fourth session: query/
+        # compound.py dis_max / match_phrase_prefix / function_score
+        # decay; exec.bool_query minimum_should_match — ft_bool_must_not
+        # STAYS in-window because bool_query moved). Ten r05-recorded
+        # entries with untouched paths rotated to the tail to make room:
+        # ft_match_or, ft_match_and, ft_wildcard_prefix, ft_phrase,
+        # ft_phrase_slop, ft_phrase_slop3, ft_source_filter, ft_fuzzy,
+        # ft_boost, ft_qs_required.
+        "ft_dis_max", "ft_phrase_prefix", "ft_msm", "ft_decay",
+        "ft_wildcard_suffix", "ft_bool_must_not",
         # query_string features (reuse the built index)
-        "ft_fuzzy", "ft_fuzzy_disk", "ft_boost", "ft_qs_required",
+        "ft_fuzzy_disk",
         "ft_querystring",
         # packed (codec) serving path — r5 touched the block encoder
         "ft_match_packed",
@@ -1637,6 +1797,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ev_range_scan, sp_filter_vars, plan_id_slices, wr_index all
         # r05-recorded-green, rotated to the tail to make room)
         "agg_range", "agg_filters", "agg_rare", "agg_significant",
+        # percentile_ranks / weighted_avg / adjacency_matrix + bucket
+        # pipeline (NEW fourth session: operators/aggs.py widening)
+        "agg_pranks", "agg_wavg", "agg_adjacency", "agg_bucketpipe",
         # search-surface extensions (NEW third session: query/search.py
         # — collapse / search_after / more_like_this / term suggest;
         # plan_date_slices, ss_roundtrip, dd_exact, dd_minhash_lsh all
@@ -1652,6 +1815,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ts_split/dd_decontam); dd_dup_clusters, dd_dedup_apply,
         # ts_token_count, mm_features r05-recorded-green -> tail.
         "ts_pii", "ts_urls", "ts_split", "dd_decontam",
+        # context-window chunking + deterministic shard packing (NEW
+        # fourth session: operators/chunking.py)
+        "llm_chunks", "llm_pack",
         "dd_dup_clusters_star",
         "dd_line_dedup", "dd_simhash_pairs",
         "ts_repetition",
@@ -1660,6 +1826,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- 50-slot cut falls here ----
         # driver-recorded-green entries rotated to the tail (r02-r05
         # artifacts; still value-checked by tools/check_entry.py)
+        # boosting/constant_score: new but their paths (scored_terms /
+        # _candidates) are window-covered by ft_dis_max + ft_msm —
+        # head-of-tail so they're first in line for a future window
+        "ft_boosting", "ft_const",
+        "ft_match_or", "ft_match_and", "ft_wildcard_prefix", "ft_phrase",
+        "ft_phrase_slop", "ft_phrase_slop3", "ft_source_filter",
+        "ft_fuzzy", "ft_boost", "ft_qs_required",
         "ev_range_scan", "sp_filter_vars", "plan_id_slices", "wr_index",
         "plan_date_slices", "ss_roundtrip", "dd_exact", "dd_minhash_lsh",
         "dd_dup_clusters", "dd_dedup_apply", "ts_token_count", "mm_features",
@@ -1791,6 +1964,131 @@ WHERE c.term IN ('agg', 'key', 'row')
 GROUP BY c.doc_id
 ORDER BY round(sum(c.c), 4) DESC, c.doc_id ASC
 LIMIT 30
+"""
+
+    # dis_max: per-term conditional sums (one posting row per
+    # (doc, term), so each CASE-sum selects a single value — no float
+    # fold ambiguity), then the engine's exact association:
+    # s_i = ((0.0 + c_a) + c_b)..., score = best + tie*(total - best)
+    o["ft_dis_max"] = f"""{_bm25_cte()},
+g AS (
+  SELECT doc_id,
+         sum(CASE WHEN term = 'agg' THEN c END) AS c_agg,
+         sum(CASE WHEN term = 'batch' THEN c END) AS c_batch,
+         sum(CASE WHEN term = 'key' THEN c END) AS c_key,
+         sum(CASE WHEN term = 'merge' THEN c END) AS c_merge,
+         sum(CASE WHEN term = 'window' THEN c END) AS c_window
+  FROM contrib
+  WHERE term IN ('agg', 'batch', 'key', 'merge', 'window')
+  GROUP BY doc_id
+),
+sc AS (
+  SELECT doc_id,
+         ((0.0::DOUBLE + coalesce(c_agg, 0.0::DOUBLE))
+          + coalesce(c_key, 0.0::DOUBLE)) AS s0,
+         (((0.0::DOUBLE + coalesce(c_batch, 0.0::DOUBLE))
+           + coalesce(c_merge, 0.0::DOUBLE))
+          + coalesce(c_window, 0.0::DOUBLE)) AS s1
+  FROM g
+)
+SELECT doc_id,
+       round(greatest(s0, s1)
+             + 0.3::DOUBLE * ((s0 + s1) - greatest(s0, s1)), 4) AS score
+FROM sc
+ORDER BY round(greatest(s0, s1)
+               + 0.3::DOUBLE * ((s0 + s1) - greatest(s0, s1)), 4) DESC,
+         doc_id ASC
+LIMIT 15
+"""
+
+    # match_phrase_prefix "fast s": successor position matched against
+    # the <=50-in-term-order prefix expansion; BM25 over the fixed
+    # terms only (the engine's pinned deterministic-scoring choice)
+    o["ft_phrase_prefix"] = f"""{_bm25_cte()},
+toks_pos AS (
+  SELECT doc_id, unnest({_ANALYZE_TEXT_SQL}) AS term,
+         generate_subscripts({_ANALYZE_TEXT_SQL}, 1) AS pos
+  FROM documents
+),
+exp AS (
+  SELECT DISTINCT term FROM toks_pos
+  WHERE term LIKE 's%' ORDER BY term LIMIT 50
+),
+phrase_docs AS (
+  SELECT DISTINCT a.doc_id
+  FROM toks_pos a JOIN toks_pos b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'fast' AND b.term IN (SELECT term FROM exp)
+)
+SELECT c.doc_id, round(sum(c.c), 4) AS score
+FROM contrib c JOIN phrase_docs USING (doc_id)
+WHERE c.term = 'fast'
+GROUP BY c.doc_id
+ORDER BY round(sum(c.c), 4) DESC, c.doc_id ASC
+LIMIT 20
+"""
+
+    # boosting: positive BM25, negative-matching docs scaled by 0.5
+    # (one IEEE multiply — engine replays score * lit exactly)
+    o["ft_boosting"] = f"""{_bm25_cte()},
+s AS (
+  SELECT doc_id, sum(c) AS score FROM contrib
+  WHERE term IN ('batch', 'merge') GROUP BY doc_id
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id IN (SELECT DISTINCT doc_id FROM contrib
+                              WHERE term = 'dup')
+              THEN score * 0.5::DOUBLE ELSE score END AS score
+  FROM s
+)
+SELECT doc_id, round(score, 4) AS score FROM m
+ORDER BY round(score, 4) DESC, doc_id ASC
+LIMIT 20
+"""
+
+    # constant_score: filter-context matching, fixed boost, id-ordered
+    o["ft_const"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_ANALYZE_TEXT_SQL}) AS term FROM documents
+)
+SELECT DISTINCT doc_id, 1.5::DOUBLE AS score
+FROM toks WHERE term IN ('dup', 'vector')
+ORDER BY doc_id ASC
+LIMIT 25
+"""
+
+    # bool.should minimum_should_match=2: >=2 distinct should terms
+    o["ft_msm"] = f"""{_bm25_cte()}
+SELECT doc_id, round(sum(c), 4) AS score
+FROM contrib WHERE term IN ('dup', 'spark', 'window')
+GROUP BY doc_id HAVING count(*) >= 2
+ORDER BY round(sum(c), 4) DESC, doc_id ASC
+LIMIT 25
+"""
+
+    # function_score gauss decay on n_chars (origin 300, scale 200,
+    # decay 0.5): the 2*sigma^2 constant is the SAME Python float the
+    # engine injects (query/compound.py:decay_multiplier), so both
+    # engines evaluate exp(-(d*d)/LITERAL) over identical operands
+    _decay_denom = repr(2.0 * (-(200.0 * 200.0) / (2.0 * math.log(0.5))))
+    o["ft_decay"] = f"""{_bm25_cte()},
+s AS (
+  SELECT doc_id, sum(c) AS score FROM contrib
+  WHERE term IN ('scan', 'table') GROUP BY doc_id
+),
+m AS (
+  SELECT s.doc_id,
+         s.score * exp(-(g.dist * g.dist) / {_decay_denom}::DOUBLE) AS score
+  FROM s JOIN (
+    SELECT doc_id,
+           greatest(0.0::DOUBLE,
+                    abs(n_chars::DOUBLE - 300.0::DOUBLE) - 0.0::DOUBLE) AS dist
+    FROM documents) g ON s.doc_id = g.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM m
+ORDER BY round(score, 4) DESC, doc_id ASC
+LIMIT 20
 """
 
     o["ft_bool_must_not"] = f"""{_bm25_cte()}
@@ -2063,6 +2361,128 @@ SELECT term, fg_count, bg_count, score
 FROM scored WHERE score > 0
 ORDER BY score DESC, term ASC
 LIMIT 10
+"""
+
+    # percentile_ranks: exact CDF at each requested value, one scan of
+    # conditional sums (engine: (le * 100.0) / n, left-assoc)
+    o["agg_pranks"] = """
+WITH a AS (
+  SELECT count("value")::DOUBLE AS n,
+         sum(CASE WHEN "value" <= 10.0::DOUBLE THEN 1 ELSE 0 END)::DOUBLE AS le0,
+         sum(CASE WHEN "value" <= 50.0::DOUBLE THEN 1 ELSE 0 END)::DOUBLE AS le1,
+         sum(CASE WHEN "value" <= 200.0::DOUBLE THEN 1 ELSE 0 END)::DOUBLE AS le2,
+         sum(CASE WHEN "value" <= 900.0::DOUBLE THEN 1 ELSE 0 END)::DOUBLE AS le3
+  FROM events
+)
+SELECT 10.0::DOUBLE AS value, round(le0 * 100.0::DOUBLE / n, 4) AS rank FROM a
+UNION ALL
+SELECT 50.0::DOUBLE, round(le1 * 100.0::DOUBLE / n, 4) FROM a
+UNION ALL
+SELECT 200.0::DOUBLE, round(le2 * 100.0::DOUBLE / n, 4) FROM a
+UNION ALL
+SELECT 900.0::DOUBLE, round(le3 * 100.0::DOUBLE / n, 4) FROM a
+"""
+
+    # weighted_avg: exact integral sums (engine: decimal(38,0); HUGEINT
+    # here), one double division + round(4) at the surface
+    o["agg_wavg"] = """
+WITH a AS (
+  SELECT sum((user_id::HUGEINT) * ((event_id % 7 + 1)::HUGEINT)) AS vw,
+         sum((event_id % 7 + 1)::HUGEINT) AS w
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+)
+SELECT round(vw::DOUBLE / w::DOUBLE, 4) AS weighted_avg,
+       w::BIGINT AS weight_sum
+FROM a
+"""
+
+    # adjacency_matrix: k + k(k-1)/2 conditional sums on one one-row
+    # agg; empty buckets omitted; keys in ES's sorted "a&b" format
+    o["agg_adjacency"] = """
+WITH a AS (
+  SELECT
+    sum(CASE WHEN "value" >= 500.0::DOUBLE THEN 1 ELSE 0 END)::BIGINT AS big,
+    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS err,
+    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS odd,
+    sum(CASE WHEN "value" >= 500.0::DOUBLE AND event_type = 'error'
+        THEN 1 ELSE 0 END)::BIGINT AS big_err,
+    sum(CASE WHEN "value" >= 500.0::DOUBLE AND user_id % 2 = 1
+        THEN 1 ELSE 0 END)::BIGINT AS big_odd,
+    sum(CASE WHEN event_type = 'error' AND user_id % 2 = 1
+        THEN 1 ELSE 0 END)::BIGINT AS err_odd
+  FROM events
+),
+u AS (
+  SELECT 'big' AS key, big AS doc_count FROM a
+  UNION ALL SELECT 'err', err FROM a
+  UNION ALL SELECT 'odd', odd FROM a
+  UNION ALL SELECT 'big&err', big_err FROM a
+  UNION ALL SELECT 'big&odd', big_odd FROM a
+  UNION ALL SELECT 'err&odd', err_odd FROM a
+)
+SELECT key, doc_count FROM u WHERE doc_count > 0 ORDER BY key
+"""
+
+    # bucket pipeline: terms buckets -> computed ratio (round 4) ->
+    # selector (>= 2000 docs at sf0.01) -> sort by rounded ratio
+    o["agg_bucketpipe"] = """
+WITH b AS (
+  SELECT event_type AS key, count(*)::BIGINT AS doc_count,
+         sum(user_id::HUGEINT)::BIGINT AS sum_uid
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT key, doc_count, sum_uid,
+         round(sum_uid::DOUBLE / doc_count::DOUBLE, 4) AS avg_uid
+  FROM b WHERE doc_count >= 2000
+)
+SELECT key, doc_count, sum_uid, avg_uid FROM c
+ORDER BY avg_uid DESC, key ASC
+LIMIT 3
+"""
+
+    # chunk_tokens: ceil(n/32) windows per non-empty doc; boundary
+    # tokens via 1-based list indexing (engine: element_at)
+    o["llm_chunks"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_ANALYZE_TEXT_SQL} AS t FROM documents
+),
+nn AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+ch AS (
+  SELECT doc_id, t, n,
+         unnest(range(((n - 1) // 32) + 1)) AS chunk_id
+  FROM nn
+)
+SELECT doc_id,
+       chunk_id::BIGINT AS chunk_id,
+       least(32, n - chunk_id * 32)::BIGINT AS n_tok,
+       t[(chunk_id * 32 + 1)::INT] AS first_tok,
+       t[(chunk_id * 32 + least(32, n - chunk_id * 32))::INT] AS last_tok
+FROM ch
+"""
+
+    # pack_bins: md5 bucket streams (sampling.hash_bucket protocol),
+    # per-stream (ord, doc_id) cumulative token sum BEFORE each doc,
+    # bin = floor(cum/512) (512 = 2^9, so the double division is exact)
+    o["llm_pack"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         coalesce(len({_ANALYZE_TEXT_SQL}), 0) AS n_tok,
+         (('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 13))::BIGINT
+           % 1000000) % 8 AS bucket,
+         ('0x' || substr(md5('pack:order:' || doc_id::VARCHAR), 1, 13))::BIGINT
+           % 1000000 AS ord
+  FROM documents
+)
+SELECT doc_id,
+       bucket::BIGINT AS bucket,
+       floor(coalesce(sum(n_tok) OVER (
+               PARTITION BY bucket ORDER BY ord ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / 512)::BIGINT AS bin,
+       n_tok::BIGINT AS n_tok
+FROM t
 """
 
     # geotile: identical IEEE op sequence (double-pinned lat/lon,

@@ -41,27 +41,39 @@ def chunk_tokens(
     window: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    stride: int | None = None,
 ) -> DataFrame:
     """One row per (doc, context-window): ``chunk_id`` (0-based),
     ``n_tok`` (window size, smaller for the tail chunk), ``first_tok``
     / ``last_tok`` (the window's boundary tokens — enough to pin the
     split points without shipping the window text). Empty docs produce
     zero chunks. Tokens come from the repo analyzer, so the chunking is
-    the one the index/BM25 layer already agrees on with DuckDB."""
+    the one the index/BM25 layer already agrees on with DuckDB.
+
+    ``stride`` (default = window, i.e. disjoint windows) < window gives
+    OVERLAPPING windows — the sliding-context shape LLM training uses
+    so no next-token target is ever conditioned on a truncated prefix.
+    Chunk c covers tokens [c*stride, c*stride + window); starts range
+    over 0..floor((n-1)/stride) (every token is covered, no chunk
+    starts past the end)."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
+    if stride is None:
+        stride = window
+    if not 1 <= stride <= window:
+        raise ValueError(f"stride must be in [1, window], got {stride}")
     toks = df.select(F.col(id_col), analyze_col(text_col).alias("_toks")).withColumn(
         "_n", F.size("_toks")
     )
     # F.sequence(0, x) DESCENDS for x < 0 (CLAUDE.md) — gate empty docs
     # out before building the chunk-index sequence.
     nonempty = toks.where(F.col("_n") > 0).withColumn(
-        "_idx", F.sequence(F.lit(0), ((F.col("_n") - 1) / F.lit(window)).cast("int"))
+        "_idx", F.sequence(F.lit(0), ((F.col("_n") - 1) / F.lit(stride)).cast("int"))
     )
     c = nonempty.select(
         id_col, "_toks", "_n", F.explode("_idx").alias("chunk_id")
     )
-    start = F.col("chunk_id") * F.lit(window)
+    start = F.col("chunk_id") * F.lit(stride)
     n_tok = F.least(F.lit(window), F.col("_n") - start)
     return c.select(
         F.col(id_col),

@@ -105,6 +105,73 @@ def dis_max_query(
 
 
 # ---------------------------------------------------------------------------
+# boosting / constant_score
+# ---------------------------------------------------------------------------
+
+
+def boosting_query(
+    index: IndexTables,
+    positive: list[str],
+    negative: list[str],
+    negative_boost: float = 0.5,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``boosting`` query: docs matching the positive clause keep
+    their BM25 score; docs ALSO matching the negative clause have it
+    multiplied by ``negative_boost`` (Lucene BoostingQuery — demotion
+    without exclusion, the soft version of must_not).
+
+    Plan: positive = the standard scored_terms OR; negative = a
+    DISTINCT doc_id set from one bucket-pruned posting scan, left-
+    joined as a flag. The negative set is candidate-bounded (Σ df of
+    the negative terms), and the multiply is a pure column expression —
+    one extra bounded scan + join over bool_query's shape, no new
+    shuffle kind. Float determinism: score * literal is a single IEEE
+    multiply; the oracle replays it."""
+    from .exec import scored_terms
+
+    pos = scored_terms(index, sorted(set(positive))).select("doc_id", "score")
+    neg_terms = sorted(set(negative))
+    if not neg_terms:
+        return top_k(pos, k)
+    neg = (
+        _candidates(index, neg_terms)
+        .select("doc_id")
+        .distinct()
+        .withColumn("_neg", F.lit(True))
+    )
+    out = pos.join(neg, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            F.col("_neg"), F.col("score") * F.lit(float(negative_boost))
+        )
+        .otherwise(F.col("score"))
+        .alias("score"),
+    )
+    return top_k(out, k)
+
+
+def constant_score_query(
+    index: IndexTables, terms: list[str], boost: float = 1.0, k: int = 10
+) -> DataFrame:
+    """ES ``constant_score``: every doc matching ANY of the filter
+    terms scores exactly ``boost`` (filter context — no BM25, perfectly
+    cacheable at the ES layer; here one distinct over a bucket-pruned
+    posting scan). Ties rank by doc_id asc, so the top-k is the k
+    smallest matching doc_ids at equal score."""
+    uniq = sorted(set(terms))
+    if not uniq:
+        return phrase_empty(index).select("doc_id", "score")
+    out = (
+        _candidates(index, uniq)
+        .select("doc_id")
+        .distinct()
+        .withColumn("score", F.lit(float(boost)))
+    )
+    return top_k(out, k)
+
+
+# ---------------------------------------------------------------------------
 # match_phrase_prefix
 # ---------------------------------------------------------------------------
 

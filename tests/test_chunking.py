@@ -54,6 +54,38 @@ def test_chunk_tokens_window_one(spark, docs):
 def test_chunk_tokens_bad_window(docs):
     with pytest.raises(ValueError):
         chunking.chunk_tokens(docs, 0)
+    with pytest.raises(ValueError):
+        chunking.chunk_tokens(docs, 4, stride=5)
+    with pytest.raises(ValueError):
+        chunking.chunk_tokens(docs, 4, stride=0)
+
+
+def test_chunk_tokens_stride_overlap(spark, docs):
+    window, stride = 4, 2
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tok"], r["first_tok"], r["last_tok"])
+        for r in chunking.chunk_tokens(docs, window, stride=stride).collect()
+    }
+    want = {}
+    for doc_id, text in docs.collect():
+        toks = analyze_text(text or "")
+        for c in range((len(toks) - 1) // stride + 1 if toks else 0):
+            w = toks[c * stride : c * stride + window]
+            want[(doc_id, c)] = (len(w), w[0], w[-1])
+    assert got == want
+    # every token index is covered by some window
+    for doc_id, text in docs.collect():
+        toks = analyze_text(text or "")
+        covered = set()
+        for c in range((len(toks) - 1) // stride + 1 if toks else 0):
+            covered.update(range(c * stride, min(c * stride + window, len(toks))))
+        assert covered == set(range(len(toks)))
+
+
+def test_chunk_tokens_default_stride_is_disjoint(spark, docs):
+    a = chunking.chunk_tokens(docs, 4).collect()
+    b = chunking.chunk_tokens(docs, 4, stride=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
 def _bucket(seed: str, doc_id: int) -> int:

@@ -84,6 +84,57 @@ def test_dismax_empty_terms(corpus):
 
 
 # ---------------------------------------------------------------------------
+# boosting / constant_score
+# ---------------------------------------------------------------------------
+
+
+def test_boosting_demotes_not_excludes(corpus):
+    index, oracle = corpus
+    pos = sorted(set(analyze_text("merge batch")))
+    neg = sorted(set(analyze_text("return")))
+    got = {
+        r["doc_id"]: r["score"]
+        for r in qc.boosting_query(index, pos, neg, negative_boost=0.25, k=10**9).collect()
+    }
+    base = oracle.score_terms(pos)
+    neg_docs = set(oracle.score_terms(neg))
+    assert got.keys() == base.keys()  # nothing excluded
+    for d, (s, _) in base.items():
+        want = s * 0.25 if d in neg_docs else s
+        assert got[d] == pytest.approx(want, abs=1e-12), d
+    assert neg_docs & set(got), "fixture went trivial: no demoted docs"
+
+
+def test_boosting_empty_negative_is_plain_match(corpus):
+    index, _ = corpus
+    pos = ["merge", "batch"]
+    a = qc.boosting_query(index, pos, [], k=10**9).collect()
+    b = qx.match_query(index, "merge batch", k=10**9).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
+
+
+def test_constant_score(corpus):
+    index, oracle = corpus
+    terms = ["mergebatch"] + sorted(set(analyze_text("splitKey")))
+    got = qc.constant_score_query(index, terms, boost=1.7, k=10**9).collect()
+    want = set()
+    for t in terms:
+        want.update(oracle.tf.get(t, {}))
+    assert {r["doc_id"] for r in got} == want
+    assert all(r["score"] == 1.7 for r in got)
+    # equal scores rank by doc_id asc: top-k = k smallest matching ids
+    top3 = qc.constant_score_query(index, terms, boost=1.7, k=3).collect()
+    assert [r["doc_id"] for r in top3] == sorted(want)[:3]
+
+
+def test_constant_score_empty(corpus):
+    index, _ = corpus
+    assert qc.constant_score_query(index, [], k=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
 # match_phrase_prefix
 # ---------------------------------------------------------------------------
 
