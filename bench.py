@@ -260,11 +260,12 @@ def main() -> None:
         b_runs = []
         for r in range(BUILD_RUNS):
             weather.await_healthy(spark)
-            b_runs.append(
-                index_build_job(
-                    spark, corpus_path, os.path.join(tmp, f"idx_hi{r}")
-                )
-            )
+            out_dir = os.path.join(tmp, f"idx_hi{r}")
+            b_runs.append(index_build_job(spark, corpus_path, out_dir))
+            # free the timed run's output immediately: tmpfs pages are
+            # RAM, and holding BUILD_RUNS index copies makes later runs
+            # compete with the heap (a ~1 GB/run creep measured r6)
+            shutil.rmtree(out_dir, ignore_errors=True)
         b_hi = statistics.median(b_runs)
         tput_hi = BENCH_DOCS / b_hi
         result["index_build"] = {
