@@ -1098,6 +1098,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count("*").alias("doc_count"))
     )
 
+    def ts_unigram(s, d):
+        # CCNet-style unigram-LM quality signal: self-trained add-k LM
+        # (one term groupBy + broadcast totals), per-doc mean NLL via
+        # the term-sorted float fold (operators/textstats.py)
+        docs = _t(s, d, "documents")
+        lm = textstats.unigram_lm(docs)
+        out = textstats.doc_nll(docs, lm)
+        return out.select(
+            "doc_id", "n_tok", F.round("nll_per_tok", 4).alias("nll_per_tok")
+        )
+
+    q["ts_unigram"] = ts_unigram
+
+    # domain rebalancing: per-stratum deterministic keep-rates (en
+    # downsampled to 0.3, de kept, everything else at the 0.05 default)
+    q["ts_strat"] = lambda s, d: sampling.stratified_sample(
+        _t(s, d, "documents"),
+        "lang",
+        {"en": 0.3, "de": 1.0},
+        "doc_id",
+        default_rate=0.05,
+    ).select("doc_id", "lang")
+
     # LLM training-shard prep (operators/chunking.py): fixed context
     # windows over the analyzed token stream (narrow, no shuffle) and
     # deterministic next-fit shard packing (md5 bucket streams +
@@ -1814,10 +1837,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic splits NEW third session (ts_pii/ts_urls/
         # ts_split/dd_decontam); dd_dup_clusters, dd_dedup_apply,
         # ts_token_count, mm_features r05-recorded-green -> tail.
-        "ts_pii", "ts_urls", "ts_split", "dd_decontam",
-        # context-window chunking + deterministic shard packing (NEW
-        # fourth session: operators/chunking.py)
-        "llm_chunks", "llm_pack",
+        "ts_pii", "ts_urls", "dd_decontam",
+        # context-window chunking + deterministic shard packing +
+        # unigram-LM quality (NEW fourth session; ts_split -> tail:
+        # same md5-threshold protocol family as ts_pii/ts_strat, gated
+        # locally, the novel float path here is ts_unigram's fold)
+        "llm_chunks", "llm_pack", "ts_unigram",
         "dd_dup_clusters_star",
         "dd_line_dedup", "dd_simhash_pairs",
         "ts_repetition",
@@ -1829,7 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # boosting/constant_score: new but their paths (scored_terms /
         # _candidates) are window-covered by ft_dis_max + ft_msm —
         # head-of-tail so they're first in line for a future window
-        "ft_boosting", "ft_const",
+        "ft_boosting", "ft_const", "ts_strat", "ts_split",
         "ft_match_or", "ft_match_and", "ft_wildcard_prefix", "ft_phrase",
         "ft_phrase_slop", "ft_phrase_slop3", "ft_source_filter",
         "ft_fuzzy", "ft_boost", "ft_qs_required",
@@ -2440,6 +2465,41 @@ c AS (
 SELECT key, doc_count, sum_uid, avg_uid FROM c
 ORDER BY avg_uid DESC, key ASC
 LIMIT 3
+"""
+
+    # unigram LM: exact-count add-0.5 LM retrained in SQL; per-doc
+    # NLL sum mirrors the engine's fold (round-4 reconciles, the
+    # proven BM25 protocol); OOV-free because the LM is self-trained
+    o["ts_unigram"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_ANALYZE_TEXT_SQL}) AS term FROM documents
+),
+cnt AS (SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+tot AS (SELECT sum(c)::DOUBLE AS total, count(*)::DOUBLE AS vocab FROM cnt),
+lm AS (
+  SELECT term,
+         ln((c::DOUBLE + 0.5::DOUBLE)
+            / (total + 0.5::DOUBLE * (vocab + 1.0::DOUBLE))) AS logp
+  FROM cnt CROSS JOIN tot
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+per AS (
+  SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tok,
+         sum(tf.tf::DOUBLE * -lm.logp) AS nll
+  FROM tf JOIN lm USING (term) GROUP BY 1
+)
+SELECT doc_id, n_tok, round(nll / n_tok::DOUBLE, 4) AS nll_per_tok FROM per
+"""
+
+    # stratified_sample: per-stratum md5 thresholds (hash_bucket
+    # protocol); unknown strata at the 0.05 default
+    o["ts_strat"] = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 13))::BIGINT
+        % 1000000
+      < CASE WHEN lang = 'de' THEN 1000000
+             WHEN lang = 'en' THEN 300000
+             ELSE 50000 END
 """
 
     # chunk_tokens: ceil(n/32) windows per non-empty doc; boundary

@@ -69,3 +69,69 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    seed: str = "strat",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the domain-rebalancing op
+    (downsample an over-represented source/language to a target mix
+    without touching the rest). Keep a row iff its hash bucket falls
+    under its stratum's rate; strata absent from ``rates`` use
+    ``default_rate`` (0.0 = drop, 1.0 = pass through).
+
+    Same guarantees as hash_sample, per stratum: partition-independent,
+    engine-portable, and nested (a stratum's 1% sample is inside its
+    10% sample under the same seed) — so a mix can be tightened
+    incrementally without reshuffling previous selections. The rate
+    table is query-sized: ONE when() chain, zero joins, zero shuffle.
+    A NULL stratum uses default_rate (no when() arm matches NULL)."""
+    for k, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    thresh = None
+    for name in sorted(rates):
+        cond = F.col(strata_col) == name
+        lim = F.lit(int(round(rates[name] * BUCKETS)))
+        thresh = F.when(cond, lim) if thresh is None else thresh.when(cond, lim)
+    default_lim = F.lit(int(round(default_rate * BUCKETS)))
+    thresh = default_lim if thresh is None else thresh.otherwise(default_lim)
+    return df.where(hash_bucket(id_col, seed) < thresh)
+
+
+def rebalance_rates(
+    counts: dict[str, int], target_shares: dict[str, float]
+) -> dict[str, float]:
+    """Driver-side helper: per-stratum keep-rates that move observed
+    ``counts`` to ``target_shares`` by DOWNSAMPLING only (never
+    upweights — pure filtering keeps the pipeline deterministic). The
+    binding stratum is the one whose observed share falls shortest of
+    its target; it keeps rate 1.0 and every other stratum is scaled to
+    match: rate_s = (target_s / share_s) / max_t(target_t / share_t).
+    Output size = total * share_binding / target_binding (the largest
+    corpus achievable at the exact target mix)."""
+    total = sum(counts.values())
+    if total <= 0:
+        raise ValueError("counts must be non-empty and positive")
+    missing = set(counts) - set(target_shares)
+    if missing:
+        raise ValueError(f"no target share for strata: {sorted(missing)}")
+    ratios = {}
+    for s, n in counts.items():
+        if n == 0:
+            continue
+        share = n / total
+        t = target_shares[s]
+        if t <= 0:
+            ratios[s] = 0.0
+        else:
+            ratios[s] = t / share
+    bind = max(ratios.values())
+    return {s: (r / bind if bind > 0 else 0.0) for s, r in ratios.items()}

@@ -181,3 +181,96 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col),
         F.md5(F.concat_ws(" ", toks)).alias("fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram LM quality scoring (CCNet-style perplexity filtering)
+# ---------------------------------------------------------------------------
+
+
+def unigram_lm(
+    df: DataFrame, text_col: str = "text", k_smooth: float = 0.5
+) -> DataFrame:
+    """Train an add-k-smoothed unigram LM over the corpus: (term,
+    count, logp) with logp = ln((count + k) / (total + k * (vocab+1)))
+    — the +1 reserves one smoothing slot for OOV terms, so
+    ln(k / (total + k * (vocab+1))) is the well-defined unseen-term
+    log-probability (pass it as doc_nll's ``oov_logp`` when scoring
+    text the LM wasn't trained on).
+
+    One explode + groupBy(term) — the same shuffle as a dictionary
+    build; the totals ride a broadcast one-row cross join, never a
+    collect. Counts are exact longs; logp is a single double expression
+    over them, so the LM is bit-reproducible across partitionings."""
+    toks = df.select(F.explode(analyze_col(text_col)).alias("term"))
+    counts = toks.groupBy("term").agg(F.count("*").alias("count"))
+    tot = counts.agg(
+        F.sum("count").alias("_total"), F.count("*").alias("_vocab")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "term",
+        "count",
+        F.log(
+            (F.col("count").cast("double") + F.lit(float(k_smooth)))
+            / (
+                F.col("_total").cast("double")
+                + F.lit(float(k_smooth)) * (F.col("_vocab").cast("double") + F.lit(1.0))
+            )
+        ).alias("logp"),
+    )
+
+
+def doc_nll(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_logp: float | None = None,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under a unigram LM —
+    the CCNet/Wenzek-et-al. quality signal (high nll = far from the
+    reference distribution; pipelines keep the head/middle buckets).
+    (<id>, n_tok, nll_per_tok); empty docs are dropped (no tokens = no
+    likelihood).
+
+    Shape: explode -> per-(doc, term) tf (ONE shuffle, the tf shape the
+    index build uses) -> join the LM on term (AQE broadcasts a small
+    LM; a 10^8-term LM shuffles on the term key like any posting join)
+    -> per-doc term-sorted array fold of tf * -logp (the scored_terms
+    float protocol: bit-stable across shuffle arrival orders). The
+    division by n_tok is the only op after the fold.
+
+    ``oov_logp``: log-prob for terms missing from the LM (use the
+    reserved-slot value documented in unigram_lm). None = score only
+    in-vocabulary tokens (n_tok still counts ALL tokens, so OOV-heavy
+    docs read as artificially likely — pass oov_logp when the LM and
+    the corpus differ)."""
+    tf = (
+        df.select(F.col(id_col), F.explode(analyze_col(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    j = tf.join(lm.select("term", "logp"), "term", "left")
+    if oov_logp is None:
+        # unseen terms contribute 0 likelihood mass but STILL count in
+        # n_tok (the denominator is the document's length, not its
+        # in-vocabulary length)
+        c = F.when(
+            F.col("logp").isNotNull(),
+            F.col("tf").cast("double") * -F.col("logp"),
+        ).otherwise(F.lit(0.0))
+    else:
+        c = F.col("tf").cast("double") * -F.coalesce(
+            F.col("logp"), F.lit(float(oov_logp))
+        )
+    contrib = j.withColumn("contrib", c)
+    g = contrib.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("_cs"),
+        F.sum("tf").alias("n_tok"),
+    )
+    total = F.aggregate("_cs", F.lit(0.0), lambda acc, x: acc + x["contrib"])
+    return g.select(
+        F.col(id_col),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        (total / F.col("n_tok").cast("double")).alias("nll_per_tok"),
+    )

@@ -172,3 +172,60 @@ def test_bucket_matches_duckdb_mirror(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_stratified_sample_matches_per_stratum_hash_sample(spark):
+    df = spark.range(3000).selectExpr(
+        "id", "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'de' "
+        "ELSE 'fr' END AS lang"
+    )
+    rates = {"en": 0.2, "de": 1.0, "fr": 0.0}
+    got = sampling.stratified_sample(df, "lang", rates, "id", seed="s1")
+    rows = got.collect()
+    # per-stratum equality with hash_sample under the same seed
+    for lang, rate in rates.items():
+        want = {
+            r["id"]
+            for r in sampling.hash_sample(
+                df.where(F.col("lang") == lang), "id", rate, seed="s1"
+            ).collect()
+        }
+        assert {r["id"] for r in rows if r["lang"] == lang} == want
+    # nested: tightening a stratum's rate keeps a subset
+    tighter = sampling.stratified_sample(
+        df, "lang", {**rates, "en": 0.05}, "id", seed="s1"
+    )
+    en_tight = {r["id"] for r in tighter.collect() if r["lang"] == "en"}
+    en_loose = {r["id"] for r in rows if r["lang"] == "en"}
+    assert en_tight <= en_loose
+
+
+def test_stratified_sample_default_rate_and_nulls(spark):
+    df = spark.range(600).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE NULL END AS g"
+    )
+    # unknown strata (NULL here) fall to default_rate
+    none_kept = sampling.stratified_sample(df, "g", {"a": 1.0}, "id").collect()
+    assert all(r["g"] == "a" for r in none_kept)
+    all_kept = sampling.stratified_sample(
+        df, "g", {"a": 1.0}, "id", default_rate=1.0
+    )
+    assert all_kept.count() == 600
+    with pytest.raises(ValueError):
+        sampling.stratified_sample(df, "g", {"a": 1.5}, "id")
+
+
+def test_rebalance_rates():
+    counts = {"web": 8000, "code": 1500, "wiki": 500}
+    target = {"web": 0.5, "code": 0.3, "wiki": 0.2}
+    rates = sampling.rebalance_rates(counts, target)
+    # binding stratum keeps everything
+    assert max(rates.values()) == 1.0
+    kept = {s: counts[s] * rates[s] for s in counts}
+    tot = sum(kept.values())
+    for s in counts:
+        assert kept[s] / tot == pytest.approx(target[s], rel=1e-9)
+    # wiki is the scarcest vs target -> it binds
+    assert rates["wiki"] == 1.0
+    with pytest.raises(ValueError):
+        sampling.rebalance_rates({"a": 1}, {})

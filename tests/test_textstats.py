@@ -149,3 +149,97 @@ FROM c2 GROUP BY doc_id
     for doc_id, dup, top in con.execute(sql).fetchall():
         assert got[doc_id][0] == dup, doc_id
         assert got[doc_id][1] == top, doc_id
+
+
+# ---------------------------------------------------------------------------
+# unigram LM (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+def _brute_lm(docs, k=0.5):
+    import math
+    from collections import Counter
+
+    from elasticsearch_assets_spark.functions.analyzer import analyze_text
+
+    c = Counter()
+    for t in docs:
+        c.update(analyze_text(t or ""))
+    total = sum(c.values())
+    vocab = len(c)
+    denom = total + k * (vocab + 1)
+    return {t: math.log((n + k) / denom) for t, n in c.items()}, math.log(k / denom)
+
+
+def test_unigram_lm_matches_brute_force(spark):
+    docs = ["a b b c", "b c c d", "a a", ""]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "doc_id long, text string")
+    lm = {r["term"]: (r["count"], r["logp"]) for r in textstats.unigram_lm(df).collect()}
+    want, _ = _brute_lm(docs)
+    assert set(lm) == set(want)
+    for t, lp in want.items():
+        assert lm[t][1] == pytest.approx(lp, abs=1e-12)
+    assert lm["b"][0] == 3  # exact counts
+
+
+def test_doc_nll_brute_force_and_empty(spark):
+    import math
+
+    from elasticsearch_assets_spark.functions.analyzer import analyze_text
+
+    docs = ["a b b c", "b c c d", "a a", "", None]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    lm = textstats.unigram_lm(df)
+    got = {
+        r["doc_id"]: (r["n_tok"], r["nll_per_tok"])
+        for r in textstats.doc_nll(df, lm).collect()
+    }
+    want_lm, _ = _brute_lm(docs)
+    for i, t in enumerate(docs):
+        toks = analyze_text(t or "")
+        if not toks:
+            assert i not in got  # empty/null docs dropped
+            continue
+        nll = sum(-want_lm[x] for x in toks) / len(toks)
+        assert got[i][0] == len(toks)
+        assert got[i][1] == pytest.approx(nll, rel=1e-12), i
+
+
+def test_doc_nll_oov_handling(spark):
+    df = spark.createDataFrame([(0, "a b"), (1, "a z")], "doc_id long, text string")
+    train = spark.createDataFrame([(0, "a b a b")], "doc_id long, text string")
+    lm = textstats.unigram_lm(train)
+    # without oov_logp, 'z' is silently ignored but n_tok still counts it
+    got = {r["doc_id"]: r for r in textstats.doc_nll(df, lm).collect()}
+    assert got[1]["n_tok"] == 2
+    # with oov_logp, the unseen term contributes the reserved-slot mass
+    import math
+
+    k, total, vocab = 0.5, 4, 2
+    oov = math.log(k / (total + k * (vocab + 1)))
+    got2 = {
+        r["doc_id"]: r for r in textstats.doc_nll(df, lm, oov_logp=oov).collect()
+    }
+    a_lp = math.log((2 + k) / (total + k * (vocab + 1)))
+    want = (-a_lp + -oov) / 2
+    assert got2[1]["nll_per_tok"] == pytest.approx(want, rel=1e-12)
+    assert got2[1]["nll_per_tok"] > got2[0]["nll_per_tok"]  # OOV doc less likely
+
+
+def test_doc_nll_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_assets_spark.corpus import generate_corpus_pandas
+    from elasticsearch_assets_spark.indexing.build import with_doc_id
+
+    sdf = with_doc_id(
+        spark.createDataFrame(generate_corpus_pandas(80, seed=3))
+    ).select("doc_id", F.col("content").alias("text"))
+    lm = textstats.unigram_lm(sdf)
+    a = sorted(map(tuple, textstats.doc_nll(sdf, lm).collect()))
+    b = sorted(
+        map(tuple, textstats.doc_nll(sdf.repartition(17), lm, ).collect())
+    )
+    assert a == b  # bit-identical under repartitioning (sorted fold)
