@@ -431,3 +431,70 @@ def test_wildcard_shapes_parity_and_pushdown(disk_index):
     plan = _plan(qx.dict_hits(disk_index, "*erg*"))
     scan = [l for l in plan.splitlines() if "FileScan" in l][0]
     assert "StringContains(term,erg)" in scan, scan
+
+
+# ---------------------------------------------------------------------------
+# r6 fourth-session operators: plan-shape guarantees
+# ---------------------------------------------------------------------------
+
+
+def test_topk_huge_k_avoids_takeordered(disk_index):
+    # the OOM guard: TakeOrderedAndProject pre-allocates a 2k-element
+    # buffer PER TASK (Guava TopKSelector), so "give me everything"
+    # k must fall back to sort+GlobalLimit
+    # (session topKSortFallbackThreshold) — k=10 stays on the heap path
+    plan = _plan(qx.match_query(disk_index, "merge", k=2**31 - 1))
+    assert "TakeOrderedAndProject" not in plan, plan
+    plan = _plan(qx.match_query(disk_index, "merge", k=10))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dis_max_single_posting_scan(disk_index):
+    # dis_max over N subqueries = ONE posting scan of the term union
+    # (per-term conditional sums), never a scan per subquery
+    from elasticsearch_assets_spark.query import compound as qc
+
+    plan = _plan(
+        qc.dis_max_query(
+            disk_index, [["merge", "batch"], ["parse", "date"]], 0.3, k=5
+        )
+    )
+    scans = [l for l in plan.splitlines() if "FileScan" in l and "postings" in l]
+    assert len(scans) == 1, plan
+    s = scans[0]
+    assert "PushedFilters" in s and "In(term" in s, s
+    assert "bucket" in s.split("PartitionFilters")[1].split("]")[0], s
+
+
+def test_constant_score_pushdown(disk_index):
+    from elasticsearch_assets_spark.query import compound as qc
+
+    plan = _plan(qc.constant_score_query(disk_index, ["merge", "batch"], k=5))
+    scans = [l for l in plan.splitlines() if "FileScan" in l and "postings" in l]
+    assert len(scans) == 1, plan
+    assert "In(term" in scans[0], scans[0]
+    # score column is never read from disk
+    assert "tf" not in scans[0].split("ReadSchema:")[1], scans[0]
+
+
+def test_stratified_sample_no_shuffle(spark, sf_dir):
+    from elasticsearch_assets_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sampling.stratified_sample(
+        docs, "lang", {"en": 0.3, "de": 1.0}, "doc_id", default_rate=0.05
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan  # pure filter: narrow
+
+
+def test_chunk_tokens_no_shuffle(spark, sf_dir):
+    from elasticsearch_assets_spark.operators import chunking
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(chunking.chunk_tokens(docs, 32))
+    assert "Exchange" not in plan, plan  # explode of per-row sequence: narrow
+    # window text never re-materializes: only boundary tokens project
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    read = scan.split("ReadSchema:")[1]
+    assert "text" in read and "lang" not in read, scan
