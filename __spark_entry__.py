@@ -633,6 +633,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         },
     )
 
+    q["agg_matrix"] = lambda s, d: aggs.matrix_stats(
+        _t(s, d, "events").select(
+            "user_id",
+            (F.col("event_id") % 97).alias("e97"),
+            (F.col("event_id") % 7).alias("e7"),
+        ),
+        ["user_id", "e97", "e7"],
+    )
+    # auto_date_histogram: ladder-picked interval (30-day sf0.01 events
+    # span + buckets=30 -> the 1-day rung; the oracle pins that
+    # recorded pick, same protocol as the recorded-boundary plans)
+    q["agg_autodh"] = lambda s, d: aggs.auto_date_histogram(
+        _t(s, d, "events"), "ts", buckets=30
+    )
+
     def agg_bucketpipe(s, d):
         # terms buckets on event_type -> bucket_script (exact-int
         # ratio, one rounded division) -> bucket_selector (drops the
@@ -1855,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # _candidates) are window-covered by ft_dis_max + ft_msm —
         # head-of-tail so they're first in line for a future window
         "ft_boosting", "ft_const", "ts_strat", "ts_split",
+        "agg_matrix", "agg_autodh",
         "ft_match_or", "ft_match_and", "ft_wildcard_prefix", "ft_phrase",
         "ft_phrase_slop", "ft_phrase_slop3", "ft_source_filter",
         "ft_fuzzy", "ft_boost", "ft_qs_required",
@@ -2447,6 +2463,66 @@ u AS (
   UNION ALL SELECT 'err&odd', err_odd FROM a
 )
 SELECT key, doc_count FROM u WHERE doc_count > 0 ORDER BY key
+"""
+
+    # matrix_stats: exact HUGEINT sums (engine: decimal(38,0)) feeding
+    # the pinned sample-covariance expression; 6 unordered pairs
+    _ms_cov = (
+        "(({p}::DOUBLE) - (({sa}::DOUBLE) * ({sb}::DOUBLE)) / n) / (n - 1.0)"
+    )
+
+    def _ms_row(a, b, sa, sb, p, pa, pb):
+        cov = _ms_cov.format(p=p, sa=sa, sb=sb)
+        if a == b:
+            corr = "1.0::DOUBLE"
+        else:
+            va = _ms_cov.format(p=pa, sa=sa, sb=sa)
+            vb = _ms_cov.format(p=pb, sa=sb, sb=sb)
+            corr = f"({cov}) / sqrt(({va}) * ({vb}))"
+        return (
+            f"SELECT '{a}' AS field_x, '{b}' AS field_y, cnt AS count, "
+            f"round(({sa}::DOUBLE) / n, 4) AS mean_x, "
+            f"round(({sb}::DOUBLE) / n, 4) AS mean_y, "
+            f"round({cov}, 4) AS cov, round({corr}, 4) AS corr FROM a"
+        )
+
+    _ms_pairs = [
+        ("user_id", "user_id", "sx", "sx", "pxx", "pxx", "pxx"),
+        ("user_id", "e97", "sx", "sy", "pxy", "pxx", "pyy"),
+        ("user_id", "e7", "sx", "sz", "pxz", "pxx", "pzz"),
+        ("e97", "e97", "sy", "sy", "pyy", "pyy", "pyy"),
+        ("e97", "e7", "sy", "sz", "pyz", "pyy", "pzz"),
+        ("e7", "e7", "sz", "sz", "pzz", "pzz", "pzz"),
+    ]
+    o["agg_matrix"] = """
+WITH b AS (
+  SELECT user_id AS x, event_id % 97 AS y, event_id % 7 AS z FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+),
+a AS (
+  SELECT count(*)::DOUBLE AS n, count(*)::BIGINT AS cnt,
+         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy, sum(z::HUGEINT) AS sz,
+         sum(x::HUGEINT * x::HUGEINT) AS pxx,
+         sum(x::HUGEINT * y::HUGEINT) AS pxy,
+         sum(x::HUGEINT * z::HUGEINT) AS pxz,
+         sum(y::HUGEINT * y::HUGEINT) AS pyy,
+         sum(y::HUGEINT * z::HUGEINT) AS pyz,
+         sum(z::HUGEINT * z::HUGEINT) AS pzz
+  FROM b
+)
+""" + "\nUNION ALL\n".join(_ms_row(*t) for t in _ms_pairs)
+
+    # auto_date_histogram: interval 86400000 (1 day) is the ladder pick
+    # RECORDED for the sf0.01 events span (30 days / buckets=30);
+    # regenerate if testdata changes. Keys = UTC-aligned interval
+    # multiples (epoch-us floor), identical integer math both engines.
+    o["agg_autodh"] = """
+SELECT ((epoch_us(ts) - ((epoch_us(ts) % 86400000000)
+                         + 86400000000) % 86400000000) // 1000)::BIGINT AS key_ms,
+       count(*)::BIGINT AS doc_count,
+       86400000::BIGINT AS interval_ms
+FROM events WHERE ts IS NOT NULL
+GROUP BY 1
 """
 
     # bucket pipeline: terms buckets -> computed ratio (round 4) ->

@@ -164,6 +164,19 @@ class Weather:
             self.probes.append(p)
             self.best = min(self.best, p)
 
+    def probe_clean(self, spark: SparkSession) -> tuple[float, bool]:
+        """One probe, recorded; True if the host looks healthy RIGHT
+        NOW (<= DEGRADE x best-known). Used to bracket a timed run:
+        pre-gate via await_healthy, post-check via probe_clean — a
+        storm that arrives MID-RUN shows in the post probe even though
+        the pre-probe passed (observed r6: a 217 s build between two
+        <3.2 s probes; the phases flip on a ~1-10 min timescale, i.e.
+        inside one run)."""
+        p = cpu_probe(spark)
+        self.probes.append(p)
+        self.best = min(self.best, p)
+        return p, p <= self.DEGRADE * self.best
+
     def disclose(self, result: dict) -> None:
         result["host_cpu_probe_sec"] = [round(p, 3) for p in self.probes]
         result["degraded_wait_sec"] = self.waited
@@ -257,16 +270,30 @@ def main() -> None:
         bench_t0 = time.time()
         wall_budget = int(os.environ.get("BENCH_WALL_BUDGET_SEC", "2700"))
         index_build_job(spark, corpus_path, os.path.join(tmp, "idx_warm"))
-        b_runs = []
+        # Each timed run is BRACKETED by weather probes: the pre-probe
+        # gates entry (await_healthy), the post-probe detects a storm
+        # that arrived mid-run (the failure mode a pre-gate alone
+        # can't see — r6 recorded a 217 s outlier between two clean
+        # probes). The headline median is over storm-free runs when at
+        # least 2 exist; ALL raw runs + the clean subset are disclosed,
+        # so nothing is hidden — the exclusion criterion is the
+        # INDEPENDENT probe measurement, never the run's own time.
+        b_runs: list[float] = []
+        b_clean: list[float] = []
         for r in range(BUILD_RUNS):
             weather.await_healthy(spark)
             out_dir = os.path.join(tmp, f"idx_hi{r}")
-            b_runs.append(index_build_job(spark, corpus_path, out_dir))
+            t = index_build_job(spark, corpus_path, out_dir)
             # free the timed run's output immediately: tmpfs pages are
             # RAM, and holding BUILD_RUNS index copies makes later runs
             # compete with the heap (a ~1 GB/run creep measured r6)
             shutil.rmtree(out_dir, ignore_errors=True)
-        b_hi = statistics.median(b_runs)
+            _, post_ok = weather.probe_clean(spark)
+            b_runs.append(t)
+            if post_ok:
+                b_clean.append(t)
+        basis = b_clean if len(b_clean) >= 2 else b_runs
+        b_hi = statistics.median(basis)
         tput_hi = BENCH_DOCS / b_hi
         result["index_build"] = {
             "docs": BENCH_DOCS,
@@ -274,6 +301,8 @@ def main() -> None:
             "build_sec": round(b_hi, 2),
             "docs_per_sec": round(tput_hi, 1),
             "run_spread_sec": [round(s, 2) for s in sorted(b_runs)],
+            "storm_free_runs_sec": [round(s, 2) for s in sorted(b_clean)],
+            "median_basis": "storm_free" if basis is b_clean else "all_runs",
         }
 
         # ---- headline queries at sf_dir (default-config session: the
@@ -338,6 +367,9 @@ def main() -> None:
                     round(load_before_xl, 2),
                     round(os.getloadavg()[0], 2),
                 ],
+                # post-run weather probe: False = a storm arrived
+                # mid-run and this single-run number measured it
+                "storm_free": weather.probe_clean(spark)[1],
             }
             shutil.rmtree(os.path.join(tmp, "idx_xl"), ignore_errors=True)
             shutil.rmtree(xl_corpus, ignore_errors=True)

@@ -571,6 +571,130 @@ def bucket_sort(
     return out.orderBy("_rn").drop("_rn")
 
 
+def matrix_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ES ``matrix_stats`` agg: pairwise covariance/correlation over
+    numeric fields. One row per unordered pair (field_x <= field_y,
+    diagonal included): (field_x, field_y, count, mean_x, mean_y, cov,
+    corr) — sample covariance (n-1 denominator, ES MatrixStatsResults),
+    diagonal corr = 1 by construction.
+
+    ES streams Welford-style moments (merge-order-dependent doubles);
+    here every input to the final expressions is an EXACT decimal sum
+    (the extended_stats discipline): k sums + k squares + k(k-1)/2
+    cross-products, ALL on one one-row partial agg — a 100 TB scan
+    reduces map-side to a single row of exact integers, then the
+    covariance matrix is driver-free pure arithmetic. Exactness holds
+    for integral columns (cast decimal(38,0)); ES drops docs missing
+    any field, mirrored by the all-non-null filter."""
+    if len(cols) < 2:
+        raise ValueError("matrix_stats needs at least 2 columns")
+    base = df
+    for c in cols:
+        base = base.where(F.col(c).isNotNull())
+    dec = {c: F.col(c).cast("decimal(38,0)") for c in cols}
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(dec[c]).alias(f"_s{i}"))
+    for i in range(len(cols)):
+        for j in range(i, len(cols)):
+            aggs.append(F.sum(dec[cols[i]] * dec[cols[j]]).alias(f"_p{i}_{j}"))
+    g = base.agg(*aggs)
+
+    n = F.col("_n").cast("double")
+
+    def _mean(i: int) -> Column:
+        return F.col(f"_s{i}").cast("double") / n
+
+    def _cov(i: int, j: int) -> Column:
+        # ((Sxy) - (Sx * Sy) / n) / (n - 1): pinned op order, every
+        # operand an exact-decimal-to-double conversion
+        return (
+            F.col(f"_p{i}_{j}").cast("double")
+            - (F.col(f"_s{i}").cast("double") * F.col(f"_s{j}").cast("double")) / n
+        ) / (n - F.lit(1.0))
+
+    rows = []
+    for i in range(len(cols)):
+        for j in range(i, len(cols)):
+            corr = (
+                F.lit(1.0)
+                if i == j
+                else _cov(i, j) / F.sqrt(_cov(i, i) * _cov(j, j))
+            )
+            rows.append(
+                F.struct(
+                    F.lit(cols[i]).alias("field_x"),
+                    F.lit(cols[j]).alias("field_y"),
+                    F.col("_n").cast("long").alias("count"),
+                    F.round(_mean(i), 4).alias("mean_x"),
+                    F.round(_mean(j), 4).alias("mean_y"),
+                    F.round(_cov(i, j), 4).alias("cov"),
+                    F.round(corr, 4).alias("corr"),
+                )
+            )
+    pairs = F.explode(F.array(*rows)).alias("p")
+    return g.select(pairs).select(
+        "p.field_x", "p.field_y", "p.count", "p.mean_x", "p.mean_y",
+        "p.cov", "p.corr",
+    )
+
+
+# ES auto_date_histogram rounding ladder (seconds..years, the
+# published interval progression), in ms
+AUTO_DH_LADDER_MS = [
+    1_000, 5_000, 10_000, 30_000,
+    60_000, 300_000, 600_000, 1_800_000,
+    3_600_000, 3 * 3_600_000, 12 * 3_600_000,
+    86_400_000, 7 * 86_400_000, 30 * 86_400_000,
+    90 * 86_400_000, 365 * 86_400_000,
+]
+
+
+def auto_date_histogram(
+    df: DataFrame, ts_col: str, buckets: int = 10
+) -> DataFrame:
+    """ES ``auto_date_histogram``: pick the smallest ladder interval
+    whose UTC-aligned bucket span fits in ``buckets``, then one
+    groupBy. (key_ms, doc_count, interval_ms), keys = epoch-floor
+    multiples of the chosen interval (ES rounds to interval
+    boundaries, not to the data min).
+
+    The min/max probe is the D1 one-job aggregate (two scalars to the
+    driver — the same collect the reference's date slicer starts
+    with); the histogram itself is one partial-aggregatable groupBy of
+    a pure column key. Returns an empty frame (correct schema) for an
+    empty/all-null input."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    ts = F.col(ts_col).cast("timestamp")
+    row = df.agg(
+        F.min(F.unix_micros(ts)).alias("mn"), F.max(F.unix_micros(ts)).alias("mx")
+    ).collect()[0]
+    out_schema = "key_ms long, doc_count long, interval_ms long"
+    if row["mn"] is None:
+        return df.sparkSession.createDataFrame([], out_schema)
+    mn_ms, mx_ms = row["mn"] // 1000, row["mx"] // 1000
+    interval = AUTO_DH_LADDER_MS[-1]
+    for i in AUTO_DH_LADDER_MS:
+        if (mx_ms // i) - (mn_ms // i) + 1 <= buckets:
+            interval = i
+            break
+    # integer bucket math: us - pmod(us, interval_us) is an exact
+    # multiple of the interval (double-exact below 2^53), so the /1000
+    # is an exact integer quotient — no floor-misround risk at
+    # epoch-microsecond magnitudes, and pmod keeps pre-1970 keys
+    # floor-aligned too
+    us = F.unix_micros(ts)
+    m = F.lit(interval * 1000)
+    key = ((us - F.pmod(us, m)) / F.lit(1000)).cast("long")
+    return (
+        df.where(ts.isNotNull())
+        .groupBy(key.alias("key_ms"))
+        .agg(F.count("*").alias("doc_count"))
+        .withColumn("interval_ms", F.lit(interval).cast("long"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # significant_terms
 # ---------------------------------------------------------------------------

@@ -422,3 +422,79 @@ def test_bucket_sort_topn_and_page(spark, bucket_frame):
         bucket_frame, [("doc_count", "asc")], size=None, from_=2
     ).collect()
     assert [r["key"] for r in out] == ["c", "b"]
+
+
+# ---------------------------------------------------------------------------
+# matrix_stats / auto_date_histogram
+# ---------------------------------------------------------------------------
+
+
+def test_matrix_stats_brute_force(spark):
+    import statistics as st
+
+    rows = [(i, (i * 7) % 23, (i * i) % 31) for i in range(40)]
+    rows += [(None, 1, 1), (1, None, 1)]  # dropped: missing a field
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    out = {
+        (r["field_x"], r["field_y"]): r
+        for r in aggs.matrix_stats(df, ["x", "y", "z"]).collect()
+    }
+    xs = [r for r in rows if None not in r]
+    cols = {"x": [r[0] for r in xs], "y": [r[1] for r in xs], "z": [r[2] for r in xs]}
+    assert len(out) == 6  # 3 diagonal + 3 pairs
+    for (a, b), r in out.items():
+        assert r["count"] == 40
+        assert r["mean_x"] == round(st.mean(cols[a]), 4)
+        assert r["mean_y"] == round(st.mean(cols[b]), 4)
+        cov = st.covariance(cols[a], cols[b])
+        assert r["cov"] == pytest.approx(round(cov, 4), abs=2e-4), (a, b)
+        if a == b:
+            assert r["corr"] == 1.0
+        else:
+            corr = st.correlation(cols[a], cols[b])
+            assert r["corr"] == pytest.approx(round(corr, 4), abs=2e-4), (a, b)
+
+
+def test_matrix_stats_validates(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError):
+        aggs.matrix_stats(df, ["x"])
+
+
+def test_auto_date_histogram_ladder_and_counts(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(minutes=i),) for i in range(0, 300, 7)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = aggs.auto_date_histogram(df, "ts", buckets=6).collect()
+    assert out, "no buckets"
+    interval = out[0]["interval_ms"]
+    # ~5h span / 6 buckets -> the 1h rung (3h gives 2-3, 30m gives 11)
+    assert interval == 3_600_000
+    assert len(out) <= 6
+    # keys are UTC-aligned interval multiples and counts conserve rows
+    assert all(r["key_ms"] % interval == 0 for r in out)
+    assert sum(r["doc_count"] for r in out) == len(rows)
+    # brute-force bucket equality
+    from collections import Counter
+
+    want = Counter(
+        (int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1000) // interval)
+        * interval
+        for (t,) in rows
+    )
+    assert {r["key_ms"]: r["doc_count"] for r in out} == dict(want)
+
+
+def test_auto_date_histogram_single_and_empty(spark):
+    import datetime as dt
+
+    one = spark.createDataFrame([(dt.datetime(2024, 3, 5, 12, 0, 1),)], "ts timestamp")
+    out = aggs.auto_date_histogram(one, "ts", buckets=3).collect()
+    assert len(out) == 1 and out[0]["doc_count"] == 1
+    assert out[0]["interval_ms"] == aggs.AUTO_DH_LADDER_MS[0]  # smallest rung
+    empty = spark.createDataFrame([], "ts timestamp")
+    assert aggs.auto_date_histogram(empty, "ts", buckets=3).count() == 0
+    with pytest.raises(ValueError):
+        aggs.auto_date_histogram(one, "ts", buckets=0)
