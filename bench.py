@@ -154,15 +154,28 @@ class Weather:
         self.probes: list[float] = []
 
     def await_healthy(self, spark: SparkSession) -> None:
-        p = cpu_probe(spark)
-        self.probes.append(p)
-        self.best = min(self.best, p)
-        while p > self.DEGRADE * self.best and self.waited < self.max_wait:
-            time.sleep(20)
-            self.waited += 20
+        # require TWO consecutive clean probes ~10 s apart before
+        # entering a timed run: the storms persist on a ~1-10 min
+        # timescale, so a verified-quiet WINDOW (not instant) makes it
+        # much likelier a short run completes inside the quiet phase
+        # (r6d recorded 84/160 s runs whose single pre/post brackets
+        # both passed — the storm lived entirely inside the run)
+        streak = 0
+        while True:
             p = cpu_probe(spark)
             self.probes.append(p)
             self.best = min(self.best, p)
+            if p <= self.DEGRADE * self.best:
+                streak += 1
+                if streak >= 2:
+                    return
+            else:
+                streak = 0
+            if self.waited >= self.max_wait:
+                return  # budget exhausted: proceed regardless, disclosed
+            step = 10 if streak else 20
+            time.sleep(step)
+            self.waited += step
 
     def probe_clean(self, spark: SparkSession) -> tuple[float, bool]:
         """One probe, recorded; True if the host looks healthy RIGHT
