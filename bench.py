@@ -195,6 +195,80 @@ class Weather:
         result["degraded_wait_sec"] = self.waited
 
 
+_SIDECAR_SRC = r"""
+import sys, time
+out = sys.argv[1]
+f = open(out, "a", buffering=1)
+while True:
+    t0 = time.perf_counter()
+    b = bytearray(64 * 1024 * 1024)   # fresh pages from the host
+    for i in range(0, len(b), 4096):
+        b[i] = 1                      # touch every page
+    d = time.perf_counter() - t0
+    f.write(f"{time.time()} {d}\n")
+    del b
+    time.sleep(3)
+"""
+
+
+class Sidecar:
+    """In-run storm detector (r6): a SEPARATE tiny Python process that
+    times a fresh-page allocation sweep every ~3 s for the whole bench.
+    The hypervisor storms stall host-side page management (BASELINE.md
+    §i), which this canary shares with the JVM — so a storm that lives
+    entirely INSIDE a timed run (invisible to pre/post probe brackets;
+    r6 recorded 60-170 s builds passing both brackets) shows up as slow
+    canary samples inside the run's wall window. Cost: one thread
+    touching 64 MB every 3 s (~0.1 % of 32 cores). If the mechanism
+    ever fails to trip, window_clean returns True and the bench
+    degrades to the bracket-only behavior — never worse, disclosed
+    either way."""
+
+    FACTOR = float(os.environ.get("BENCH_SIDECAR_FACTOR", "2.5"))
+
+    def __init__(self, tmp: str) -> None:
+        import subprocess
+
+        self.path = os.path.join(tmp, "sidecar.log")
+        self.proc = subprocess.Popen(
+            [sys.executable, "-c", _SIDECAR_SRC, self.path],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+
+    def _samples(self) -> list[tuple[float, float]]:
+        try:
+            with open(self.path) as f:
+                return [
+                    (float(a), float(b))
+                    for a, b in (l.split() for l in f if l.strip())
+                ]
+        except OSError:
+            return []
+
+    def window_clean(self, t0: float, t1: float) -> tuple[bool, float | None]:
+        """(clean, worst_ratio) for the wall window [t0, t1]: clean iff
+        no canary sample inside it exceeds FACTOR x the bench-wide p10
+        baseline (p10 = healthy floor that a mostly-stormy bench can't
+        inflate)."""
+        s = self._samples()
+        if len(s) < 5:
+            return True, None
+        durs = sorted(d for _, d in s)
+        base = max(durs[len(durs) // 10], 1e-4)
+        win = [d for ts, d in s if t0 <= ts <= t1]
+        if not win:
+            return True, None
+        worst = max(win) / base
+        return worst <= self.FACTOR, round(worst, 2)
+
+    def stop(self) -> None:
+        try:
+            self.proc.kill()
+        except OSError:
+            pass
+
+
 def index_build_job(spark: SparkSession, corpus_path: str, out_path: str) -> float:
     """The benchmarked job: read corpus parquet -> full inverted-index
     build -> persist. Returns wall seconds."""
@@ -291,19 +365,33 @@ def main() -> None:
         # least 2 exist; ALL raw runs + the clean subset are disclosed,
         # so nothing is hidden — the exclusion criterion is the
         # INDEPENDENT probe measurement, never the run's own time.
+        sidecar = Sidecar(tmp)
         b_runs: list[float] = []
-        b_clean: list[float] = []
+        b_windows: list[tuple[float, float]] = []
+        b_post_ok: list[bool] = []
         for r in range(BUILD_RUNS):
             weather.await_healthy(spark)
             out_dir = os.path.join(tmp, f"idx_hi{r}")
+            w0 = time.time()
             t = index_build_job(spark, corpus_path, out_dir)
+            w1 = time.time()
             # free the timed run's output immediately: tmpfs pages are
             # RAM, and holding BUILD_RUNS index copies makes later runs
             # compete with the heap (a ~1 GB/run creep measured r6)
             shutil.rmtree(out_dir, ignore_errors=True)
             _, post_ok = weather.probe_clean(spark)
             b_runs.append(t)
-            if post_ok:
+            b_windows.append((w0, w1))
+            b_post_ok.append(post_ok)
+        # cleanliness = bracket post-probe AND no in-run sidecar storm
+        # (evaluated AFTER all runs so the canary baseline covers the
+        # whole block)
+        b_clean = []
+        b_ratios = []
+        for t, (w0, w1), post_ok in zip(b_runs, b_windows, b_post_ok):
+            in_run_clean, ratio = sidecar.window_clean(w0, w1)
+            b_ratios.append(ratio)
+            if post_ok and in_run_clean:
                 b_clean.append(t)
         basis = b_clean if len(b_clean) >= 2 else b_runs
         b_hi = statistics.median(basis)
@@ -315,6 +403,7 @@ def main() -> None:
             "docs_per_sec": round(tput_hi, 1),
             "run_spread_sec": [round(s, 2) for s in sorted(b_runs)],
             "storm_free_runs_sec": [round(s, 2) for s in sorted(b_clean)],
+            "sidecar_worst_ratio_per_run": b_ratios,
             "median_basis": "storm_free" if basis is b_clean else "all_runs",
         }
 
@@ -368,7 +457,9 @@ def main() -> None:
             ).write.mode("overwrite").parquet(xl_corpus)
             weather.await_healthy(spark)
             load_before_xl = os.getloadavg()[0]
+            xl_w0 = time.time()
             xl_sec = index_build_job(spark, xl_corpus, os.path.join(tmp, "idx_xl"))
+            xl_w1 = time.time()
             result["xl_build"] = {
                 "docs": XL_DOCS,
                 "cpus": CPUS_HI,
@@ -380,9 +471,11 @@ def main() -> None:
                     round(load_before_xl, 2),
                     round(os.getloadavg()[0], 2),
                 ],
-                # post-run weather probe: False = a storm arrived
-                # mid-run and this single-run number measured it
-                "storm_free": weather.probe_clean(spark)[1],
+                # post-run probe AND in-run sidecar: False = a storm
+                # overlapped this single-run number
+                "storm_free": weather.probe_clean(spark)[1]
+                and sidecar.window_clean(xl_w0, xl_w1)[0],
+                "sidecar_worst_ratio": sidecar.window_clean(xl_w0, xl_w1)[1],
             }
             shutil.rmtree(os.path.join(tmp, "idx_xl"), ignore_errors=True)
             shutil.rmtree(xl_corpus, ignore_errors=True)
@@ -457,6 +550,10 @@ def main() -> None:
         )
         print(json.dumps(result))
     finally:
+        try:
+            sidecar.stop()
+        except NameError:
+            pass
         shutil.rmtree(tmp, ignore_errors=True)
         if shm_ok:
             shutil.rmtree(shm_base, ignore_errors=True)
