@@ -42,7 +42,7 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -71,6 +71,12 @@ class IndexTables:
     # range-partitioned by rev so the scan prunes to 1-2 files.
     terms_rev: DataFrame | None = None  # rev, term, df
     _cached: tuple = ()
+    # driver-side dictionary cache: term -> df (0 = known-absent).
+    # Lucene keeps the terms dictionary in memory for exactly this
+    # reason — query planning needs df without a cluster job. Filled
+    # lazily by query.exec.term_dfs with only the QUERIED terms
+    # (bounded there), so it never materializes the full dictionary.
+    _df_cache: dict = field(default_factory=dict)
 
     def unpersist(self) -> None:
         for df in self._cached:

@@ -71,22 +71,50 @@ def dis_max_query(
     if not all_terms:
         return phrase_empty(index).select("doc_id", "score")
     cand = _candidates(index, all_terms)
-    dfm = _df_map(index, all_terms)
-    contrib = cand.join(F.broadcast(dfm), "term").withColumn(
-        "contrib",
-        score_contrib_col(
-            F.col("tf").cast("double"),
-            F.col("dl").cast("double"),
-            F.col("df").cast("double"),
-            index.n_docs,
-            index.avg_dl,
-        ),
-    )
-    aggs = [
-        F.sum(F.when(F.col("term") == t, F.col("contrib"))).alias(f"_c{i}")
-        for i, t in enumerate(all_terms)
-    ]
-    g = contrib.groupBy("doc_id").agg(*aggs)
+    if len(all_terms) <= 32:
+        # dfs as driver-side literals (r7, the scored_terms shape): no
+        # per-query broadcast build; idf constant-folds per term.
+        # Dictionary-absent terms have no postings rows — their sum is
+        # NULL either way, the coalesce below keeps the fold exact.
+        from elasticsearch_assets_spark.query.exec import term_dfs
+
+        dfs = term_dfs(index, all_terms)
+
+        def _contrib(t):
+            return score_contrib_col(
+                F.col("tf").cast("double"),
+                F.col("dl").cast("double"),
+                F.lit(float(dfs[t])),
+                index.n_docs,
+                index.avg_dl,
+            )
+
+        aggs = [
+            F.sum(
+                F.when(F.col("term") == t, _contrib(t))
+                if t in dfs
+                else F.lit(None).cast("double")
+            ).alias(f"_c{i}")
+            for i, t in enumerate(all_terms)
+        ]
+        g = cand.groupBy("doc_id").agg(*aggs)
+    else:
+        dfm = _df_map(index, all_terms)
+        contrib = cand.join(F.broadcast(dfm), "term").withColumn(
+            "contrib",
+            score_contrib_col(
+                F.col("tf").cast("double"),
+                F.col("dl").cast("double"),
+                F.col("df").cast("double"),
+                index.n_docs,
+                index.avg_dl,
+            ),
+        )
+        aggs = [
+            F.sum(F.when(F.col("term") == t, F.col("contrib"))).alias(f"_c{i}")
+            for i, t in enumerate(all_terms)
+        ]
+        g = contrib.groupBy("doc_id").agg(*aggs)
     col_of = {t: F.col(f"_c{all_terms.index(t)}") for t in all_terms}
 
     sub_scores: list[Column] = []
@@ -235,7 +263,9 @@ def match_phrase_prefix(
         return phrase_empty(index)
 
     uniq = sorted(set(fixed))
-    dfs = {r["term"]: int(r["df"]) for r in _df_map(index, uniq).collect()}
+    from elasticsearch_assets_spark.query.exec import term_dfs
+
+    dfs = term_dfs(index, uniq)
     if len(dfs) < len(uniq):
         return phrase_empty(index)
     has_dl = "dl" in index.positions.columns

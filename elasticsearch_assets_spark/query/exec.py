@@ -59,25 +59,37 @@ def _df_map(index: IndexTables, terms: list[str]) -> DataFrame:
     return index.terms.where(F.col("term").isin(terms))
 
 
+# bound on the driver-side (term -> df) dictionary cache: at ~50 B/entry
+# this is a few MB — the Lucene-terms-dict-in-RAM equivalent. Cleared
+# wholesale when exceeded (queried-term working sets are tiny; an LRU
+# would be ceremony).
+_DF_CACHE_MAX = 65536
+
+
+def term_dfs(index: IndexTables, terms: list[str]) -> dict[str, int]:
+    """Driver-side df lookup for the query's terms, cached on the index
+    (r7: one tiny dictionary job per FIRST sighting of a term instead of
+    a broadcast-build job in every query). Returns entries only for
+    dictionary-PRESENT terms; absent terms are cached as 0 so repeated
+    queries for them stay job-free."""
+    cache = index._df_cache
+    missing = [t for t in terms if t not in cache]
+    if missing:
+        if len(cache) + len(missing) > _DF_CACHE_MAX:
+            cache.clear()
+        for t in missing:
+            cache[t] = 0
+        for r in _df_map(index, missing).collect():
+            cache[r["term"]] = int(r["df"])
+    return {t: cache[t] for t in terms if cache[t] > 0}
+
+
 def scored_terms(
     index: IndexTables, terms: list[str], k1: float = K1, b: float = B
 ) -> DataFrame:
     """Per-doc summed BM25 over the given terms → (doc_id, score,
     n_matched). Basis for match/should (OR) and must (AND)."""
     cand = _candidates(index, terms)
-    dfm = _df_map(index, terms)
-    contrib = cand.join(F.broadcast(dfm), "term").withColumn(
-        "contrib",
-        score_contrib_col(
-            F.col("tf").cast("double"),
-            F.col("dl").cast("double"),
-            F.col("df").cast("double"),
-            index.n_docs,
-            index.avg_dl,
-            k1,
-            b,
-        ),
-    )
     # Deterministic float association: contributions are summed in
     # term-sorted order (matches the oracle bit-for-bit; a plain
     # groupBy().sum() sums in shuffle-arrival order and near-ties then
@@ -95,27 +107,76 @@ def scored_terms(
     # row once — both paths must agree for ANY input list)
     terms_sorted = sorted(set(terms))
     if len(terms_sorted) <= 32:
+        # dfs as driver-side literals (r7, same trick phrase_query has
+        # used since r5): the per-query BroadcastExchange of the tiny
+        # (term, df) frame — a broadcast-BUILD job on every invocation —
+        # is gone; the idf factor constant-folds per term. The ln() and
+        # every float op stay JVM-side, so contributions are
+        # bit-identical to the joined-df form.
+        dfs = term_dfs(index, terms_sorted)
+
+        def _contrib(t):
+            return score_contrib_col(
+                F.col("tf").cast("double"),
+                F.col("dl").cast("double"),
+                F.lit(float(dfs[t])),
+                index.n_docs,
+                index.avg_dl,
+                k1,
+                b,
+            )
+
+        # dictionary-absent terms have no postings rows (the former
+        # dfm join dropped nothing: every postings term has a
+        # dictionary row by construction) — they get no conditional
+        # sum, and skipping their +coalesce(NULL, 0.0) leaves the
+        # running score bit-identical (x + 0.0 == x, IEEE-exact for
+        # the non-negative contributions).
+        present = [t for t in terms_sorted if t in dfs]
+        if not present:
+            return (
+                cand.select("doc_id")
+                .withColumn("n_matched", F.lit(0).cast("bigint"))
+                .withColumn("dl", F.lit(0).cast("int"))
+                .withColumn("score", F.lit(0.0))
+                .limit(0)
+            )
         aggs = [
-            F.sum(F.when(F.col("term") == t, F.col("contrib"))).alias(f"_c{i}")
-            for i, t in enumerate(terms_sorted)
+            F.sum(F.when(F.col("term") == t, _contrib(t))).alias(f"_c{i}")
+            for i, t in enumerate(present)
         ]
-        g = contrib.groupBy("doc_id").agg(
+        g = cand.groupBy("doc_id").agg(
             *aggs, F.count("*").alias("n_matched"), F.first("dl").alias("dl")
         )
-        # Absent terms contribute coalesce(NULL, 0.0): x + 0.0 == x is
-        # IEEE-exact for the non-negative BM25 contributions, so the
-        # running value is bit-identical to a fold that skips absent
-        # terms outright — while keeping the expression tree LINEAR in
-        # the term count. (The previous when(c.isNotNull(), score + c)
-        # .otherwise(score) chain referenced `score` twice per level:
-        # a 2^n-node tree that stalled Column->Expression conversion
-        # beyond ~20 terms, e.g. a 25-term more_like_this.)
+        # Per-doc-absent terms contribute coalesce(NULL, 0.0): x + 0.0
+        # == x is IEEE-exact, so the running value is bit-identical to
+        # a fold that skips absent terms outright — while keeping the
+        # expression tree LINEAR in the term count. (A when(c.isNotNull
+        # (), score + c).otherwise(score) chain references `score`
+        # twice per level: a 2^n-node tree that stalled
+        # Column->Expression conversion beyond ~20 terms.)
         score = F.lit(0.0)
-        for i in range(len(terms_sorted)):
+        for i in range(len(present)):
             score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
         return g.withColumn("score", score).drop(
-            *[f"_c{i}" for i in range(len(terms_sorted))]
+            *[f"_c{i}" for i in range(len(present))]
         )
+    # >32 terms (wide expansions): broadcast the (term, df) frame and
+    # fold an array of per-term contributions — codegen can't absorb a
+    # 100-branch conditional-sum chain (see r5 notes).
+    dfm = _df_map(index, terms_sorted)
+    contrib = cand.join(F.broadcast(dfm), "term").withColumn(
+        "contrib",
+        score_contrib_col(
+            F.col("tf").cast("double"),
+            F.col("dl").cast("double"),
+            F.col("df").cast("double"),
+            index.n_docs,
+            index.avg_dl,
+            k1,
+            b,
+        ),
+    )
     return (
         contrib.groupBy("doc_id")
         .agg(
@@ -131,10 +192,26 @@ def scored_terms(
     )
 
 
+# "give me every match" k: by repo convention callers pass 2**31 - 1
+# (Int.MaxValue) when they want the full result set and re-rank on a
+# ROUNDED score themselves (the cross-engine determinism protocol).
+ALL_MATCHES = 2**31 - 1
+
+
 def top_k(scored: DataFrame, k: int) -> DataFrame:
     """ES tie-break: score desc, doc_id asc. Spark compiles
     orderBy+limit to TakeOrderedAndProject — per-partition heaps, no
-    global sort."""
+    global sort.
+
+    k >= ALL_MATCHES returns the scored frame UNSORTED (r7): the limit
+    is a no-op at that k, and the huge-k OOM guard
+    (topKSortFallbackThreshold, session.py) would otherwise compile the
+    pointless ordering into a full rangepartition exchange + global
+    sort — measured as a range-sampling job plus a sort of every scored
+    row inside e.g. ft_phrase / ft_bool_must_not, whose entry callers
+    immediately re-sort by the rounded score anyway."""
+    if k >= ALL_MATCHES:
+        return scored
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -626,7 +703,7 @@ def _conjunction_docset(
     plan. The df lookup is an O(#query-terms) dictionary probe."""
     uniq = sorted(set(terms))
     if dfs is None:
-        dfs = {r["term"]: int(r["df"]) for r in _df_map(index, uniq).collect()}
+        dfs = term_dfs(index, uniq)
     if len(dfs) < len(uniq):
         # dictionary-missing term: the conjunction is provably empty
         return index.postings.select("doc_id").where(F.lit(False))
@@ -765,7 +842,7 @@ def phrase_query(
     if index.positions is None:
         raise ValueError("index was built with keep_positions=False")
     uniq = sorted(set(terms))
-    dfs = {r["term"]: int(r["df"]) for r in _df_map(index, uniq).collect()}
+    dfs = term_dfs(index, uniq)
     if len(dfs) < len(uniq):
         # a dictionary-missing term can never form the phrase
         return phrase_empty(index)

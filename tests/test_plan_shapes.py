@@ -61,9 +61,24 @@ def test_projection_pruning(disk_index):
     assert "content" not in read_schema
 
 
-def test_df_map_broadcast(disk_index):
-    # the (term, df) side of the scoring join must broadcast
+def test_df_literal_scoring_no_join(disk_index):
+    # r7: for short term lists the (term, df) lookup is a driver-side
+    # dictionary probe injected as literals — NO join in the scoring
+    # plan (idf constant-folds), and the only exchange is the per-doc
+    # score combine
     plan = _plan(qx.match_query(disk_index, "merge batch", k=5))
+    assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan, plan
+    assert "Exchange hashpartitioning(doc_id" in plan, plan
+
+
+def test_df_map_broadcast_wide_fallback(disk_index):
+    # >32-term expansions keep the broadcast-join + array-fold path
+    # (a 100-branch conditional-sum chain stalls codegen)
+    terms = sorted(
+        {r["term"] for r in disk_index.terms.limit(40).collect()}
+    )[:40]
+    assert len(terms) > 32
+    plan = _plan(qx.terms_query(disk_index, terms, k=5))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
 
 
@@ -439,12 +454,17 @@ def test_wildcard_shapes_parity_and_pushdown(disk_index):
 
 
 def test_topk_huge_k_avoids_takeordered(disk_index):
-    # the OOM guard: TakeOrderedAndProject pre-allocates a 2k-element
-    # buffer PER TASK (Guava TopKSelector), so "give me everything"
-    # k must fall back to sort+GlobalLimit
-    # (session topKSortFallbackThreshold) — k=10 stays on the heap path
+    # the OOM guard, layered (r7): "give me everything" k now skips the
+    # ordering entirely in top_k (the entries re-rank on the rounded
+    # score, so the inner global sort was pure waste — and a
+    # TakeOrderedAndProject at that k would pre-allocate a 2k-element
+    # buffer PER TASK, Guava TopKSelector). No TakeOrdered AND no
+    # rangepartition Sort may appear; k=10 stays on the heap path. The
+    # session topKSortFallbackThreshold stays as the backstop for any
+    # direct orderBy+limit(huge) a caller writes.
     plan = _plan(qx.match_query(disk_index, "merge", k=2**31 - 1))
     assert "TakeOrderedAndProject" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
     plan = _plan(qx.match_query(disk_index, "merge", k=10))
     assert "TakeOrderedAndProject" in plan, plan
 
