@@ -440,10 +440,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         depth=1,
     )
 
+    # group on the 4-byte DATE key, stringify AFTER the aggregation
+    # (r7): the per-row string render used to be the grouping key —
+    # hashing+exchanging ~11-char strings for every event row instead
+    # of ints. Same rows out (strftime of the same truncated day).
     q["ev_date_histogram"] = lambda s, d: (
         _t(s, d, "events")
-        .groupBy(F.date_trunc("day", "ts").cast("date").cast("string").alias("day"))
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("_day"))
         .agg(F.count("*").alias("count"))
+        .select(F.col("_day").cast("string").alias("day"), "count")
     )
 
     def ev_track_total(s, d):
@@ -679,8 +684,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ev_geo_box"] = ev_geo_box
 
     def ev_geo_distance(s, d):
+        # sort=None (r7): the gate hash is order-insensitive and the
+        # oracle has no ORDER BY — the default _geo_distance sort paid
+        # a rangepartition exchange + sampling job for nothing here.
+        # The SORTED operator is value-checked by ev_geo_sorted.
         g = _ev_geo(_t(s, d, "events"))
-        out = reader.geo_distance(g, "lat", "lon", (40.0, -60.0), 3000.0, "km")
+        out = reader.geo_distance(
+            g, "lat", "lon", (40.0, -60.0), 3000.0, "km", sort=None
+        )
         return out.select("event_id", F.round(F.col("_distance_m") / 1000.0, 3).alias("dist_km"))
 
     q["ev_geo_distance"] = ev_geo_distance

@@ -532,14 +532,22 @@ def geo_distance(
     point: tuple[float, float],
     distance: float,
     unit: str = "m",
-    sort: str = "asc",
+    sort: str | None = "asc",
 ) -> DataFrame:
     """Q8+Q9: haversine ≤ distance, sorted by distance (the reference
-    always attaches a _geo_distance sort — utils.ts:231-247)."""
+    always attaches a _geo_distance sort — utils.ts:231-247).
+
+    sort=None skips the global sort (r7): set-semantics consumers (the
+    fetch path feeding a downstream shuffle, count queries) otherwise
+    pay a rangepartition exchange + range-sampling job for an ordering
+    the next operator destroys. The sorted variant stays the default
+    (reference parity)."""
     plat, plon = point
     d = haversine_m(F.lit(plat), F.lit(plon), F.col(lat_col), F.col(lon_col))
     out = df.withColumn("_distance_m", d).where(
         F.col("_distance_m") <= distance * UNIT_M[unit]
     )
+    if sort is None:
+        return out
     order = F.col("_distance_m").asc() if sort == "asc" else F.col("_distance_m").desc()
     return out.orderBy(order)

@@ -44,10 +44,27 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact brute-force cosine top-k: (id, cosine), ties → id asc."""
+    """Exact brute-force cosine top-k: (id, cosine), ties → id asc.
+
+    The query norm is folded driver-side and injected as a literal
+    (r7): ||q|| is constant across rows, yet as a column expression it
+    re-ran a zip_with + fold over the 64-element literal array for
+    EVERY row (HOFs are not constant-folded). The Python fold below is
+    the identical IEEE op sequence (left-to-right acc += x*x on
+    doubles, correctly-rounded sqrt), so the injected literal is
+    bit-identical to the per-row JVM fold it replaces."""
+    import math
+
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    acc = 0.0
+    for x in query_vec:
+        acc += float(x) * float(x)
+    nq = math.sqrt(acc)
     scored = emb.select(
-        F.col(id_col), cosine_col(F.col(vec_col), q).alias("cosine")
+        F.col(id_col),
+        (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(nq))).alias(
+            "cosine"
+        ),
     )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 

@@ -569,17 +569,19 @@ def scored_expansion(index: IndexTables, hits: DataFrame) -> DataFrame:
     bucket-pruned scored_terms; large ones stay distributed: postings
     semi-joined on (bucket, term), df joined from the hits themselves.
     Deterministic: per-doc contributions fold in term-sorted order."""
-    n = hits.limit(WILDCARD_COLLECT_THRESHOLD + 1).count()
-    if n == 0:
+    # ONE dictionary job (r7): the threshold probe is the collect
+    # itself, bounded to threshold+1 short terms (see
+    # expanded_candidates)
+    rows = hits.select("term").limit(WILDCARD_COLLECT_THRESHOLD + 1).collect()
+    if not rows:
         return (
             index.postings.select("doc_id")
             .limit(0)
             .withColumn("score", F.lit(0.0))
             .withColumn("n_matched", F.lit(0).cast("long"))
         )
-    if n <= WILDCARD_COLLECT_THRESHOLD:
-        terms = [r["term"] for r in hits.select("term").collect()]
-        return scored_terms(index, sorted(terms))
+    if len(rows) <= WILDCARD_COLLECT_THRESHOLD:
+        return scored_terms(index, sorted(r["term"] for r in rows))
     cand = _candidates_semi(index, hits)
     contrib = cand.join(hits.select("term", "df"), "term").withColumn(
         "contrib",
@@ -644,13 +646,17 @@ def _candidates_semi(index: IndexTables, hits: DataFrame) -> DataFrame:
 def expanded_candidates(index: IndexTables, hits: DataFrame) -> DataFrame:
     """Candidate postings for an expanded multi-term query (wildcard /
     regexp). Small expansions (the common case) collect and reuse the
-    statically-pruned path; large ones stay fully distributed."""
-    n = hits.limit(WILDCARD_COLLECT_THRESHOLD + 1).count()
-    if n == 0:
+    statically-pruned path; large ones stay fully distributed.
+
+    ONE dictionary job (r7): the threshold probe IS the collect —
+    limit(threshold+1) bounds the driver transfer to ≤129 short terms,
+    and only the > branch leaves the hit set distributed (the former
+    separate count job then re-collect doubled the dictionary scans)."""
+    rows = hits.select("term").limit(WILDCARD_COLLECT_THRESHOLD + 1).collect()
+    if not rows:
         return index.postings.where(F.lit(False))
-    if n <= WILDCARD_COLLECT_THRESHOLD:
-        terms = [r["term"] for r in hits.select("term").collect()]
-        return _candidates(index, terms)
+    if len(rows) <= WILDCARD_COLLECT_THRESHOLD:
+        return _candidates(index, [r["term"] for r in rows])
     return _candidates_semi(index, hits)
 
 
@@ -678,13 +684,13 @@ def wildcard_query(index: IndexTables, pattern: str, k: int = 10) -> DataFrame:
     """ES `wildcard`: constant-score filter (score = 1.0 per doc, the ES
     constant_score semantics for multi-term queries), tie-break doc_id."""
     cand = expanded_candidates(index, dict_hits(index, pattern))
-    return (
-        cand.select("doc_id")
-        .distinct()
-        .withColumn("score", F.lit(1.0))
-        .orderBy(F.asc("doc_id"))
-        .limit(k)
-    )
+    out = cand.select("doc_id").distinct().withColumn("score", F.lit(1.0))
+    if k >= ALL_MATCHES:
+        # "every match" (the planner's docset composition): the
+        # ordering is destroyed downstream and the huge-k limit is a
+        # no-op — skip the global sort (see top_k)
+        return out
+    return out.orderBy(F.asc("doc_id")).limit(k)
 
 
 def term_filter_count(index: IndexTables, terms: list[str]) -> int:

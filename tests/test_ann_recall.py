@@ -33,6 +33,25 @@ def _exact_topk(emb, qid, qv):
     return [r["vec_id"] for r in similarity.cosine_topk(base, qv, k=K).collect()]
 
 
+def test_cosine_norm_literal_bit_identity(emb, queries):
+    """r7: cosine_topk injects ||q|| as a driver-computed literal. The
+    Python fold must be BIT-identical to the per-row JVM fold it
+    replaced — pinned by comparing against the old expression over the
+    whole corpus (exact float equality, no rounding)."""
+    qid, qv = queries[0]
+    base = emb.where(F.col("vec_id") != qid)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    old = base.select(
+        "vec_id", similarity.cosine_col(F.col("embedding"), q).alias("c")
+    )
+    new = similarity.cosine_topk(base, qv, k=2**31 - 1).select(
+        "vec_id", F.col("cosine").alias("c")
+    )
+    old_m = {r["vec_id"]: r["c"] for r in old.collect()}
+    new_m = {r["vec_id"]: r["c"] for r in new.collect()}
+    assert old_m == new_m
+
+
 def test_ivf_recall_sweep(emb, queries, tmp_path_factory):
     """IVF recall@10 is monotone non-decreasing in nprobe (on average)
     and exact at full probe; nprobe=2 of 8 lists clears a 0.5 floor."""

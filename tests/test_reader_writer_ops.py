@@ -155,6 +155,16 @@ def test_geo_distance_sort(spark):
     df = spark.createDataFrame(rows, "id long, lat double, lon double")
     out = reader.geo_distance(df, "lat", "lon", (0.0, 0.0), 250, "km")
     assert [r["id"] for r in out.collect()] == [1, 3]
+    # sort=None (r7): identical row set and identical distances, no
+    # Sort/rangepartition in the plan
+    unsorted = reader.geo_distance(
+        df, "lat", "lon", (0.0, 0.0), 250, "km", sort=None
+    )
+    assert {(r["id"], r["_distance_m"]) for r in unsorted.collect()} == {
+        (r["id"], r["_distance_m"]) for r in out.collect()
+    }
+    plan = unsorted._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan and "Sort " not in plan, plan
 
 
 # ---- writer merge semantics not covered by the entry oracle -----------------
