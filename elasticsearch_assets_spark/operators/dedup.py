@@ -110,18 +110,51 @@ def minhash_signatures(
     lexicographically == numerically in both engines). md5-based so
     DuckDB reproduces it exactly. 32-bit mins are collision-safe to
     ~2^16 shingles/doc. Returns (<id>, mh_0..mh_{k-1})."""
-    sh = shingles(df, text_col, id_col, n)
-    aggs = [
-        F.min(
-            F.substring(
-                F.md5(F.concat(F.col("shingle"), F.lit(f":{i // 4}"))),
-                (i % 4) * 8 + 1,
-                8,
-            )
-        ).alias(f"mh_{i}")
-        for i in range(k)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    # ZERO-shuffle signatures (r7): the shingle set is a per-doc array
+    # already, so the k mins are array folds — the former
+    # explode→groupBy(id) re-shuffled every shingle row just to fold it
+    # back per doc (measured 0.69s→0.45s on the sf0.1 LSH pipeline).
+    # Each md5 digest is STAGED as its own projected column so it runs
+    # once per (shingle, digest) — nested HOF references re-evaluate
+    # their subtree per element (the passB lesson, OPTIMIZATION_r07).
+    # Factory lambdas: PySpark introspects lambda arity.
+    toks = df.select(F.col(id_col), analyze_col(text_col).alias("_toks"))
+    sh = toks.select(
+        id_col,
+        F.when(
+            F.size("_toks") >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - F.lit(n)),
+                    lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("_sh"),
+    ).where(F.size("_sh") > 0)
+
+    def _digest(d):
+        return lambda s: F.md5(F.concat(s, F.lit(f":{d}")))
+
+    dig = sh.select(
+        id_col,
+        *[
+            F.transform(F.col("_sh"), _digest(d)).alias(f"_d{d}")
+            for d in range((k + 3) // 4)
+        ],
+    )
+
+    def _slice(off):
+        return lambda h: F.substring(h, off, 8)
+
+    return dig.select(
+        id_col,
+        *[
+            F.array_min(
+                F.transform(F.col(f"_d{i // 4}"), _slice((i % 4) * 8 + 1))
+            ).alias(f"mh_{i}")
+            for i in range(k)
+        ],
+    )
 
 
 def minhash_lsh_candidates(
@@ -170,13 +203,42 @@ def minhash_lsh_candidates(
     from elasticsearch_assets_spark.operators.caps import cap_buckets
 
     sized = cap_buckets(allb, ["band", "band_sig"], max_bucket, drop_obs)
-    l = sized.select("band", "band_sig", F.col(id_col).alias("id_a"))
-    r = sized.select("band", "band_sig", F.col(id_col).alias("id_b"))
+    # Pair generation from GROUPED buckets (r7): the window in
+    # cap_buckets leaves `sized` hash-partitioned by (band, band_sig),
+    # so the collect_list groupBy adds NO exchange — and generating
+    # i<j combinations from the sorted id array directly replaces the
+    # former self-join (a broadcast build per invocation) and its
+    # id_a<id_b filter over the full cross-product (half the
+    # intermediate rows never exist). Array size is bounded by
+    # max_bucket, so the per-bucket pair array stays small. Measured
+    # 0.48s→0.39s on the sf0.1 pipeline with identical pair sets.
+    grp = sized.groupBy("band", "band_sig").agg(
+        F.sort_array(F.collect_list(id_col)).alias("_ids")
+    )
+    ids = F.col("_ids")
+    sz = F.size(ids)
+
+    def _tail(i):
+        return lambda b: F.struct(
+            F.element_at(ids, i + 1).alias("id_a"), b.alias("id_b")
+        )
+
+    pairs = grp.where(sz >= 2).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), sz - 2),
+                    lambda i: F.transform(
+                        F.slice(ids, i + 2, sz - i - 1), _tail(i)
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     return (
-        l.join(r, ["band", "band_sig"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        pairs.select(
+            F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+        ).distinct()
     )
 
 
