@@ -471,6 +471,19 @@ def main() -> None:
             xl_w0 = time.time()
             xl_sec = index_build_job(spark, xl_corpus, os.path.join(tmp, "idx_xl"))
             xl_w1 = time.time()
+            # plain statements BEFORE the dict (ADVICE r6, medium): the
+            # former walrus inside `probe_clean(...) and (...)` left
+            # `_xm` unbound whenever the post-probe was dirty — the
+            # exact storm case this code handles — and the subsequent
+            # sidecar_ratio expression then crashed main() after the
+            # full xl build, losing the entire bench JSON.
+            _xl_post_ok = weather.probe_clean(spark)[1]
+            _xm = sidecar.window_median(xl_w0, xl_w1)
+            _xl_in_run_clean = (
+                _xm is None
+                or not side_base
+                or _xm / side_base <= Sidecar.FACTOR
+            )
             result["xl_build"] = {
                 "docs": XL_DOCS,
                 "cpus": CPUS_HI,
@@ -484,12 +497,7 @@ def main() -> None:
                 ],
                 # post-run probe AND in-run sidecar (xl canary median
                 # vs the best BENCH-run window — same 32-core shape)
-                "storm_free": weather.probe_clean(spark)[1]
-                and (
-                    (_xm := sidecar.window_median(xl_w0, xl_w1)) is None
-                    or not side_base
-                    or _xm / side_base <= Sidecar.FACTOR
-                ),
+                "storm_free": _xl_post_ok and _xl_in_run_clean,
                 "sidecar_ratio": (
                     round(_xm / side_base, 2)
                     if _xm is not None and side_base

@@ -470,12 +470,35 @@ def percentile_ranks(df: DataFrame, col: str, values: list[float]) -> DataFrame:
     return agg.select(pairs).select("p.value", "p.rank")
 
 
+def _require_integral(df: DataFrame, cols, op: str) -> None:
+    """The exact-decimal accumulation contract: a fractional DOUBLE
+    input would be silently truncated by the decimal(38,0) cast,
+    producing a wrong aggregate with no error (ADVICE r6) — enforce
+    the documented 'integral columns' precondition loudly."""
+    from pyspark.sql.types import (
+        BooleanType, ByteType, DecimalType, IntegerType, LongType,
+        ShortType,
+    )
+
+    ok = (ByteType, ShortType, IntegerType, LongType, BooleanType)
+    for c in cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, DecimalType) and dt.scale == 0:
+            continue
+        if not isinstance(dt, ok):
+            raise TypeError(
+                f"{op} requires integral columns (exact decimal "
+                f"accumulation); {c!r} is {dt.simpleString()}"
+            )
+
+
 def weighted_avg(df: DataFrame, value_col: str, weight_col: str) -> DataFrame:
     """ES ``weighted_avg`` agg: sum(value*weight) / sum(weight) over
     integral columns — both sums accumulate as exact decimals (the
     extended_stats discipline: the streaming double sum is
     partition-order-dependent and would make the result flap across
     shuffles), with ONE double division + round(4) at the end."""
+    _require_integral(df, (value_col, weight_col), "weighted_avg")
     v = F.col(value_col).cast("decimal(38,0)")
     w = F.col(weight_col).cast("decimal(38,0)")
     agg = df.where(F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()).agg(
@@ -588,6 +611,7 @@ def matrix_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     any field, mirrored by the all-non-null filter."""
     if len(cols) < 2:
         raise ValueError("matrix_stats needs at least 2 columns")
+    _require_integral(df, cols, "matrix_stats")
     base = df
     for c in cols:
         base = base.where(F.col(c).isNotNull())
@@ -613,14 +637,21 @@ def matrix_stats(df: DataFrame, cols: list[str]) -> DataFrame:
             - (F.col(f"_s{i}").cast("double") * F.col(f"_s{j}").cast("double")) / n
         ) / (n - F.lit(1.0))
 
+    # degenerate-input guards (ADVICE r6): n < 2 leaves cov/corr
+    # undefined (division by n-1) and a zero-variance column leaves
+    # corr undefined (0/0) — emit NULL instead of Inf/NaN rows
     rows = []
     for i in range(len(cols)):
         for j in range(i, len(cols)):
-            corr = (
-                F.lit(1.0)
-                if i == j
-                else _cov(i, j) / F.sqrt(_cov(i, i) * _cov(j, j))
-            )
+            n_ok = n >= F.lit(2.0)
+            cov_ij = F.when(n_ok, _cov(i, j))
+            if i == j:
+                corr = F.when(n_ok, F.lit(1.0))
+            else:
+                corr = F.when(
+                    n_ok & (_cov(i, i) > 0) & (_cov(j, j) > 0),
+                    _cov(i, j) / F.sqrt(_cov(i, i) * _cov(j, j)),
+                )
             rows.append(
                 F.struct(
                     F.lit(cols[i]).alias("field_x"),
@@ -628,7 +659,7 @@ def matrix_stats(df: DataFrame, cols: list[str]) -> DataFrame:
                     F.col("_n").cast("long").alias("count"),
                     F.round(_mean(i), 4).alias("mean_x"),
                     F.round(_mean(j), 4).alias("mean_y"),
-                    F.round(_cov(i, j), 4).alias("cov"),
+                    F.round(cov_ij, 4).alias("cov"),
                     F.round(corr, 4).alias("corr"),
                 )
             )

@@ -245,9 +245,21 @@ def resolve_msm(minimum_should_match: int | str, n_optional: int) -> int:
         p = minimum_should_match.strip()
         if not p.endswith("%"):
             raise ValueError(f"unsupported minimum_should_match: {p!r}")
-        msm = int(n_optional * float(p[:-1]) / 100.0)
+        pct = float(p[:-1])
+        if pct < 0:
+            # ES negative-percentage form ("optional clauses that MAY
+            # be missing") is not implemented — fail loudly instead of
+            # silently clamping to match-anything (ADVICE r6)
+            raise ValueError(
+                f"negative minimum_should_match form not supported: {p!r}"
+            )
+        msm = int(n_optional * pct / 100.0)
     else:
         msm = int(minimum_should_match)
+        if msm < 0:
+            raise ValueError(
+                f"negative minimum_should_match form not supported: {msm}"
+            )
     return max(0, min(msm, n_optional))
 
 

@@ -461,6 +461,33 @@ def test_matrix_stats_validates(spark):
         aggs.matrix_stats(df, ["x"])
 
 
+def test_integral_contract_enforced(spark):
+    # ADVICE r6: a fractional DOUBLE silently truncated by the
+    # decimal(38,0) cast must raise instead
+    df = spark.createDataFrame([(1.5, 2), (2.5, 3)], "v double, w long")
+    with pytest.raises(TypeError):
+        aggs.weighted_avg(df, "v", "w")
+    with pytest.raises(TypeError):
+        aggs.matrix_stats(df, ["v", "w"])
+    # integral stays fine
+    ok = spark.createDataFrame([(1, 2), (2, 3)], "v long, w long")
+    assert aggs.weighted_avg(ok, "v", "w").collect()[0]["weighted_avg"] is not None
+
+
+def test_matrix_stats_degenerate_nulls(spark):
+    # n=1 -> cov/corr NULL (not Inf/NaN)
+    one = spark.createDataFrame([(1, 2)], "x long, y long")
+    r = aggs.matrix_stats(one, ["x", "y"]).collect()
+    assert all(row["cov"] is None and row["corr"] is None for row in r)
+    # zero-variance column -> off-diagonal corr NULL, cov defined
+    zv = spark.createDataFrame([(1, 1), (1, 2), (1, 3)], "x long, y long")
+    rows = {(row["field_x"], row["field_y"]): row
+            for row in aggs.matrix_stats(zv, ["x", "y"]).collect()}
+    assert rows[("x", "y")]["corr"] is None
+    assert rows[("x", "y")]["cov"] == 0.0
+    assert rows[("y", "y")]["corr"] == 1.0
+
+
 def test_auto_date_histogram_ladder_and_counts(spark):
     import datetime as dt
 

@@ -311,6 +311,12 @@ def test_msm_resolution():
     assert qx.resolve_msm("100%", 3) == 3
     with pytest.raises(ValueError):
         qx.resolve_msm("half", 4)
+    # ADVICE r6: the ES negative form is unimplemented — fail loudly
+    # instead of clamping to match-anything
+    with pytest.raises(ValueError):
+        qx.resolve_msm(-2, 5)
+    with pytest.raises(ValueError):
+        qx.resolve_msm("-25%", 4)
 
 
 @pytest.mark.parametrize("msm", [1, 2, 3, "67%"])
