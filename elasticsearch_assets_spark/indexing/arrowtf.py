@@ -1,0 +1,134 @@
+"""Arrow-native analyzer + per-doc tf encoder for the index build.
+
+Pass 1 of ``build_and_write_index`` is CPU-bound in exactly two places
+(event-log task_sum profile, r7): the JVM regex analyzer (~41 s CPU of a
+~205 s-CPU 240k build) and the explode + two-phase hash aggregation that
+turns token streams into (term, doc_id, tf) rows (~78 s CPU + a 400 MB
+intermediate shuffle). This module moves both into ONE vectorized
+``mapInArrow`` stage (guide §4.2: let Spark do distribution and I/O,
+hand whole Arrow batches to native code):
+
+- the analyzer runs as pyarrow.compute RE2 kernels — measured ~30 MB/s
+  per core vs ~4.5 MB/s for the JVM regexp_replace chain on the same
+  content (6.6x), and byte-identical tokens (RE2 and java.util.regex
+  agree on every pattern here because step 0 strips non-ASCII before
+  any casing; pinned by a unicode fuzz test);
+- tf is computed per doc inside the batch with dictionary-encode +
+  lexsort run-length encoding (numpy int ops, no Python loops). A doc's
+  tokens never span batches, so per-batch tf is exact and the JVM-side
+  groupBy(term, doc_id) — partial AND final aggregation, plus the
+  shuffle between them — disappears from the build: the encoder's
+  output rows go straight into the single bucket-layout repartition.
+
+The output is doc-level (doc_id, <passthrough>, dl, terms[], tfs[]):
+doc-level so the tokenized cache that feeds doc_norms keeps exactly the
+shape build_and_write_index already persisted, with the token POSITIONS
+dropped (postings need tf only) — the cache gets smaller, not bigger.
+
+The JVM implementation (analyze_col + explode + groupBy) remains in
+build_index as the reference; tests pin multiset equality of the two
+pipelines on unicode/null/empty corpora.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyarrow as pa
+
+from elasticsearch_assets_spark.functions.analyzer import (
+    ACRONYM_RE,
+    ASCII_RE,
+    CAMEL_RE,
+    SPLIT_RE,
+)
+
+
+def arrow_analyze(col: pa.Array) -> pa.Array:
+    """The analyzer pipeline as pyarrow RE2 kernels: list<string> of
+    tokens per row, possibly containing "" entries (callers filter).
+    Same step order as analyze_text/analyze_col — non-ASCII separated
+    BEFORE casing, so only ASCII reaches utf8_lower and every engine's
+    lowercase agrees."""
+    import pyarrow.compute as pc
+
+    s = pc.replace_substring_regex(col, pattern=ASCII_RE, replacement=" ")
+    s = pc.replace_substring_regex(s, pattern=CAMEL_RE, replacement=r"\1 \2")
+    s = pc.replace_substring_regex(s, pattern=ACRONYM_RE, replacement=r"\1 \2")
+    s = pc.utf8_lower(s)
+    return pc.split_pattern_regex(s, pattern=SPLIT_RE)
+
+
+def _encode_batch(batch: pa.RecordBatch, text_col: str) -> pa.RecordBatch:
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    content = batch.column(batch.schema.get_field_index(text_col))
+    toks = arrow_analyze(content)
+
+    # token counts per row (null text -> 0), flat token stream aligned
+    # with them (list_flatten skips null rows, matching fill_null(0))
+    counts = np.asarray(pc.fill_null(pc.list_value_length(toks), 0))
+    flat = pc.list_flatten(toks)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+
+    # drop empty tokens (the JVM filter(t != '') step)
+    keep = pc.not_equal(flat, "")
+    keep_np = np.asarray(keep)
+    if len(keep_np):
+        flat = flat.filter(keep)
+        doc_idx = doc_idx[keep_np]
+
+    # per-(doc, term) tf: dictionary codes + stable integer lexsort +
+    # boundary run-length — all vectorized, no Python per-row work
+    if len(doc_idx):
+        enc = pc.dictionary_encode(flat)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        dictionary = enc.dictionary
+        order = np.lexsort((codes, doc_idx))
+        ds = doc_idx[order]
+        cs = codes[order]
+        boundary = np.empty(len(ds), dtype=bool)
+        boundary[0] = True
+        np.logical_or(ds[1:] != ds[:-1], cs[1:] != cs[:-1], out=boundary[1:])
+        starts = np.flatnonzero(boundary)
+        tf = np.diff(np.append(starts, len(ds))).astype(np.int32)
+        gdoc = ds[starts]
+        terms_flat = dictionary.take(pa.array(cs[starts]))
+        groups_per_doc = np.bincount(gdoc, minlength=n)
+        dl = np.bincount(doc_idx, minlength=n).astype(np.int32)
+    else:
+        tf = np.empty(0, dtype=np.int32)
+        terms_flat = pa.array([], type=pa.string())
+        groups_per_doc = np.zeros(n, dtype=np.int64)
+        dl = np.zeros(n, dtype=np.int32)
+
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(groups_per_doc, out=offsets[1:])
+    off_arr = pa.array(offsets, type=pa.int32())
+    terms_list = pa.ListArray.from_arrays(off_arr, terms_flat)
+    tfs_list = pa.ListArray.from_arrays(
+        off_arr, pa.array(tf, type=pa.int32())
+    )
+
+    cols, names = [], []
+    for i, f in enumerate(batch.schema):
+        if f.name == text_col:
+            continue
+        cols.append(batch.column(i))
+        names.append(f.name)
+    cols += [pa.array(dl, type=pa.int32()), terms_list, tfs_list]
+    names += ["dl", "terms", "tfs"]
+    return pa.RecordBatch.from_arrays(cols, names=names)
+
+
+def tf_encoder(text_col: str):
+    """mapInArrow function: (passthrough..., <text_col>) batches in,
+    (passthrough..., dl, terms, tfs) batches out."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            yield _encode_batch(batch, text_col)
+
+    return fn

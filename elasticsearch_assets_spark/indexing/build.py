@@ -236,7 +236,12 @@ def build_index(
 # chunk keeps whole terms and stays (term, doc_id)-sorted, so per-file
 # row-group pruning and sequential posting reads are unchanged; a
 # bucket directory just holds `fanout` files instead of one.
-WRITE_FANOUT = 4
+# Default 8 (r7, was 4): with the single-shuffle arrow build the
+# sort+write stage became straggler-bound (task_max 2.6 s vs 0.3 s
+# mean at 240k); fanout 8 halved the stage wall (3.1 -> 1.9 s,
+# task_max 1.4 s) while fanout 16 gained nothing further and doubles
+# the file count. Env-overridable for cluster layouts.
+WRITE_FANOUT = int(os.environ.get("SPARK_GRAFT_WRITE_FANOUT", "8"))
 
 # Parquet row-group size for index tables. Default 128MB row groups make
 # a bucket file ONE unsplittable scan unit (parquet can't split below
@@ -343,8 +348,8 @@ def build_and_write_index(
     derive from the WRITTEN postings parquet (cheap column-pruned
     re-reads) instead of recomputing the analyzer chain.
 
-    cache_tokens=True persists the tokenized doc projection
-    (doc_id, dl, content_sha, sources, tokens) DURING pass 1, so the
+    cache_tokens=True persists the encoded doc projection
+    (doc_id, content_sha, sources, dl, terms, tfs) DURING pass 1, so the
     doc_norms derivation is a cache scan instead of a postings
     groupBy(doc_id) — that groupBy gets no map-side reduction (a doc's
     terms spread over every partition, so partial agg emits ~P copies
@@ -370,36 +375,52 @@ def build_and_write_index(
     else:
         base = with_doc_id(docs, id_cols, text_col)
 
-    # TWO shuffles for the whole heavy pass (was three):
-    # - dl (doc length) is computed MAP-SIDE as size(analyzed tokens) —
-    #   the previous doc_id window cost a full extra exchange of the tf
-    #   table; dl now rides the tf shuffle for free
-    # - groupBy(term, doc_id) keeps the partial aggregation: the Zipf
-    #   head is combined map-side BEFORE the network (repartitioning raw
-    #   tokens by bucket instead would funnel every occurrence of a hot
-    #   term through one partition — measured slower even locally)
-    # - repartition(bucket) shuffles only the combined posting rows
-    # coalesce(size, 0): size(NULL) is NULL under ANSI Spark 4 — null-
-    # text docs must carry dl=0 so the cached doc_norms path matches
-    # the postings-derived fallback (which na.fill(0)s) exactly
-    toks = base.withColumn("_toks", analyze_col(text_col)).withColumn(
-        "dl", F.coalesce(F.size("_toks"), F.lit(0)).cast("int")
+    # ONE shuffle for the whole heavy pass (was two, r7):
+    # - the analyzer AND per-doc tf run inside a single vectorized
+    #   mapInArrow stage (indexing/arrowtf.py — pyarrow RE2 kernels at
+    #   ~6.6x the JVM regex throughput, then dictionary-encode + lexsort
+    #   run-length tf with no Python per-row work). A doc's tokens never
+    #   leave their batch, so per-batch tf is exact and the former
+    #   explode + groupBy(term, doc_id) — partial and final hash
+    #   aggregation plus the ~400 MB shuffle between them — is gone;
+    #   the encoder's combined rows feed the bucket-layout repartition
+    #   directly (guide §2.4 "remove shuffles outright", §4.2).
+    # - dl (doc length) still rides every posting row (Lucene
+    #   norms-with-postings), computed in the same batch pass.
+    # - an array-expression RLE (aggregate fold over sort_array) was
+    #   measured FIRST and LOST ~2x to the hash aggregate: interpreted
+    #   HOF struct-building is slower than codegen partial agg — do not
+    #   retry; the win here comes from Arrow, not from the fold.
+    from elasticsearch_assets_spark.indexing.arrowtf import tf_encoder
+
+    enc_in = base.select(
+        "doc_id", "content_sha", *source_cols, F.col(text_col)
     )
+    enc_schema = (
+        "doc_id bigint, content_sha string"
+        + "".join(
+            f", {c} {base.schema[c].dataType.simpleString()}"
+            for c in source_cols
+        )
+        + ", dl int, terms array<string>, tfs array<int>"
+    )
+    enc = enc_in.mapInArrow(tf_encoder(text_col), enc_schema)
     cached_src = None
     if cache_tokens:
         from pyspark import StorageLevel
 
-        cached_src = toks.select(
-            "doc_id", "dl", "content_sha", *source_cols, "_toks"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        tokens = cached_src.select(
-            "doc_id", "dl", F.explode("_toks").alias("term")
-        )
-    else:
-        tokens = toks.select("doc_id", "dl", F.explode("_toks").alias("term"))
+        cached_src = enc.persist(StorageLevel.MEMORY_AND_DISK)
+        enc = cached_src
     tfd = (
-        tokens.groupBy("term", "doc_id")
-        .agg(F.count("*").cast("int").alias("tf"), F.first("dl").alias("dl"))
+        enc.select(
+            "doc_id", "dl", F.explode(F.arrays_zip("terms", "tfs")).alias("_p")
+        )
+        .select(
+            F.col("_p.terms").alias("term"),
+            "doc_id",
+            F.col("_p.tfs").alias("tf"),
+            "dl",
+        )
         .withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
         )
@@ -425,7 +446,9 @@ def build_and_write_index(
 
     from pyspark.sql import Observation
 
-    postings = spark.read.parquet(os.path.join(path, "postings"))
+    postings = spark.read.schema(
+        "term string, doc_id bigint, tf int, dl int, bucket int"
+    ).parquet(os.path.join(path, "postings"))
     obs = Observation("index_stats")
 
     def _write_terms():
@@ -433,9 +456,16 @@ def build_and_write_index(
         # reversed writes run CONCURRENTLY from the cache (serializing
         # terms_rev behind a re-read of the written terms measured
         # +0.3s on the 240k bench build — pure fixed overhead this
-        # nested fan-out removes)
+        # nested fan-out removes). df aggregates from the encoded-doc
+        # CACHE when present (one row per (doc, term) after explode —
+        # identical counts): the cache scan prunes to the terms column
+        # and skips re-reading the just-written postings parquet (r7).
+        if cached_src is not None:
+            term_src = cached_src.select(F.explode("terms").alias("term"))
+        else:
+            term_src = postings.select("term")
         tdf = (
-            postings.groupBy("term")
+            term_src.groupBy("term")
             .agg(F.count("*").cast("long").alias("df"))
             .persist()
         )
@@ -483,7 +513,11 @@ def build_and_write_index(
             doc_norms = (
                 base.join(dl, "doc_id", "left").na.fill({"dl": 0}).select(*keep)
             )
-        doc_norms.observe(
+        # coalesce(32): 192 scan-split tasks each wrote a ~100 KB file —
+        # small-files on every downstream doc_norms scan (guide §6);
+        # the cache scan feeding this is trivial so wider parallelism
+        # buys nothing
+        doc_norms.coalesce(32).observe(
             obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avg_dl")
         ).write.mode("overwrite").parquet(os.path.join(path, "doc_norms"))
 
@@ -516,20 +550,49 @@ def build_and_write_index(
         json.dump(stats, f)
     if cached_src is not None:
         cached_src.unpersist()
-    return read_index(spark, path)
+    # the writer knows every table's schema — passing them to the
+    # read-back skips one footer schema-inference job per table (4
+    # driver-side jobs of pure fixed cost per build, r7)
+    src_fields = "".join(
+        f", {c} {base.schema[c].dataType.simpleString()}" for c in source_cols
+    )
+    return read_index(
+        spark,
+        path,
+        _schemas={
+            "postings": "term string, doc_id bigint, tf int, dl int, bucket int",
+            "terms": "term string, df bigint",
+            "terms_rev": "rev string, term string, df bigint",
+            "doc_norms": "doc_id bigint, dl int, content_sha string" + src_fields,
+        },
+    )
 
 
-def read_index(spark: SparkSession, path: str) -> IndexTables:
+def read_index(
+    spark: SparkSession, path: str, _schemas: dict | None = None
+) -> IndexTables:
+    """Open a written index. ``_schemas`` (writer-internal) supplies
+    known table schemas so the reads skip parquet footer inference —
+    semantics are identical; an absent/partial dict falls back to
+    inference per table."""
     with open(os.path.join(path, "stats.json")) as f:
         stats = json.load(f)
+    sch = _schemas or {}
+
+    def _read(name: str):
+        r = spark.read
+        if name in sch:
+            r = r.schema(sch[name])
+        return r.parquet(os.path.join(path, name))
+
     pos_path = os.path.join(path, "positions")
-    positions = spark.read.parquet(pos_path) if os.path.isdir(pos_path) else None
+    positions = _read("positions") if os.path.isdir(pos_path) else None
     rev_path = os.path.join(path, "terms_rev")
-    terms_rev = spark.read.parquet(rev_path) if os.path.isdir(rev_path) else None
+    terms_rev = _read("terms_rev") if os.path.isdir(rev_path) else None
     return IndexTables(
-        postings=spark.read.parquet(os.path.join(path, "postings")),
-        terms=spark.read.parquet(os.path.join(path, "terms")),
-        doc_norms=spark.read.parquet(os.path.join(path, "doc_norms")),
+        postings=_read("postings"),
+        terms=_read("terms"),
+        doc_norms=_read("doc_norms"),
         n_docs=stats["n_docs"],
         avg_dl=stats["avg_dl"],
         n_buckets=stats["n_buckets"],

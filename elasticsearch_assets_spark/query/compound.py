@@ -98,7 +98,24 @@ def dis_max_query(
             for i, t in enumerate(all_terms)
         ]
         g = cand.groupBy("doc_id").agg(*aggs)
+        col_of = {t: F.col(f"_c{all_terms.index(t)}") for t in all_terms}
+        sub_scores: list[Column] = []
+        for s in subs:
+            sc = F.lit(0.0)
+            for t in s:  # already sorted — the pinned fold order
+                sc = sc + F.coalesce(col_of[t], F.lit(0.0))
+            sub_scores.append(sc)
     else:
+        # >32 union terms: share scored_terms' wide-expansion shape
+        # (VERDICT r6 item 4) — ONE sorted (term, contrib) array per doc
+        # and one fold per SUBQUERY, instead of one conditional-sum
+        # aggregate per term (a >32-branch sum chain stalls
+        # codegen/Column conversion; see query/exec.py:96-118).
+        # Each subquery folds ONLY its own terms, in term-sorted array
+        # order from 0.0 — bit-identical to the literal chain above
+        # (absent terms simply don't appear; x + 0.0 == x is IEEE-exact
+        # for present ones, and (term, doc_id) rows are unique so each
+        # term contributes once).
         dfm = _df_map(index, all_terms)
         contrib = cand.join(F.broadcast(dfm), "term").withColumn(
             "contrib",
@@ -110,19 +127,25 @@ def dis_max_query(
                 index.avg_dl,
             ),
         )
-        aggs = [
-            F.sum(F.when(F.col("term") == t, F.col("contrib"))).alias(f"_c{i}")
-            for i, t in enumerate(all_terms)
-        ]
-        g = contrib.groupBy("doc_id").agg(*aggs)
-    col_of = {t: F.col(f"_c{all_terms.index(t)}") for t in all_terms}
+        g = contrib.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias(
+                "_cs"
+            )
+        )
 
-    sub_scores: list[Column] = []
-    for s in subs:
-        sc = F.lit(0.0)
-        for t in s:  # already sorted — the pinned fold order
-            sc = sc + F.coalesce(col_of[t], F.lit(0.0))
-        sub_scores.append(sc)
+        def _sub_fold(terms: list[str]):
+            tset = F.array(*[F.lit(t) for t in terms])
+
+            def _pred(x):
+                return F.array_contains(tset, x["term"])
+
+            return F.aggregate(
+                F.filter(F.col("_cs"), _pred),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            )
+
+        sub_scores = [_sub_fold(s) for s in subs]
     best = sub_scores[0] if len(sub_scores) == 1 else F.greatest(*sub_scores)
     total = sub_scores[0]
     for sc in sub_scores[1:]:

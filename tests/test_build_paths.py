@@ -190,3 +190,77 @@ def test_pack_gen_group_spans_batches():
     term, block, n, docs_vb, tfs_vb = whole[0]
     d = np.cumsum(codec.zigzag_decode(codec.varbyte_decode(docs_vb, n)))
     assert list(d) == [3, 9, 27]
+
+
+def test_arrow_encoder_matches_jvm_reference(spark, tmp_path):
+    """r7: build_and_write_index runs the analyzer + per-doc tf inside
+    one vectorized mapInArrow stage (indexing/arrowtf.py). Its output
+    must be row-identical to the JVM reference pipeline (build_index:
+    analyze_col + explode + groupBy) on a corpus covering unicode
+    special-casing, null/empty/sep-only text, and repeated terms."""
+    from elasticsearch_assets_spark.indexing.build import (
+        build_and_write_index,
+        build_index,
+    )
+
+    rows = [
+        (1, "r1", "parseDate base64Url HTTPServer foo_bar/baz.qux"),
+        (2, "r1", "İstanbul STRAßE what café ÇŐDE"),
+        (3, "r2", None),
+        (4, "r2", ""),
+        (5, "r2", "///...___"),
+        (6, "r3", "dup dup dup Dup DUP aA aA bB"),
+        (7, "r3", "x " * 400 + "yZ"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, content string")
+
+    ref = build_index(
+        docs, doc_id_col="doc_id", n_buckets=4, keep_positions=False,
+        cache=False, source_cols=("lang",),
+    )
+    out = str(tmp_path / "arrow_idx")
+    got = build_and_write_index(
+        docs, out, doc_id_col="doc_id", n_buckets=4, source_cols=("lang",)
+    )
+
+    cols = ["term", "doc_id", "tf", "dl", "bucket"]
+    a, b = ref.postings.select(*cols), got.postings.select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    dn = ["doc_id", "dl", "content_sha", "lang"]
+    c, d = ref.doc_norms.select(*dn), got.doc_norms.select(*dn)
+    assert c.exceptAll(d).count() == 0 and d.exceptAll(c).count() == 0
+    t1, t2 = ref.terms, got.terms
+    assert t1.exceptAll(t2).count() == 0 and t2.exceptAll(t1).count() == 0
+    assert got.n_docs == ref.n_docs and got.avg_dl == ref.avg_dl
+
+
+def test_arrow_analyze_fuzz_parity():
+    """arrow_analyze (RE2) must tokenize byte-identically to the pure-
+    Python oracle analyze_text on arbitrary unicode (the 3-engine
+    analyzer contract extends to the 4th implementation)."""
+    import random
+
+    import pyarrow as pa
+
+    from elasticsearch_assets_spark.functions.analyzer import analyze_text
+    from elasticsearch_assets_spark.indexing.arrowtf import arrow_analyze
+
+    rng = random.Random(7)
+    texts = [None, "", " ", "aA", "HTTPServer2x", "İİabc"]
+    for _ in range(300):
+        n = rng.randrange(0, 60)
+        s = "".join(
+            chr(c) if not 0xD800 <= (c := rng.randrange(1, 0x2FFFF)) <= 0xDFFF
+            else "a"
+            for _ in range(n)
+        )
+        texts.append(s)
+    for _ in range(300):
+        texts.append(
+            "".join(rng.choice("aA bB_c/D.e0 9Zzé") for _ in range(rng.randrange(0, 80)))
+        )
+    toks = arrow_analyze(pa.array(texts, type=pa.string())).to_pylist()
+    for t, r in zip(texts, toks):
+        expected = analyze_text(t) if t else []
+        got = [x for x in (r or []) if x]
+        assert got == expected, repr(t)

@@ -367,3 +367,35 @@ def test_msm_none_is_backcompat(corpus):
     assert [(r["doc_id"], r["score"]) for r in a] == [
         (r["doc_id"], r["score"]) for r in b
     ]
+
+
+def test_dismax_wide_fallback_matches_oracle(corpus):
+    """>32 union terms must route through the array-fold fallback
+    (VERDICT r6 item 4: a wide multi-field dis_max previously built one
+    conditional-sum aggregate per term — plan-compile stall territory)
+    and still score bit-identically to the oracle."""
+    index, oracle = corpus
+    base = [
+        "parse", "date", "merge", "batch", "return", "value", "result",
+        "index", "retry", "query", "config", "load", "stream", "table",
+        "scan", "row", "key", "agg", "spark", "commit", "path", "repo",
+        "data", "file", "count", "sum", "filter", "sort", "join", "map",
+        "group", "write", "read", "cache", "plan", "stage", "task",
+        "shuffle", "bucket", "term", "doc", "score", "rank", "hash",
+        "block",
+    ]
+    assert len(set(base)) > 32
+    subs = [sorted(base[:15]), sorted(base[15:30]), sorted(base[30:])]
+    got = {
+        r["doc_id"]: r["score"]
+        for r in qc.dis_max_query(index, subs, tie_breaker=0.4, k=10**9).collect()
+    }
+    want = _oracle_dismax(oracle, subs, 0.4)
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert got[d] == pytest.approx(s, abs=1e-12), d
+    # and the plan must NOT contain a per-term conditional-sum chain:
+    # one collect_list aggregate, folds per subquery only
+    plan = qc.dis_max_query(index, subs, tie_breaker=0.4, k=10**9)._jdf \
+        .queryExecution().optimizedPlan().toString()
+    assert "collect_list" in plan
