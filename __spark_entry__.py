@@ -1760,12 +1760,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "k", F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
             ).collect()
         ]
+        # r7: the planner probes (prefix, range) hundreds of times on
+        # the descent; the former pure-Python generator scanned all
+        # rows per probe (~4.9 s at sf0.1). Sort once by key; per
+        # distinct prefix, slice by searchsorted and memoize the sorted
+        # timestamp subarray — every count is then two searchsorted.
+        # Counts are identical (same half-open [a_ms, b_ms) predicate).
+        import numpy as np
+
+        _ks = np.array([k for k, _ in rows_kt])
+        _ts = np.array([t for _, t in rows_kt], dtype=np.int64)
+        _ord = np.argsort(_ks, kind="stable")
+        _ks, _ts = _ks[_ord], _ts[_ord]
+        _pmemo: dict = {}
 
         def key_count_fn(prefix, a_ms, b_ms):
-            return sum(
-                1
-                for k, t in rows_kt
-                if k.startswith(prefix) and a_ms * 1000 <= t < b_ms * 1000
+            if prefix not in _pmemo:
+                lo_i = np.searchsorted(_ks, prefix)
+                # hex keys: 'g' sorts after every hex continuation
+                hi_i = np.searchsorted(_ks, prefix + "g") if prefix else len(_ks)
+                _pmemo[prefix] = np.sort(_ts[lo_i:hi_i])
+            arr = _pmemo[prefix]
+            return int(
+                np.searchsorted(arr, b_ms * 1000, "left")
+                - np.searchsorted(arr, a_ms * 1000, "left")
             )
 
         import datetime

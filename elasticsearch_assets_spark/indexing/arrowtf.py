@@ -132,3 +132,74 @@ def tf_encoder(text_col: str):
             yield _encode_batch(batch, text_col)
 
     return fn
+
+
+def _shingle_batch(batch: pa.RecordBatch, text_col: str, n: int) -> pa.RecordBatch:
+    import numpy as np
+    import pyarrow.compute as pc
+
+    nrows = batch.num_rows
+    content = batch.column(batch.schema.get_field_index(text_col))
+    toks = arrow_analyze(content)
+
+    counts = np.asarray(pc.fill_null(pc.list_value_length(toks), 0))
+    flat = pc.list_flatten(toks)
+    doc_idx = np.repeat(np.arange(nrows, dtype=np.int64), counts)
+    keep = pc.not_equal(flat, "")
+    keep_np = np.asarray(keep)
+    if len(keep_np):
+        flat = flat.filter(keep)
+        doc_idx = doc_idx[keep_np]
+    counts = np.bincount(doc_idx, minlength=nrows)
+
+    # window starts, globally indexed into the filtered token stream
+    wc = np.maximum(counts - (n - 1), 0)
+    total = int(wc.sum())
+    id_arr = batch.column(0)
+    if total == 0:
+        return pa.RecordBatch.from_arrays(
+            [id_arr.take(pa.array([], type=pa.int64())),
+             pa.array([], type=pa.string())],
+            names=[batch.schema[0].name, "shingle"],
+        )
+    doc_off = np.zeros(nrows + 1, dtype=np.int64)
+    np.cumsum(counts, out=doc_off[1:])
+    w_off = np.zeros(nrows + 1, dtype=np.int64)
+    np.cumsum(wc, out=w_off[1:])
+    win_doc = np.repeat(np.arange(nrows, dtype=np.int64), wc)
+    g = (np.arange(total, dtype=np.int64)
+         - np.repeat(w_off[:-1], wc)
+         + np.repeat(doc_off[:-1], wc))
+    parts = [flat.take(pa.array(g + i)) for i in range(n)]
+    shingle = pc.binary_join_element_wise(*parts, " ")
+
+    # distinct per doc: dictionary codes + lexsort + boundary unique
+    enc = pc.dictionary_encode(shingle)
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    order = np.lexsort((codes, win_doc))
+    ds, cs = win_doc[order], codes[order]
+    first = np.empty(len(ds), dtype=bool)
+    first[0] = True
+    np.logical_or(ds[1:] != ds[:-1], cs[1:] != cs[:-1], out=first[1:])
+    out_doc = ds[first]
+    out_shingle = enc.dictionary.take(pa.array(cs[first]))
+    return pa.RecordBatch.from_arrays(
+        [id_arr.take(pa.array(out_doc)), out_shingle],
+        names=[batch.schema[0].name, "shingle"],
+    )
+
+
+def shingle_encoder(text_col: str, n: int):
+    """mapInArrow function producing DISTINCT word-n-gram shingle rows
+    (<first input column: the id>, shingle) per doc. The analyzer runs
+    exactly once per row (pyarrow RE2) — the JVM array-expression
+    version re-inlined the whole regex chain into every window slice
+    (Catalyst does not CSE across lambda boundaries), i.e. ~t copies of
+    the analyzer per doc; this is the r7 fix for that plus the 6.6x
+    RE2-vs-JVM throughput gap."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            yield _shingle_batch(batch, text_col, n)
+
+    return fn
