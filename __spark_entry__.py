@@ -1818,101 +1818,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # slowest (streaming / packed-index / ANN-index builds), all still
     # covered by tools/check_entry.py either way.
     order = [
-        # ---- 50-slot artifact window (r6 rotation, VERDICT r5 #2):
-        # entries whose code paths moved this round, plus the six the
-        # verdict named as stale-on-the-record (ft_querystring,
-        # wr_dual_yield, dd_simhash_pairs, sim_lsh_topk,
-        # sim_ann_indexed, ft_match_packed), plus the two NEW r6
-        # entries (ft_wildcard_suffix, mm_meta). ----
-        # compound queries + bool msm (NEW fourth session: query/
-        # compound.py dis_max / match_phrase_prefix / function_score
-        # decay; exec.bool_query minimum_should_match — ft_bool_must_not
-        # STAYS in-window because bool_query moved). Ten r05-recorded
-        # entries with untouched paths rotated to the tail to make room:
-        # ft_match_or, ft_match_and, ft_wildcard_prefix, ft_phrase,
-        # ft_phrase_slop, ft_phrase_slop3, ft_source_filter, ft_fuzzy,
-        # ft_boost, ft_qs_required.
+        # ---- 50-slot artifact window (r7 rotation, VERDICT r6 #2 +
+        # #8): the six entries the r6 verdict named as never-driver-
+        # recorded (ft_boosting, ft_const, ts_strat, ts_split,
+        # agg_matrix, agg_autodh) rotate IN, plus every entry whose
+        # CODE PATH moved in this optimization round (df-literal
+        # scoring, Arrow shingles/minhash, geo sort skip, int-key date
+        # histogram, literal query norm, vectorized subslice probes).
+        # Rotated OUT to make room: 15 entries recorded green in
+        # CORRECTNESS_r06 whose paths did not move this round
+        # (ft_match_streamed/deleted/purged/upserted, the nine
+        # agg_cardinality..agg_pipeline rows, ft_collapse,
+        # ev_search_after) — head-of-tail, first in line for r8.
+        # Rotation policy (VERDICT r6 #8): round-robin the tail so
+        # every entry is driver-recorded at least every 3 rounds; see
+        # CLAUDE.md "Entry-window rotation".
+        # compound queries + bool msm (r6 paths; dis_max gained the
+        # >32-term width-guard fallback this round)
         "ft_dis_max", "ft_phrase_prefix", "ft_msm", "ft_decay",
         "ft_wildcard_suffix", "ft_bool_must_not",
+        # never-driver-recorded r6 entries (VERDICT r6 #2)
+        "ft_boosting", "ft_const", "ts_strat", "ts_split",
+        "agg_matrix", "agg_autodh",
+        # r7-moved scoring/serving paths: df literals from the terms-
+        # dictionary cache, huge-k sort skip, plan memoization,
+        # one-job wildcard expansion
+        "ft_match_or", "ft_match_and", "ft_phrase", "ft_wildcard_prefix",
         # query_string features (reuse the built index)
         "ft_fuzzy_disk",
         "ft_querystring",
-        # packed (codec) serving path — r5 touched the block encoder
+        # packed (codec) serving path
         "ft_match_packed",
-        # streamed-segment serving path (NEW r6: ingest_segment_batch ->
-        # compact_segments -> serve_resumable_index lifecycle) + the
-        # tombstone-delete lifecycle (NEW r6: delete_docs liveDocs
-        # serving / purging merge; ev_geo_box + ev_geo_distance
-        # r05-proven -> tail to make room)
-        "ft_match_streamed", "ft_match_deleted", "ft_match_purged",
-        # index-layer upsert lifecycle (NEW this session:
-        # upsert_segment_batch scoped tombstones; ev_id_prefix_counts
-        # r01-r05-proven -> tail to make room)
-        "ft_match_upserted",
-        # ES search-API aggregations (NEW this session: operators/
-        # aggs.py — HLL cardinality, exact percentiles, pinned-sum
-        # extended_stats, terms + other-count, composite pagination,
-        # histogram, geotile_grid). Seven r05-proven entries rotated to
-        # the tail to make room: wr_update_fields, wr_lww, wr_routed,
-        # wr_reject, plan_date_subslices, dd_jaccard_lsh, ts_quality.
-        "agg_cardinality", "agg_percentiles", "agg_stats", "agg_terms",
-        "agg_composite", "agg_histogram", "agg_geotile",
-        # + top_hits and the pipeline-agg chain (wr_update + wr_delete
-        # r05-proven -> tail to make room)
-        "agg_top_hits", "agg_pipeline",
-        # range/filters/rare/significant_terms (NEW third session —
-        # ev_range_scan, sp_filter_vars, plan_id_slices, wr_index all
-        # r05-recorded-green, rotated to the tail to make room)
+        # aggs whose exactness contracts were hardened this round
+        # (weighted_avg/matrix_stats decimal guards) + multi-filter
+        # scan shapes kept under watch
         "agg_range", "agg_filters", "agg_rare", "agg_significant",
-        # percentile_ranks / weighted_avg / adjacency_matrix + bucket
-        # pipeline (NEW fourth session: operators/aggs.py widening)
         "agg_pranks", "agg_wavg", "agg_adjacency", "agg_bucketpipe",
-        # search-surface extensions (NEW third session: query/search.py
-        # — collapse / search_after / more_like_this / term suggest;
-        # plan_date_slices, ss_roundtrip, dd_exact, dd_minhash_lsh all
-        # r05-recorded-green, rotated to the tail to make room)
-        "ft_collapse", "ev_search_after", "ft_mlt", "ft_suggest",
+        # search-surface extensions still in-window (bounded collects)
+        "ft_mlt", "ft_suggest",
         # slicer plans (plan_id_slices_optimized must stay on the
-        # artifact — VERDICT r2 #1)
-        "plan_id_slices_optimized",
+        # artifact — VERDICT r2 #1); subslice probes vectorized r7
+        "plan_id_slices_optimized", "plan_date_subslices",
         # writers
         "wr_dual_yield",
-        # dedup / text / multimodal / similarity. Corpus hygiene +
-        # deterministic splits NEW third session (ts_pii/ts_urls/
-        # ts_split/dd_decontam); dd_dup_clusters, dd_dedup_apply,
-        # ts_token_count, mm_features r05-recorded-green -> tail.
-        "ts_pii", "ts_urls", "dd_decontam",
-        # context-window chunking + deterministic shard packing +
-        # unigram-LM quality (NEW fourth session; ts_split -> tail:
-        # same md5-threshold protocol family as ts_pii/ts_strat, gated
-        # locally, the novel float path here is ts_unigram's fold)
-        "llm_chunks", "llm_pack", "ts_unigram",
-        "dd_dup_clusters_star",
-        "dd_line_dedup", "dd_simhash_pairs",
-        "ts_repetition",
+        # dedup / text / similarity — Arrow shingle encoder (r7),
+        # zero-shuffle minhash signatures + grouped pair generation
+        # (r7), filter-before-distinct simhash verify (r7)
+        "ts_pii", "ts_urls", "dd_decontam", "dd_minhash_lsh",
+        "dd_simhash_pairs", "dd_line_dedup", "dd_dup_clusters_star",
+        "llm_chunks", "llm_pack", "ts_unigram", "ts_repetition",
         "mm_meta",
+        # r7-moved: driver-literal ||q|| cosine; geo sort skip;
+        # int-key date histogram
+        "sim_cosine_topk", "ev_geo_distance", "ev_date_histogram",
         "sim_ivf_topk", "sim_lsh_topk", "sim_ann_indexed",
         # ---- 50-slot cut falls here ----
-        # driver-recorded-green entries rotated to the tail (r02-r05
-        # artifacts; still value-checked by tools/check_entry.py)
-        # boosting/constant_score: new but their paths (scored_terms /
-        # _candidates) are window-covered by ft_dis_max + ft_msm —
-        # head-of-tail so they're first in line for a future window
-        "ft_boosting", "ft_const", "ts_strat", "ts_split",
-        "agg_matrix", "agg_autodh",
-        "ft_match_or", "ft_match_and", "ft_wildcard_prefix", "ft_phrase",
+        # head-of-tail: r06-recorded-green, unmoved paths — first in
+        # line for the r8 window
+        "ft_match_streamed", "ft_match_deleted", "ft_match_purged",
+        "ft_match_upserted",
+        "agg_cardinality", "agg_percentiles", "agg_stats", "agg_terms",
+        "agg_composite", "agg_histogram", "agg_geotile",
+        "agg_top_hits", "agg_pipeline",
+        "ft_collapse", "ev_search_after",
+        # r02-r05-recorded tail (still value-checked by
+        # tools/check_entry.py every round)
         "ft_phrase_slop", "ft_phrase_slop3", "ft_source_filter",
         "ft_fuzzy", "ft_boost", "ft_qs_required",
         "ev_range_scan", "sp_filter_vars", "plan_id_slices", "wr_index",
-        "plan_date_slices", "ss_roundtrip", "dd_exact", "dd_minhash_lsh",
+        "plan_date_slices", "ss_roundtrip", "dd_exact",
         "dd_dup_clusters", "dd_dedup_apply", "ts_token_count", "mm_features",
-        "plan_date_subslices",
         "wr_update", "wr_update_fields", "wr_delete",
         "wr_lww", "wr_routed", "wr_reject",
         "dd_jaccard_lsh", "ts_quality",
         "ft_match_all_k", "ft_count", "ev_id_prefix_counts",
-        "ev_date_histogram",
-        "ev_geo_box", "ev_geo_distance",
+        "ev_geo_box",
         "ev_count", "ev_minmax",
         "ev_track_total", "ev_json_extract", "ev_sort_limit",
         "ev_geo_sorted", "ev_delayed_window", "ev_slice_query",
@@ -1920,7 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_lang_id", "ts_fingerprint",
         "stream_sessions", "dd_jaccard", "dd_simhash",
         # similarity core
-        "sim_near_dup_banded", "sim_cosine_topk", "sim_near_dup",
+        "sim_near_dup_banded", "sim_near_dup",
         # r02-proven tail + the slow streamers
         "sp_filter", "ft_regexp",
         "stream_windows",

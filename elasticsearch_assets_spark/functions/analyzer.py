@@ -87,7 +87,15 @@ def analyze_col(col: Column | str) -> Column:
     s = F.regexp_replace(s, ACRONYM_RE, r"$1 $2")
     s = F.lower(s)
     arr = F.split(s, SPLIT_RE)
-    return F.filter(arr, lambda t: t != F.lit(""))
+    # drop-empty-tokens step (e) as array_remove, NOT
+    # F.filter(arr, lambda t: t != ""): identical output (split yields
+    # no NULL elements, array_remove drops every '' element), but
+    # lambda-free (r7, guide §1.1/§7.2). A LambdaFunction anywhere in
+    # an expression forces the enclosing Generate/Filter/Project node
+    # out of whole-stage codegen into interpreted evaluation, and
+    # lambda variable exprIds defeat plan canonicalization, so
+    # identical analyzer subtrees were never Exchange/subquery-reused.
+    return F.array_remove(arr, "")
 
 
 def duckdb_analyze_sql(expr: str) -> str:

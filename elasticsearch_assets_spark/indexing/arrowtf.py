@@ -134,7 +134,51 @@ def tf_encoder(text_col: str):
     return fn
 
 
-def _shingle_batch(batch: pa.RecordBatch, text_col: str, n: int) -> pa.RecordBatch:
+def ensure_scan_parallelism(df):
+    """Few-file parquet inputs cap the map stage at the file/row-group
+    count (a 58 MB single-row-group file = ONE task no matter the
+    cluster) — the same trap build_index guards against. Repartition to
+    defaultParallelism when the scan is coarser; at real corpus scale
+    the scan has plenty of splits and this is a no-op (guide §2.5
+    "input skew: one huge unsplittable file — repartition immediately
+    after the read")."""
+    spark_dp = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < spark_dp:
+        return df.repartition(spark_dp)
+    return df
+
+
+def encode_tf(df, text_col: str = "text", keep: list[str] | None = None):
+    """DataFrame-level wrapper over ``tf_encoder``: project down to
+    ``keep`` + the text column (guide §4.1 — mapInArrow ships every
+    column it is given, so select first), run the one-stage Arrow
+    analyzer/tf encoder, and return (keep..., dl, terms, tfs) where
+    ``terms`` is the doc's DISTINCT tokens and ``tfs`` the aligned
+    term frequencies (sum(tfs) == dl). Token parity with analyze_col /
+    analyze_text is exact (tests/test_build_paths.py); text-consuming
+    operators use this instead of exploding analyze_col when they need
+    token MULTISETS rather than token order (r7: the JVM regex chain
+    measures ~4.5 MB/s/core vs ~30 MB/s/core for these RE2 kernels)."""
+    from pyspark.sql import functions as F
+
+    keep = list(keep or [])
+    reserved = {"dl", "terms", "tfs"}
+    assert not reserved & set(keep), f"keep collides with {reserved}"
+    sel = ensure_scan_parallelism(df.select(*keep, F.col(text_col)))
+    schema = "".join(
+        f"{c} {sel.schema[c].dataType.simpleString()}, " for c in keep
+    )
+    return sel.mapInArrow(
+        tf_encoder(text_col),
+        schema + "dl int, terms array<string>, tfs array<int>",
+    )
+
+
+def _doc_shingles(batch: pa.RecordBatch, text_col: str, n: int):
+    """Per-batch core shared by the shingle encoders: returns
+    (nrows, out_doc, out_shingle) where out_doc (np.int64 row indices,
+    ascending) and out_shingle (pa.StringArray) list each doc's
+    DISTINCT word-n-gram shingles."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -155,12 +199,9 @@ def _shingle_batch(batch: pa.RecordBatch, text_col: str, n: int) -> pa.RecordBat
     # window starts, globally indexed into the filtered token stream
     wc = np.maximum(counts - (n - 1), 0)
     total = int(wc.sum())
-    id_arr = batch.column(0)
     if total == 0:
-        return pa.RecordBatch.from_arrays(
-            [id_arr.take(pa.array([], type=pa.int64())),
-             pa.array([], type=pa.string())],
-            names=[batch.schema[0].name, "shingle"],
+        return nrows, np.empty(0, dtype=np.int64), pa.array(
+            [], type=pa.string()
         )
     doc_off = np.zeros(nrows + 1, dtype=np.int64)
     np.cumsum(counts, out=doc_off[1:])
@@ -181,12 +222,57 @@ def _shingle_batch(batch: pa.RecordBatch, text_col: str, n: int) -> pa.RecordBat
     first = np.empty(len(ds), dtype=bool)
     first[0] = True
     np.logical_or(ds[1:] != ds[:-1], cs[1:] != cs[:-1], out=first[1:])
-    out_doc = ds[first]
-    out_shingle = enc.dictionary.take(pa.array(cs[first]))
+    return nrows, ds[first], enc.dictionary.take(pa.array(cs[first]))
+
+
+def _shingle_batch(batch: pa.RecordBatch, text_col: str, n: int) -> pa.RecordBatch:
+    import numpy as np
+
+    id_arr = batch.column(0)
+    nrows, out_doc, out_shingle = _doc_shingles(batch, text_col, n)
     return pa.RecordBatch.from_arrays(
         [id_arr.take(pa.array(out_doc)), out_shingle],
         names=[batch.schema[0].name, "shingle"],
     )
+
+
+def _shingle_array_batch(
+    batch: pa.RecordBatch, text_col: str, n: int
+) -> pa.RecordBatch:
+    import numpy as np
+
+    id_arr = batch.column(0)
+    nrows, out_doc, out_shingle = _doc_shingles(batch, text_col, n)
+    # out_doc is ascending, so per-doc list offsets are a bincount cumsum
+    per_doc = np.bincount(out_doc, minlength=nrows) if len(out_doc) else (
+        np.zeros(nrows, dtype=np.int64)
+    )
+    offsets = np.zeros(nrows + 1, dtype=np.int32)
+    np.cumsum(per_doc, out=offsets[1:])
+    sh_list = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), out_shingle
+    )
+    return pa.RecordBatch.from_arrays(
+        [id_arr, sh_list], names=[batch.schema[0].name, "_sh"]
+    )
+
+
+def encode_shingle_arrays(df, text_col: str, id_col: str, n: int):
+    """(<id>, _sh array<string>) with each doc's DISTINCT word-n-gram
+    shingles — one row per INPUT doc (empty array when the doc has
+    < n tokens). The per-doc-array shape feeds zero-shuffle signature
+    folds (minhash); `shingles` is the exploded-rows variant. Same RE2
+    analyzer + window arithmetic; includes the scan-parallelism guard."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            yield _shingle_array_batch(batch, text_col, n)
+
+    from pyspark.sql import functions as F
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    sel = ensure_scan_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    return sel.mapInArrow(fn, f"{id_col} {id_type}, _sh array<string>")
 
 
 def shingle_encoder(text_col: str, n: int):

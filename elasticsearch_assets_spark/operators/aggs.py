@@ -753,12 +753,19 @@ def significant_terms(
     the score one subtraction, one multiplication, one division in
     pinned order — mirrored verbatim in the DuckDB oracle — with
     round(4) + term tie-break at the ranked surface."""
-    from ..functions.analyzer import analyze_col
+    from ..indexing.arrowtf import encode_tf
 
-    toks = df.select(
-        F.explode(F.array_distinct(analyze_col(text_col))).alias("term"),
-        foreground.alias("fg"),
-    )
+    # r7: per-doc DISTINCT terms come from the Arrow encoder's terms[]
+    # (identical set to array_distinct(analyze_col) — encoder groups
+    # are per-(doc, term)); the JVM regex chain was the whole cost of
+    # this agg at the 100x probe (17.8 s -> RE2 batch kernels). The
+    # foreground predicate is evaluated BEFORE the encoder so arbitrary
+    # df columns stay usable without shipping them through Arrow.
+    toks = encode_tf(
+        df.select(foreground.alias("fg"), F.col(text_col)),
+        text_col,
+        keep=["fg"],
+    ).select(F.explode("terms").alias("term"), F.col("fg"))
     per_term = toks.groupBy("term").agg(
         F.sum(F.when(F.col("fg"), 1).otherwise(0)).cast("long").alias("fg_count"),
         F.count("*").alias("bg_count"),

@@ -62,17 +62,40 @@ def chunk_tokens(
         stride = window
     if not 1 <= stride <= window:
         raise ValueError(f"stride must be in [1, window], got {stride}")
-    toks = df.select(F.col(id_col), analyze_col(text_col).alias("_toks")).withColumn(
+    from ..indexing.arrowtf import ensure_scan_parallelism
+
+    # zero-KEY-shuffle stays the contract; the only exchange ever added
+    # is the adaptive round-robin when the input scan has fewer splits
+    # than cores (single-row-group files serialize the analyzer pass —
+    # r7, same guard as build_index; no-op on well-split input)
+    base = ensure_scan_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    toks = base.select(F.col(id_col), analyze_col(text_col).alias("_toks")).withColumn(
         "_n", F.size("_toks")
     )
-    # F.sequence(0, x) DESCENDS for x < 0 (CLAUDE.md) — gate empty docs
-    # out before building the chunk-index sequence.
-    nonempty = toks.where(F.col("_n") > 0).withColumn(
-        "_idx", F.sequence(F.lit(0), ((F.col("_n") - 1) / F.lit(stride)).cast("int"))
+    # F.sequence(0, x) DESCENDS for x < 0 (CLAUDE.md) — empty docs must
+    # not reach the chunk-index sequence. r7: the guard is a NULL
+    # sequence + explode_outer + a filter on the GENERATOR OUTPUT, not
+    # a `where(_n > 0)` on the input rows. The row-filter version let
+    # PushPredicateThroughProject + InferFiltersFromGenerate re-inline
+    # the full analyzer chain THREE more times into an interpreted
+    # pre-Generate Filter node (measured 24.3 s -> 11.6 s at the 100x
+    # probe from this fix alone, -> 2.1 s with the scan-parallelism
+    # guard below; plan: 12 regexp_replace -> 3, all whole-stage
+    # codegen); a filter on chunk_id cannot be pushed below the
+    # Generate that produces it, and explode_outer infers no generator
+    # filters, so the analyzer runs once per row.
+    idx = toks.withColumn(
+        "_idx",
+        F.when(
+            F.col("_n") > 0,
+            F.sequence(
+                F.lit(0), ((F.col("_n") - 1) / F.lit(stride)).cast("int")
+            ),
+        ),
     )
-    c = nonempty.select(
-        id_col, "_toks", "_n", F.explode("_idx").alias("chunk_id")
-    )
+    c = idx.select(
+        id_col, "_toks", "_n", F.explode_outer("_idx").alias("chunk_id")
+    ).where(F.col("chunk_id").isNotNull())
     start = F.col("chunk_id") * F.lit(stride)
     n_tok = F.least(F.lit(window), F.col("_n") - start)
     return c.select(

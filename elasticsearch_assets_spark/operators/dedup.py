@@ -21,7 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from elasticsearch_assets_spark.functions.analyzer import analyze_col
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -51,10 +50,14 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     5k docs. The arrow encoder runs the analyzer once per doc (RE2,
     6.6x the JVM regex throughput) and builds windows + per-doc
     distinct with vectorized int ops; same (<id>, shingle) multiset."""
-    from elasticsearch_assets_spark.indexing.arrowtf import shingle_encoder
+    from elasticsearch_assets_spark.indexing.arrowtf import (
+        ensure_scan_parallelism,
+        shingle_encoder,
+    )
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(F.col(id_col), F.col(text_col)).mapInArrow(
+    sel = ensure_scan_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    return sel.mapInArrow(
         shingle_encoder(text_col, n), f"{id_col} {id_type}, shingle string"
     )
 
@@ -111,23 +114,28 @@ def minhash_signatures(
     # already, so the k mins are array folds — the former
     # explode→groupBy(id) re-shuffled every shingle row just to fold it
     # back per doc (measured 0.69s→0.45s on the sf0.1 LSH pipeline).
+    # The per-doc shingle ARRAY comes from the Arrow encoder (r7,
+    # second pass): the JVM window build — slice(_toks) inside a
+    # transform lambda plus a pushed-down where(size(_sh) > 0) — ran
+    # interpreted with the whole shingle pipeline duplicated into the
+    # Filter, and a single-row-group scan serialized it onto one core:
+    # the COLD path measured > 400 s at the 100x probe (warm bench reps
+    # hid it behind the band-frame persist). Arrow encode + guard:
+    # 80.5 s cold / 11.8 s warm on the same probe (the residual is the
+    # 33M candidate pairs of that 100x-duplicated corpus, not the
+    # signatures). The where() cannot be pushed below the opaque
+    # mapInArrow boundary, so nothing re-inlines.
     # Each md5 digest is STAGED as its own projected column so it runs
     # once per (shingle, digest) — nested HOF references re-evaluate
     # their subtree per element (the passB lesson, OPTIMIZATION_r07).
     # Factory lambdas: PySpark introspects lambda arity.
-    toks = df.select(F.col(id_col), analyze_col(text_col).alias("_toks"))
-    sh = toks.select(
-        id_col,
-        F.when(
-            F.size("_toks") >= n,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_toks") - F.lit(n)),
-                    lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, n)),
-                )
-            ),
-        ).otherwise(F.array().cast("array<string>")).alias("_sh"),
-    ).where(F.size("_sh") > 0)
+    from elasticsearch_assets_spark.indexing.arrowtf import (
+        encode_shingle_arrays,
+    )
+
+    sh = encode_shingle_arrays(df, text_col, id_col, n).where(
+        F.size("_sh") > 0
+    )
 
     def _digest(d):
         return lambda s: F.md5(F.concat(s, F.lit(f":{d}")))
@@ -299,8 +307,19 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     Fully expressible as SQL in both engines. Returns (<id>, simhash)
     with simhash as a bits-length bitstring."""
     assert bits <= 32
-    toks = df.select(F.col(id_col), F.explode(analyze_col(text_col)).alias("tok"))
-    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    # r7: per-(id, tok) tf straight from the Arrow encoder batch —
+    # identical counts, but the explode + groupBy(id, tok) shuffle and
+    # the JVM analyzer pass are gone (guide §2.4/§4.2; same shape as
+    # doc_nll/the index build).
+    from elasticsearch_assets_spark.indexing.arrowtf import encode_tf
+
+    tf = encode_tf(df, text_col, keep=[id_col]).select(
+        F.col(id_col), F.explode(F.arrays_zip("terms", "tfs")).alias("_z")
+    ).select(
+        id_col,
+        F.col("_z.terms").alias("tok"),
+        F.col("_z.tfs").cast("long").alias("tf"),
+    )
     h = tf.withColumn("_h", F.md5(F.col("tok")))
     bit_aggs = []
     for b in range(bits):

@@ -198,12 +198,25 @@ def unigram_lm(
     log-probability (pass it as doc_nll's ``oov_logp`` when scoring
     text the LM wasn't trained on).
 
-    One explode + groupBy(term) — the same shuffle as a dictionary
-    build; the totals ride a broadcast one-row cross join, never a
-    collect. Counts are exact longs; logp is a single double expression
-    over them, so the LM is bit-reproducible across partitionings."""
-    toks = df.select(F.explode(analyze_col(text_col)).alias("term"))
-    counts = toks.groupBy("term").agg(F.count("*").alias("count"))
+    One Arrow tf pass + groupBy(term) — the same shuffle as a
+    dictionary build; the totals ride a broadcast one-row cross join,
+    never a collect. Counts are exact longs (sum of exact per-doc tfs
+    == the exploded token count); logp is a single double expression
+    over them, so the LM is bit-reproducible across partitionings.
+
+    r7: the token stream comes from arrowtf.encode_tf, not
+    explode(analyze_col) — the corpus-wide term counts are identical,
+    but the JVM regex analyzer (~4.5 MB/s/core, interpreted when a
+    lambda rode along) is replaced by the RE2 batch kernels and the
+    shuffle carries per-(doc, term) tf rows instead of every token."""
+    from ..indexing.arrowtf import encode_tf
+
+    toks = encode_tf(df, text_col).select(
+        F.explode(F.arrays_zip("terms", "tfs")).alias("_z")
+    )
+    counts = toks.groupBy(F.col("_z.terms").alias("term")).agg(
+        F.sum("_z.tfs").alias("count")
+    )
     tot = counts.agg(
         F.sum("count").alias("_total"), F.count("*").alias("_vocab")
     )
@@ -233,22 +246,30 @@ def doc_nll(
     (<id>, n_tok, nll_per_tok); empty docs are dropped (no tokens = no
     likelihood).
 
-    Shape: explode -> per-(doc, term) tf (ONE shuffle, the tf shape the
-    index build uses) -> join the LM on term (AQE broadcasts a small
-    LM; a 10^8-term LM shuffles on the term key like any posting join)
-    -> per-doc term-sorted array fold of tf * -logp (the scored_terms
-    float protocol: bit-stable across shuffle arrival orders). The
-    division by n_tok is the only op after the fold.
+    Shape (r7): per-(doc, term) tf comes straight out of the Arrow
+    encoder batch (arrowtf.encode_tf — ZERO shuffles: the former
+    explode + groupBy(doc, term) aggregation pass and its shuffle are
+    gone, and tf is exact because a doc's tokens never span batches,
+    the same invariant the index build relies on) -> join the LM on
+    term (AQE broadcasts a small LM; a 10^8-term LM shuffles on the
+    term key like any posting join) -> per-doc term-sorted array fold
+    of tf * -logp (the scored_terms float protocol: bit-stable across
+    shuffle arrival orders). The division by n_tok is the only op
+    after the fold.
 
     ``oov_logp``: log-prob for terms missing from the LM (use the
     reserved-slot value documented in unigram_lm). None = score only
     in-vocabulary tokens (n_tok still counts ALL tokens, so OOV-heavy
     docs read as artificially likely — pass oov_logp when the LM and
     the corpus differ)."""
-    tf = (
-        df.select(F.col(id_col), F.explode(analyze_col(text_col)).alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
+    from ..indexing.arrowtf import encode_tf
+
+    tf = encode_tf(df, text_col, keep=[id_col]).select(
+        F.col(id_col), F.explode(F.arrays_zip("terms", "tfs")).alias("_z")
+    ).select(
+        id_col,
+        F.col("_z.terms").alias("term"),
+        F.col("_z.tfs").cast("long").alias("tf"),
     )
     j = tf.join(lm.select("term", "logp"), "term", "left")
     if oov_logp is None:

@@ -513,8 +513,22 @@ def test_chunk_tokens_no_shuffle(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = _plan(chunking.chunk_tokens(docs, 32))
-    assert "Exchange" not in plan, plan  # explode of per-row sequence: narrow
+    # no KEYED shuffle ever; a single-file scan may gain the adaptive
+    # round-robin parallelism repartition (r7), nothing else
+    assert "Exchange hashpartitioning" not in plan, plan
+    # the analyzer runs once per row: exactly one copy of the 3-regex
+    # chain (the former `where(_n > 0)` guard re-inlined it 3 more
+    # times into an interpreted pre-Generate Filter — r7)
+    assert plan.count("regexp_replace") == 3, plan
     # window text never re-materializes: only boundary tokens project
     scan = [l for l in plan.splitlines() if "FileScan" in l][0]
     read = scan.split("ReadSchema:")[1]
     assert "text" in read and "lang" not in read, scan
+    # with a well-split input chunk_tokens adds NO exchange of its own:
+    # the only one in this plan is the test's explicit repartition
+    import re
+
+    wide = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    plan2 = _plan(chunking.chunk_tokens(wide, 32))
+    exchanges = re.findall(r"Exchange \w+", plan2)
+    assert len(exchanges) == 1 and "oundrobin" in exchanges[0].lower(), plan2
