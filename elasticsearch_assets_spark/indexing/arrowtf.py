@@ -134,18 +134,37 @@ def tf_encoder(text_col: str):
     return fn
 
 
-def ensure_scan_parallelism(df):
+def ensure_scan_parallelism(df, min_bytes: int = 32 << 20):
     """Few-file parquet inputs cap the map stage at the file/row-group
     count (a 58 MB single-row-group file = ONE task no matter the
     cluster) — the same trap build_index guards against. Repartition to
     defaultParallelism when the scan is coarser; at real corpus scale
     the scan has plenty of splits and this is a no-op (guide §2.5
     "input skew: one huge unsplittable file — repartition immediately
-    after the read")."""
+    after the read").
+
+    Scale-adaptive (guide §2 "derive from input size"): inputs smaller
+    than ``min_bytes`` are left alone — below ~1 MB/core the exchange
+    costs more than the serialized compute it parallelizes, and bench-
+    scale frames must not pay a shuffle that only a pathological BIG
+    single-file layout needs. Unknown sizes (non-file sources) guard
+    conservatively."""
     spark_dp = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < spark_dp:
-        return df.repartition(spark_dp)
-    return df
+    if df.rdd.getNumPartitions() >= spark_dp:
+        return df
+    try:
+        import os
+
+        files = df.inputFiles()
+        size = sum(
+            os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+            for f in files
+        )
+    except Exception:
+        size = None
+    if size is not None and size < min_bytes:
+        return df
+    return df.repartition(spark_dp)
 
 
 def encode_tf(df, text_col: str = "text", keep: list[str] | None = None):
@@ -174,11 +193,10 @@ def encode_tf(df, text_col: str = "text", keep: list[str] | None = None):
     )
 
 
-def _doc_shingles(batch: pa.RecordBatch, text_col: str, n: int):
-    """Per-batch core shared by the shingle encoders: returns
-    (nrows, out_doc, out_shingle) where out_doc (np.int64 row indices,
-    ascending) and out_shingle (pa.StringArray) list each doc's
-    DISTINCT word-n-gram shingles."""
+def _flat_tokens(batch: pa.RecordBatch, text_col: str):
+    """Analyzer prelude shared by the window-based encoders: returns
+    (nrows, flat, doc_idx, counts) — the filtered flat token stream,
+    each token's row index, and per-row token counts."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -195,6 +213,18 @@ def _doc_shingles(batch: pa.RecordBatch, text_col: str, n: int):
         flat = flat.filter(keep)
         doc_idx = doc_idx[keep_np]
     counts = np.bincount(doc_idx, minlength=nrows)
+    return nrows, flat, doc_idx, counts
+
+
+def _doc_shingles(batch: pa.RecordBatch, text_col: str, n: int):
+    """Per-batch core shared by the shingle encoders: returns
+    (nrows, out_doc, out_shingle) where out_doc (np.int64 row indices,
+    ascending) and out_shingle (pa.StringArray) list each doc's
+    DISTINCT word-n-gram shingles."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    nrows, flat, doc_idx, counts = _flat_tokens(batch, text_col)
 
     # window starts, globally indexed into the filtered token stream
     wc = np.maximum(counts - (n - 1), 0)
@@ -273,6 +303,92 @@ def encode_shingle_arrays(df, text_col: str, id_col: str, n: int):
     id_type = df.schema[id_col].dataType.simpleString()
     sel = ensure_scan_parallelism(df.select(F.col(id_col), F.col(text_col)))
     return sel.mapInArrow(fn, f"{id_col} {id_type}, _sh array<string>")
+
+
+def _gram_stats_batch(
+    batch: pa.RecordBatch, text_col: str, ns: tuple
+) -> pa.RecordBatch:
+    """Per-doc n-gram multiset statistics for each n in ns: total
+    window count, distinct-gram count, and the max multiplicity of any
+    single gram. Gram identity = the n-tuple of token DICTIONARY CODES
+    (tokens contain no separators, so tuple equality == joined-string
+    equality — no gram strings are ever built). Counts are exact ints;
+    the fraction arithmetic (and its HALF_UP rounding) stays JVM-side
+    so cross-engine float parity is untouched."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    nrows, flat, doc_idx, counts = _flat_tokens(batch, text_col)
+    if len(doc_idx):
+        codes = np.asarray(pc.dictionary_encode(flat).indices, dtype=np.int64)
+    else:
+        codes = np.empty(0, dtype=np.int64)
+    doc_off = np.zeros(nrows + 1, dtype=np.int64)
+    np.cumsum(counts, out=doc_off[1:])
+
+    cols = [batch.column(0)]
+    names = [batch.schema[0].name]
+    for n in ns:
+        wc = np.maximum(counts - (n - 1), 0)
+        total = int(wc.sum())
+        if total == 0:
+            z = np.zeros(nrows, dtype=np.int32)
+            dist = top = z
+        else:
+            w_off = np.zeros(nrows + 1, dtype=np.int64)
+            np.cumsum(wc, out=w_off[1:])
+            win_doc = np.repeat(np.arange(nrows, dtype=np.int64), wc)
+            g = (np.arange(total, dtype=np.int64)
+                 - np.repeat(w_off[:-1], wc)
+                 + np.repeat(doc_off[:-1], wc))
+            cols_n = [codes[g + i] for i in range(n)]
+            order = np.lexsort(tuple(reversed(cols_n)) + (win_doc,))
+            ds = win_doc[order]
+            sorted_cols = [c[order] for c in cols_n]
+            boundary = np.empty(total, dtype=bool)
+            boundary[0] = True
+            acc = ds[1:] != ds[:-1]
+            for c in sorted_cols:
+                acc = acc | (c[1:] != c[:-1])
+            boundary[1:] = acc
+            starts = np.flatnonzero(boundary)
+            group_counts = np.diff(np.append(starts, total))
+            doc_of_group = ds[starts]
+            dist = np.bincount(doc_of_group, minlength=nrows).astype(np.int32)
+            # per-doc max multiplicity: groups are doc-contiguous
+            first_group = np.empty(len(doc_of_group), dtype=bool)
+            first_group[0] = True
+            first_group[1:] = doc_of_group[1:] != doc_of_group[:-1]
+            seg_starts = np.flatnonzero(first_group)
+            seg_max = np.maximum.reduceat(group_counts, seg_starts)
+            top = np.zeros(nrows, dtype=np.int32)
+            top[doc_of_group[seg_starts]] = seg_max.astype(np.int32)
+        cols += [
+            pa.array(wc.astype(np.int32)),
+            pa.array(dist),
+            pa.array(top),
+        ]
+        names += [f"_tot{n}", f"_dist{n}", f"_top{n}"]
+    return pa.RecordBatch.from_arrays(cols, names=names)
+
+
+def encode_gram_stats(df, text_col: str, id_col: str, ns: tuple):
+    """(<id>, _tot<n>, _dist<n>, _top<n> per n) — the integer inputs of
+    the Gopher repetition fractions, one Arrow stage (scan guard
+    included)."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            yield _gram_stats_batch(batch, text_col, tuple(ns))
+
+    from pyspark.sql import functions as F
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    sel = ensure_scan_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    schema = f"{id_col} {id_type}" + "".join(
+        f", _tot{n} int, _dist{n} int, _top{n} int" for n in ns
+    )
+    return sel.mapInArrow(fn, schema)
 
 
 def shingle_encoder(text_col: str, n: int):

@@ -40,6 +40,9 @@ def pii_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document PII match counts: (<id>, n_email, n_ipv4, n_ssn,
     n_phone, n_pii). regexp_count — no match-array allocation; NULL
     text coalesced to '' (0 counts, same as the SQL mirror)."""
+    from ..indexing.arrowtf import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df)
     t = F.coalesce(F.col(text_col), F.lit(""))
     counts = {
         k: F.regexp_count(t, F.lit(p)).cast("long") for k, p in PII_PATTERNS.items()
@@ -61,6 +64,9 @@ def redact_pii(
     ``<IPV4>``, ``<SSN>``, ``<PHONE>``) — the standard pre-training
     scrub. Chained regexp_replace in PII_PATTERNS order (Spark
     regexp_replace is global; the DuckDB mirror needs the 'g' flag)."""
+    from ..indexing.arrowtf import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df)
     out: Column = F.coalesce(F.col(text_col), F.lit(""))
     for k, p in PII_PATTERNS.items():
         out = F.regexp_replace(out, p, f"<{k.upper()}>")
@@ -78,6 +84,9 @@ _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 def extract_urls(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(<id>, url) — one row per URL occurrence in the text."""
     t = F.coalesce(F.col(text_col), F.lit(""))
+    from ..indexing.arrowtf import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df)
     return df.select(
         F.col(id_col), F.explode(F.regexp_extract_all(t, F.lit(URL_REGEX), 0)).alias("url")
     )

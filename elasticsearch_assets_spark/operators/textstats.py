@@ -48,6 +48,9 @@ def token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     (Spark >=3.5): counts matches without materializing the piece
     array — at 100 TB doc sizes the allocation matters.
     """
+    from ..indexing.arrowtf import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df)
     text = F.coalesce(F.col(text_col), F.lit(""))
     return df.select(
         F.col(id_col),
@@ -64,8 +67,17 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     - stopword ratio (fluency signal)
     - alpha ratio (symbol-spam signal)
     """
+    from ..indexing.arrowtf import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df)
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    toks = analyze_col(text_col)
+    # materialize the token array as its own projection (r7): `toks`
+    # is referenced twice below, and inlined raw it re-ran the full
+    # analyzer chain per reference (interpreted — the stop-count
+    # lambda keeps this node out of codegen). As a multi-referenced
+    # expensive alias, CollapseProject keeps it an attribute.
+    base = df.select(F.col(id_col), F.col(text_col), analyze_col(text_col).alias("_toks"))
+    toks = F.col("_toks")
     n_words = F.size(words)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
@@ -79,7 +91,7 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         + alpha_ratio * 0.4
         + F.when((n_words >= 10) & (n_words <= 100000), 0.2).otherwise(0.0)
     )
-    return df.select(
+    return base.select(
         F.col(id_col),
         len_chars.alias("len_chars"),
         n_words.alias("n_words"),
@@ -92,7 +104,16 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Marker-word language ID: argmax over per-language marker hit
     counts; ties and zero evidence → 'und'. (<id>, lang_pred)."""
-    toks = analyze_col(text_col)
+    # materialized like quality_score's _toks (r7): `toks` is
+    # referenced once PER LANGUAGE below — inlined raw, that was
+    # len(LANG_MARKERS) interpreted analyzer runs per row.
+    from ..indexing.arrowtf import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df)
+    df = df.select(
+        F.col(id_col), analyze_col(text_col).alias("_toks")
+    )
+    toks = F.col("_toks")
     scores = []
     for lang, markers in sorted(LANG_MARKERS.items()):
         arr = F.array(*[F.lit(m) for m in markers])
@@ -127,55 +148,45 @@ def repetition(
 
     Both rounded to 4dp; docs shorter than n tokens score 0.0.
 
-    Zero shuffle by construction: n-grams, the distinct count, and the
-    most-frequent-gram count are all higher-order array expressions
-    evaluated per row inside whole-stage codegen — exploding the
-    n-grams into a groupBy would shuffle every token of a 100 TB
-    corpus just to compute a per-doc ratio. The top-gram count sorts
-    the gram array and folds the longest equal-adjacent run
-    (O(t log t) per doc), not a per-distinct-gram filter scan (O(d*t)).
+    No shuffle of token data: per-(doc, gram) counting happens inside
+    ONE vectorized Arrow stage (arrowtf.encode_gram_stats — gram
+    identity via token dictionary-code tuples, lexsort + boundary
+    runs), and only three ints per (doc, n) reach the JVM — exploding
+    the n-grams into a groupBy would shuffle every token of a 100 TB
+    corpus just to compute a per-doc ratio.
+
+    r7: the former all-in-one-Project JVM expression version (windows
+    via slice-in-lambda, array_distinct, a sort_array + fold for the
+    top-gram run) evaluated INTERPRETED (lambdas disable whole-stage
+    codegen, and interpreted projections do no subexpression
+    elimination) — a 100x materialized probe did not finish one pass
+    in 480 s; the Arrow stage reads 3.4 s warm / 9.6 s cold. The
+    fraction arithmetic and HALF_UP rounding are the SAME Spark
+    expressions over the same exact integers, so values are
+    bit-identical (gate green).
     """
-    toks = analyze_col(text_col)
+    from ..indexing.arrowtf import encode_gram_stats
+
+    enc = encode_gram_stats(df, text_col, id_col, tuple(ns))
     cols = [F.col(id_col)]
     for n in ns:
-        # NB: F.sequence(0, x) DESCENDS when x < 0 — short docs must
-        # short-circuit to an empty array explicitly
-        grams = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        total = F.size(grams)
+        total = F.col(f"_tot{n}")
         dup = F.when(
             total > 0,
-            F.lit(1.0) - F.size(F.array_distinct(grams)) / total,
+            F.lit(1.0) - F.col(f"_dist{n}") / total,
         ).otherwise(F.lit(0.0))
-        init = F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-        )
-
-        def _merge(acc, x):
-            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-            return F.struct(
-                x.alias("prev"),
-                run.alias("run"),
-                F.greatest(run, acc["best"]).alias("best"),
-            )
-
-        best = F.aggregate(F.sort_array(grams), init, _merge)["best"]
-        top = F.when(total > 0, best / total).otherwise(F.lit(0.0))
+        top = F.when(total > 0, F.col(f"_top{n}") / total).otherwise(F.lit(0.0))
         cols.append(F.round(dup, 4).alias(f"dup_{n}gram_frac"))
         cols.append(F.round(top, 4).alias(f"top_{n}gram_frac"))
-    return df.select(*cols)
+    return enc.select(*cols)
 
 
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set —
     order/whitespace-insensitive content identity. (<id>, fp)."""
+    from ..indexing.arrowtf import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df)
     toks = F.array_sort(F.array_distinct(analyze_col(text_col)))
     return df.select(
         F.col(id_col),
