@@ -134,7 +134,7 @@ def tf_encoder(text_col: str):
     return fn
 
 
-def ensure_scan_parallelism(df, min_bytes: int = 32 << 20):
+def ensure_scan_parallelism(df, min_bytes: int = 2 << 20):
     """Few-file parquet inputs cap the map stage at the file/row-group
     count (a 58 MB single-row-group file = ONE task no matter the
     cluster) — the same trap build_index guards against. Repartition to
@@ -144,11 +144,13 @@ def ensure_scan_parallelism(df, min_bytes: int = 32 << 20):
     after the read").
 
     Scale-adaptive (guide §2 "derive from input size"): inputs smaller
-    than ``min_bytes`` are left alone — below ~1 MB/core the exchange
-    costs more than the serialized compute it parallelizes, and bench-
-    scale frames must not pay a shuffle that only a pathological BIG
-    single-file layout needs. Unknown sizes (non-file sources) guard
-    conservatively."""
+    than ``min_bytes`` are left alone — there the exchange costs more
+    than the serialized compute it parallelizes, and bench-scale
+    frames must not pay a shuffle that only a BIG few-file layout
+    needs. 2 MB floor: a 5.8 MB single-file text table measured 6.5 s
+    single-core through the shingle encoder vs ~1 s repartitioned,
+    while at 0.6 MB the guard's exchange only added overhead. Unknown
+    sizes (non-file sources) guard conservatively."""
     spark_dp = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= spark_dp:
         return df
@@ -264,45 +266,6 @@ def _shingle_batch(batch: pa.RecordBatch, text_col: str, n: int) -> pa.RecordBat
         [id_arr.take(pa.array(out_doc)), out_shingle],
         names=[batch.schema[0].name, "shingle"],
     )
-
-
-def _shingle_array_batch(
-    batch: pa.RecordBatch, text_col: str, n: int
-) -> pa.RecordBatch:
-    import numpy as np
-
-    id_arr = batch.column(0)
-    nrows, out_doc, out_shingle = _doc_shingles(batch, text_col, n)
-    # out_doc is ascending, so per-doc list offsets are a bincount cumsum
-    per_doc = np.bincount(out_doc, minlength=nrows) if len(out_doc) else (
-        np.zeros(nrows, dtype=np.int64)
-    )
-    offsets = np.zeros(nrows + 1, dtype=np.int32)
-    np.cumsum(per_doc, out=offsets[1:])
-    sh_list = pa.ListArray.from_arrays(
-        pa.array(offsets, type=pa.int32()), out_shingle
-    )
-    return pa.RecordBatch.from_arrays(
-        [id_arr, sh_list], names=[batch.schema[0].name, "_sh"]
-    )
-
-
-def encode_shingle_arrays(df, text_col: str, id_col: str, n: int):
-    """(<id>, _sh array<string>) with each doc's DISTINCT word-n-gram
-    shingles — one row per INPUT doc (empty array when the doc has
-    < n tokens). The per-doc-array shape feeds zero-shuffle signature
-    folds (minhash); `shingles` is the exploded-rows variant. Same RE2
-    analyzer + window arithmetic; includes the scan-parallelism guard."""
-
-    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for batch in batches:
-            yield _shingle_array_batch(batch, text_col, n)
-
-    from pyspark.sql import functions as F
-
-    id_type = df.schema[id_col].dataType.simpleString()
-    sel = ensure_scan_parallelism(df.select(F.col(id_col), F.col(text_col)))
-    return sel.mapInArrow(fn, f"{id_col} {id_type}, _sh array<string>")
 
 
 def _gram_stats_batch(

@@ -110,55 +110,38 @@ def minhash_signatures(
     lexicographically == numerically in both engines). md5-based so
     DuckDB reproduces it exactly. 32-bit mins are collision-safe to
     ~2^16 shingles/doc. Returns (<id>, mh_0..mh_{k-1})."""
-    # ZERO-shuffle signatures (r7): the shingle set is a per-doc array
-    # already, so the k mins are array folds — the former
-    # explode→groupBy(id) re-shuffled every shingle row just to fold it
-    # back per doc (measured 0.69s→0.45s on the sf0.1 LSH pipeline).
-    # The per-doc shingle ARRAY comes from the Arrow encoder (r7,
-    # second pass): the JVM window build — slice(_toks) inside a
-    # transform lambda plus a pushed-down where(size(_sh) > 0) — ran
-    # interpreted with the whole shingle pipeline duplicated into the
-    # Filter, and a single-row-group scan serialized it onto one core:
-    # the COLD path measured > 400 s at the 100x probe (warm bench reps
-    # hid it behind the band-frame persist). Arrow encode + guard:
-    # 80.5 s cold / 11.8 s warm on the same probe (the residual is the
-    # 33M candidate pairs of that 100x-duplicated corpus, not the
-    # signatures). The where() cannot be pushed below the opaque
-    # mapInArrow boundary, so nothing re-inlines.
-    # Each md5 digest is STAGED as its own projected column so it runs
-    # once per (shingle, digest) — nested HOF references re-evaluate
-    # their subtree per element (the passB lesson, OPTIMIZATION_r07).
-    # Factory lambdas: PySpark introspects lambda arity.
-    from elasticsearch_assets_spark.indexing.arrowtf import (
-        encode_shingle_arrays,
-    )
-
-    sh = encode_shingle_arrays(df, text_col, id_col, n).where(
-        F.size("_sh") > 0
-    )
-
-    def _digest(d):
-        return lambda s: F.md5(F.concat(s, F.lit(f":{d}")))
-
+    # Signature shape history (r7, measured — keep this ordering):
+    # 1. r6: explode→groupBy over JVM inline shingle windows. The
+    #    window build (slice-in-lambda) ran interpreted with the whole
+    #    pipeline duplicated into a pushed-down Filter, on a 1-core
+    #    few-file scan: COLD >400 s at the 100x probe (warm bench reps
+    #    hid it behind the band-frame persist below).
+    # 2. r7 first pass: zero-shuffle array folds (array_min over
+    #    transform(md5) per-doc arrays). Won at sf0.1 (0.69→0.45 s)
+    #    but the lambda transforms evaluate INTERPRETED — at the 100x
+    #    probe the fold side alone cost ~2x what it should.
+    # 3. r7 final: Arrow shingle rows (analyzer once per row, RE2,
+    #    scan guard) + md5/substring/min as a codegen groupBy(id) —
+    #    partial aggregation folds the mins MAP-SIDE, so the "extra"
+    #    shuffle carries ~one 8-slice row per doc per partition.
+    #    A/B vs shape 2: sf0.1 warm 1.32 vs 1.32 (tie), 100x noop
+    #    7.3-8.5 vs 11.9-38 s. Values identical (same min over the
+    #    same distinct-shingle md5 slices; gates green).
+    sh = shingles(df, text_col, id_col, n)
     dig = sh.select(
         id_col,
         *[
-            F.transform(F.col("_sh"), _digest(d)).alias(f"_d{d}")
+            F.md5(F.concat(F.col("shingle"), F.lit(f":{d}"))).alias(f"_d{d}")
             for d in range((k + 3) // 4)
         ],
     )
-
-    def _slice(off):
-        return lambda h: F.substring(h, off, 8)
-
-    return dig.select(
-        id_col,
+    return dig.groupBy(id_col).agg(
         *[
-            F.array_min(
-                F.transform(F.col(f"_d{i // 4}"), _slice((i % 4) * 8 + 1))
+            F.min(
+                F.substring(F.col(f"_d{i // 4}"), (i % 4) * 8 + 1, 8)
             ).alias(f"mh_{i}")
             for i in range(k)
-        ],
+        ]
     )
 
 
